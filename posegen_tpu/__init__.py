@@ -1,0 +1,26 @@
+"""posegen_tpu — a TPU-native articulated-human NeRF + pose-GAN framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of PoseGen
+(mgholamikn/PoseGen, AAAI 2024): an A-NeRF-style skeleton-conditioned NeRF
+renderer, per-frame pose refinement, a pose GAN with SPIN (HMR) feedback for
+hard-pose mining, and the surrounding data/eval/training machinery.
+
+Design stance (TPU-first, not a port):
+  * All compute-path code is pure-functional JAX: params are pytrees, models
+    are `init_*` + `apply`-style pure functions, jit/vmap/shard_map friendly.
+  * Static shapes everywhere; ray sets are padded to tile multiples with mask
+    lanes instead of the reference's dynamic per-image ray counts.
+  * Multi-chip scaling is a 1-D `rays` mesh axis under `shard_map` with XLA
+    collectives over ICI (the reference used single-process nn.DataParallel).
+  * The hot render core has a fused Pallas path that keeps the MLP weights in
+    VMEM and composites without HBM round-trips (replacing the reference's
+    chunk/netchunk python loops).
+"""
+
+__version__ = "0.1.0"
+
+from posegen_tpu.skeleton.skeleton import (  # noqa: F401
+    Skeleton,
+    SMPL_SKELETON,
+    SMPL_REST_POSE,
+)

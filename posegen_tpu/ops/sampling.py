@@ -1,0 +1,180 @@
+"""Ray sampling: stratified, importance (inverse-CDF), cylinder clipping.
+
+Capability parity with reference core/utils/ray_utils.py:157-379 rebuilt with
+static shapes and explicit jax PRNG keys. A deterministic `det_noise` escape
+hatch reproduces the reference's `pytest=True` seeded-numpy path for golden
+tests (reference ray_utils.py:171-180, 240-244).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_from_lineseg(
+    near: jax.Array,
+    far: jax.Array,
+    n_samples: int,
+    perturb: float = 0.0,
+    lindisp: bool = False,
+    key: Optional[jax.Array] = None,
+    det_noise: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Stratified samples on [near, far] (reference ray_utils.py:204-251).
+
+    near/far: (N, 1). Returns z_vals (N, n_samples).
+    det_noise: optional (N, n_samples) uniform noise overriding the PRNG
+      (golden-parity path).
+    """
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=near.dtype)
+    if lindisp:
+        z = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
+    else:
+        z = near * (1.0 - t) + far * t
+
+    if perturb > 0.0:
+        mids = 0.5 * (z[..., 1:] + z[..., :-1])
+        upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z[..., :1], mids], axis=-1)
+        if det_noise is not None:
+            t_rand = det_noise
+        else:
+            assert key is not None, "perturbed sampling needs a PRNG key"
+            t_rand = jax.random.uniform(key, z.shape, dtype=z.dtype)
+        z = lower + (upper - lower) * t_rand
+    return z
+
+
+def sample_pdf(
+    bins: jax.Array,
+    weights: jax.Array,
+    n_samples: int,
+    det: bool = False,
+    key: Optional[jax.Array] = None,
+    det_noise: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Inverse-CDF sampling (reference ray_utils.py:157-201).
+
+    bins: (N, B) midpoints; weights: (N, B-1)... matching the reference's
+    convention where weights has one fewer entry than bins is NOT required:
+    here bins (N, B) and weights (N, B-1) define B-1 intervals.
+    Returns samples (N, n_samples); gradients are stopped (detached CDF).
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (N, B)
+    cdf = jax.lax.stop_gradient(cdf)
+
+    if det_noise is not None:
+        u = det_noise
+    elif det:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype),
+            (*cdf.shape[:-1], n_samples),
+        )
+    else:
+        assert key is not None
+        u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples), dtype=cdf.dtype)
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_b = jnp.take_along_axis(bins, below, axis=-1)
+    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    frac = (u - cdf_b) / denom
+    return bins_b + frac * (bins_a - bins_b)
+
+
+def isample_from_lineseg(
+    z_vals: jax.Array,
+    weights: jax.Array,
+    n_importance: int,
+    det: bool = False,
+    is_only: bool = False,
+    alpha_base: float = 0.01,
+    key: Optional[jax.Array] = None,
+    det_noise: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Importance samples merged (sorted) with the coarse z_vals
+    (reference ray_utils.py:255-289).
+
+    Returns (z_all (N, S+I) sorted, z_samples (N, I), sorted_idxs (N, S+I)).
+    """
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    if is_only:
+        # single-net: max-filtered weights + floor (reference :271-277)
+        w_l, w_k, w_u = weights[..., :-2], weights[..., 1:-1], weights[..., 2:]
+        dist_w = 0.5 * (jnp.maximum(w_l, w_k) + jnp.maximum(w_k, w_u)) + alpha_base
+    else:
+        dist_w = weights[..., 1:-1]
+
+    z_samples = sample_pdf(z_mid, dist_w, n_importance, det=det, key=key, det_noise=det_noise)
+    z_samples = jax.lax.stop_gradient(z_samples)
+
+    z_cat = jnp.concatenate([z_vals, z_samples], axis=-1)
+    sorted_idxs = jnp.argsort(z_cat, axis=-1)
+    z_all = jnp.take_along_axis(z_cat, sorted_idxs, axis=-1)
+    return z_all, z_samples, sorted_idxs
+
+
+def get_near_far_in_cylinder(
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    cyl: jax.Array,
+    near=0.35,
+    far=2.75,
+    g_axes: Tuple[int, int] = (0, 2),
+) -> Tuple[jax.Array, jax.Array]:
+    """Clip ray [near, far] to the pose's bounding cylinder via 2-D ray/circle
+    intersection on the ground plane (reference ray_utils.py:292-344).
+
+    rays_o/rays_d: (N, 3); cyl: (N, 5) [cx, cz, r, top, bot].
+    near/far may be floats or (N, 1) arrays. Misses (NaN root) fall back to
+    the mean of hit rays (matching the reference's NaN repair) computed
+    in-graph, or to the originals when every ray misses.
+    """
+    g = list(g_axes)
+    near = jnp.broadcast_to(jnp.asarray(near, rays_o.dtype), (*rays_o.shape[:-1], 1))
+    far = jnp.broadcast_to(jnp.asarray(far, rays_o.dtype), (*rays_o.shape[:-1], 1))
+
+    r_near = (rays_o + rays_d * near)[..., g]
+    r_far = (rays_o + rays_d * far)[..., g]
+
+    radius = cyl[..., 2:3]
+    center = cyl[..., :2]
+
+    nc = center - r_near
+    nf = r_far - r_near
+    nf_norm = jnp.linalg.norm(nf, axis=-1)
+    scale = jnp.linalg.norm(rays_d[..., g], axis=-1, keepdims=True)
+
+    cross = nc[..., 0] * nf[..., 1] - nc[..., 1] * nf[..., 0]
+    dist = (jnp.abs(cross) / nf_norm)[..., None]
+
+    q_sq = radius**2 - dist**2
+    hit = q_sq >= 0.0
+    Q = jnp.sqrt(jnp.maximum(q_sq, 0.0))
+    K = (jnp.sum(nc * nf, axis=-1) / nf_norm)[..., None]
+    inside = (Q >= K).astype(rays_o.dtype)  # near point inside circle -> keep near
+
+    new_near = near + (1.0 - inside) * (K - Q) / scale
+    new_far = near + (K + Q) / scale
+
+    # NaN-repair analog: rays that miss the cylinder get the mean of hits
+    n_hit = jnp.maximum(jnp.sum(hit), 1)
+    mean_near = jnp.sum(jnp.where(hit, new_near, 0.0)) / n_hit
+    mean_far = jnp.sum(jnp.where(hit, new_far, 0.0)) / n_hit
+    any_hit = jnp.any(hit)
+    new_near = jnp.where(hit, new_near, jnp.where(any_hit, mean_near, near))
+    new_far = jnp.where(hit, new_far, jnp.where(any_hit, mean_far, far))
+    return new_near, new_far
