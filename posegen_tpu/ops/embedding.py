@@ -86,7 +86,9 @@ def init_embed_state(cfg: EmbedConfig, cutoff_dist: Optional[jax.Array] = None) 
     return {
         "tau": jnp.asarray(cfg.init_tau, dtype=jnp.float32),
         "alpha": jnp.asarray(cfg.init_alpha, dtype=jnp.float32),
-        "cutoff_dist": jnp.asarray(cutoff_dist, dtype=jnp.float32),
+        # copy: several embed states share one cutoff table at init, and
+        # aliased buffers break argument donation in jitted train steps
+        "cutoff_dist": jnp.array(cutoff_dist, dtype=jnp.float32, copy=True),
     }
 
 

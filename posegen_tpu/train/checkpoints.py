@@ -1,0 +1,193 @@
+"""Checkpointing: native save/restore + PyTorch .tar import for parity runs.
+
+Native format: a single .npz per step holding the flattened train state
+(key-path -> array) — resumable, host-portable, no framework lock-in. The
+auto-resume glob mirrors the reference (latest checkpoint in the log dir,
+reference core/raycasters.py:124-142).
+
+Torch import: the reference saves `torch.save({...global_step,
+optimizer_state_dict, poseopt_layer_state_dict, network_fn_state_dict,
+network_fine_state_dict, embed/embeddirs/embedbones_state_dict...})`
+(core/trainer.py:487-518, key mangling core/raycasters.py:752-766).
+`import_torch_checkpoint` maps those tensors onto our pytree — transposing
+Linear weights (torch stores (out, in), we apply x @ W) — so renders from
+reference-trained weights can be PSNR-compared.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from glob import glob
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# native npz checkpoints
+# ---------------------------------------------------------------------------
+
+_SEP = "//"
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{_SEP}{k}" if prefix else str(k)))
+    elif isinstance(tree, (list, tuple)) and not hasattr(tree, "_fields"):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{_SEP}{i}" if prefix else str(i)))
+    elif hasattr(tree, "_fields"):  # NamedTuple (TrainState, optax states)
+        for k in tree._fields:
+            v = getattr(tree, k)
+            out.update(_flatten(v, f"{prefix}{_SEP}{k}" if prefix else str(k)))
+    elif tree is None:
+        pass
+    else:
+        out[prefix] = np.asarray(tree)
+    return out
+
+
+def _unflatten_into(template: Any, flat: Dict[str, np.ndarray], prefix: str = "") -> Any:
+    """Rebuild a pytree with the template's structure and the npz's values."""
+    if isinstance(template, dict):
+        return {
+            k: _unflatten_into(v, flat, f"{prefix}{_SEP}{k}" if prefix else str(k))
+            for k, v in template.items()
+        }
+    if hasattr(template, "_fields"):
+        vals = {
+            k: _unflatten_into(
+                getattr(template, k), flat, f"{prefix}{_SEP}{k}" if prefix else str(k)
+            )
+            for k in template._fields
+        }
+        return type(template)(**vals)
+    if isinstance(template, (list, tuple)):
+        seq = [
+            _unflatten_into(v, flat, f"{prefix}{_SEP}{i}" if prefix else str(i))
+            for i, v in enumerate(template)
+        ]
+        return type(template)(seq) if isinstance(template, list) else tuple(seq)
+    if template is None:
+        return None
+    if prefix not in flat:
+        raise KeyError(f"checkpoint missing key {prefix!r}")
+    return jnp.asarray(flat[prefix])
+
+
+def save_checkpoint(log_dir: str, state: Any, step: Optional[int] = None) -> str:
+    """Write logs/{exp}/{step:08d}.ckpt.npz (analog of the reference's
+    {i:06d}.tar, trainer.py:487-508)."""
+    os.makedirs(log_dir, exist_ok=True)
+    if step is None:
+        step = int(np.asarray(state.step))
+    path = os.path.join(log_dir, f"{step:08d}.ckpt.npz")
+    np.savez(path, **_flatten(state))
+    return path
+
+
+def latest_checkpoint(log_dir: str) -> Optional[str]:
+    ckpts = sorted(glob(os.path.join(log_dir, "*.ckpt.npz")))
+    return ckpts[-1] if ckpts else None
+
+
+def load_checkpoint(path: str, template: Any) -> Any:
+    """Restore a train state given a same-structure template
+    (e.g. a freshly built state)."""
+    flat = dict(np.load(path))
+    return _unflatten_into(template, flat)
+
+
+# ---------------------------------------------------------------------------
+# PyTorch .tar import
+# ---------------------------------------------------------------------------
+
+def _torch_linear(sd: Dict, name: str) -> Dict[str, jnp.ndarray]:
+    w = np.asarray(sd[f"{name}.weight"], dtype=np.float32)
+    b = np.asarray(sd[f"{name}.bias"], dtype=np.float32)
+    return {"w": jnp.asarray(w.T), "b": jnp.asarray(b)}  # (out,in) -> (in,out)
+
+
+def _import_nerf_net(sd: Dict) -> Dict[str, Any]:
+    """One reference NeRF state dict -> our params subtree
+    (param names from reference core/networks/nerf.py:46-88)."""
+    n_layers = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"pts_linears\.(\d+)\.weight", k))
+    )
+    params: Dict[str, Any] = {
+        "pts_linears": [_torch_linear(sd, f"pts_linears.{i}") for i in range(n_layers)]
+    }
+    for name in ("alpha_linear", "feature_linear", "rgb_linear", "output_linear"):
+        if f"{name}.weight" in sd:
+            params[name] = _torch_linear(sd, name)
+    view_idxs = sorted(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"views_linears\.(\d+)\.weight", k))
+    )
+    if view_idxs:
+        params["views_linears"] = [
+            _torch_linear(sd, f"views_linears.{i}") for i in view_idxs
+        ]
+    if "framecodes.codes.weight" in sd:
+        params["framecodes"] = jnp.asarray(
+            np.asarray(sd["framecodes.codes.weight"], dtype=np.float32)
+        )
+    return params
+
+
+def _import_embed(sd: Dict) -> Dict[str, jnp.ndarray]:
+    out = {}
+    if "tau" in sd:
+        out["tau"] = jnp.asarray(np.asarray(sd["tau"], dtype=np.float32))
+    if "cutoff_dist" in sd:
+        out["cutoff_dist"] = jnp.asarray(np.asarray(sd["cutoff_dist"], dtype=np.float32))
+    out["alpha"] = jnp.asarray(
+        np.asarray(sd.get("sched_alpha", 0.0), dtype=np.float32)
+    )
+    return out
+
+
+def import_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load a reference .tar -> (variables, extras).
+
+    variables: {'coarse', 'fine', 'embed_kp', 'embed_view', 'embed_bone'}
+    ready for render_rays. extras: {'global_step', 'pose_params'} when present.
+    Requires torch (CPU) for deserialization only.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    to_np = lambda d: {k: v.numpy() if hasattr(v, "numpy") else v for k, v in d.items()}
+
+    variables: Dict[str, Any] = {}
+    if "network_fn_state_dict" in ckpt:
+        variables["coarse"] = _import_nerf_net(to_np(ckpt["network_fn_state_dict"]))
+    if ckpt.get("network_fine_state_dict"):
+        variables["fine"] = _import_nerf_net(to_np(ckpt["network_fine_state_dict"]))
+    for src, dst in (
+        ("embed_state_dict", "embed_kp"),
+        ("embeddirs_state_dict", "embed_view"),
+        ("embedbones_state_dict", "embed_bone"),
+    ):
+        if ckpt.get(src):
+            variables[dst] = _import_embed(to_np(ckpt[src]))
+
+    extras: Dict[str, Any] = {"global_step": int(ckpt.get("global_step", 0))}
+    popt = ckpt.get("poseopt_layer_state_dict")
+    if popt:
+        popt = to_np(popt)
+        pose = {}
+        if "pelvis" in popt:
+            pose["pelvis"] = jnp.asarray(np.asarray(popt["pelvis"], dtype=np.float32))
+        if "bones" in popt:
+            pose["bones"] = jnp.asarray(np.asarray(popt["bones"], dtype=np.float32))
+        extras["pose_params"] = pose
+    return variables, extras

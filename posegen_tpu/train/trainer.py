@@ -1,0 +1,256 @@
+"""Training loop core: train state + one pure, jittable train step.
+
+Capability parity with reference core/trainer.py (Trainer.train_batch /
+compute_loss / optimize / decay_optimizer_lrate) redesigned TPU-first:
+
+  * The whole iteration — pose FK, rendering, losses, grads, both optimizer
+    updates and the embedder tau/alpha schedules — is ONE jitted function of
+    (state, batch, key). No host round-trips inside the step.
+  * LR decay is an optax schedule (exact analog of the reference's
+    lrate * 0.1**(step/decay) exponential, trainer.py:175-192).
+  * Pose-opt gradient accumulation (`opt_pose_step`, trainer.py:478-484)
+    is optax.MultiSteps on the pose optimizer.
+  * tau/alpha annealing (raycasters.py:731-748) is computed in-graph from
+    the step counter — schedules live in state, not python.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from posegen_tpu.ops import embedding as emb_mod
+from posegen_tpu.pose.opt import PoseOptConfig, kp_reg_loss, pose_apply, temporal_loss
+from posegen_tpu.render.raycast import PoseCtx, RaycastConfig, render_rays
+from posegen_tpu.skeleton.skeleton import SMPL_SKELETON, Skeleton
+from posegen_tpu.train import losses as L
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Static training hyper-parameters (reference run_nerf.py flags)."""
+
+    lrate: float = 5e-4
+    lrate_decay: int = 500  # in thousands of steps (reference convention)
+    loss_fn: str = "MSE"
+    use_coarse_loss: bool = True
+    use_acc_loss: bool = False
+    acc_loss_weight: float = 0.01
+    # pose optimization
+    opt_pose: bool = False
+    opt_pose_lrate: float = 5e-4
+    opt_pose_lrate_decay: int = 2
+    opt_pose_step: int = 20
+    opt_pose_coef: float = 2.0
+    opt_pose_warmup: int = 0
+    use_temp_loss: bool = False
+    temp_coef: float = 0.05
+    opt_pose_cache: bool = False
+    # embedder schedules
+    cutoff_step: int = 250
+    cutoff_rate: float = 10.0
+    freq_schedule_step: int = 5
+
+
+class TrainState(NamedTuple):
+    step: jax.Array  # scalar int32
+    params: Dict[str, Any]  # trainable NeRF nets {'coarse', 'fine'}
+    embeds: Dict[str, Any]  # embedder buffers {'embed_kp', ...}
+    opt_state: optax.OptState
+    pose_params: Optional[Dict[str, jax.Array]] = None
+    pose_anchors: Optional[Dict[str, jax.Array]] = None
+    pose_opt_state: Optional[optax.OptState] = None
+
+
+def _split_variables(variables: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    params = {k: v for k, v in variables.items() if k in ("coarse", "fine")}
+    embeds = {k: v for k, v in variables.items() if k.startswith("embed")}
+    return params, embeds
+
+
+def nerf_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam with the reference's exponential decay
+    (new_lrate = lrate * 0.1**(step / (decay*1000)), trainer.py:175-192)."""
+    sched = optax.exponential_decay(
+        init_value=tcfg.lrate,
+        transition_steps=tcfg.lrate_decay * 1000,
+        decay_rate=0.1,
+    )
+    return optax.adam(learning_rate=sched, b1=0.9, b2=0.999)
+
+
+def pose_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    sched = optax.exponential_decay(
+        init_value=tcfg.opt_pose_lrate,
+        transition_steps=tcfg.opt_pose_lrate_decay * 1000,
+        decay_rate=0.1,
+    )
+    opt = optax.adam(learning_rate=sched)
+    if tcfg.opt_pose_step > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=tcfg.opt_pose_step)
+    return opt
+
+
+def create_train_state(
+    variables: Dict[str, Any],
+    tcfg: TrainConfig,
+    pose_params: Optional[Dict[str, jax.Array]] = None,
+    pose_anchors: Optional[Dict[str, jax.Array]] = None,
+) -> TrainState:
+    params, embeds = _split_variables(variables)
+    opt_state = nerf_optimizer(tcfg).init(params)
+    pose_opt_state = None
+    if tcfg.opt_pose and pose_params is not None:
+        pose_opt_state = pose_optimizer(tcfg).init(pose_params)
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        embeds=embeds,
+        opt_state=opt_state,
+        pose_params=pose_params,
+        pose_anchors=pose_anchors,
+        pose_opt_state=pose_opt_state,
+    )
+
+
+def _updated_embeds(
+    cfg: RaycastConfig, tcfg: TrainConfig, embeds: Dict[str, Any], step: jax.Array
+) -> Dict[str, Any]:
+    """Recompute tau/alpha buffers from the step counter, in-graph."""
+    out = dict(embeds)
+    for name, ecfg in (
+        ("embed_kp", cfg.embed_kp_cfg),
+        ("embed_bone", cfg.embed_bone_cfg),
+        ("embed_view", cfg.embed_view_cfg),
+    ):
+        if ecfg is None or name not in embeds:
+            continue
+        st = dict(embeds[name])
+        if ecfg.cutoff:
+            st["tau"] = emb_mod.update_tau(ecfg, step, tcfg.cutoff_step, tcfg.cutoff_rate)
+        if ecfg.freq_schedule:
+            st["alpha"] = emb_mod.update_alpha(
+                ecfg, step, tcfg.freq_schedule_step, float(cfg.multires - 1)
+            )
+        out[name] = st
+    return out
+
+
+def compute_losses(
+    tcfg: TrainConfig,
+    ret: Dict[str, jax.Array],
+    batch: Dict[str, jax.Array],
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Photometric + coarse + acc losses (reference trainer.py:321-383)."""
+    target = batch["target_s"]
+    loss = L.rgb_loss(tcfg.loss_fn, ret["rgb_map"], target)
+    mse = L.img2mse(ret["rgb_map"], target)
+    stats = {"rgb_loss": loss, "psnr": L.mse2psnr(mse)}
+    total = loss
+    if tcfg.use_coarse_loss and "rgb0" in ret:
+        loss0 = L.rgb_loss(tcfg.loss_fn, ret["rgb0"], target)
+        stats["rgb0_loss"] = loss0
+        total = total + loss0
+    if tcfg.use_acc_loss and "fgs" in batch:
+        acc_l = L.acc2bce(ret["acc_map"], batch["fgs"][..., 0])
+        if "acc0" in ret:
+            acc_l = acc_l + L.acc2bce(ret["acc0"], batch["fgs"][..., 0])
+        stats["acc_loss"] = acc_l
+        total = total + tcfg.acc_loss_weight * acc_l
+    return total, stats
+
+
+def make_train_step(
+    cfg: RaycastConfig,
+    tcfg: TrainConfig,
+    pcfg: Optional[PoseOptConfig] = None,
+    skel: Skeleton = SMPL_SKELETON,
+    rest_pose=None,
+    kp_map=None,
+    n_frames: int = 0,
+):
+    """Build the jittable train step.
+
+    batch keys: rays_o, rays_d (N,3); target_s (N,3); cyls (N,5) or (1,5);
+    kp3d/skts/bones when not pose-optimizing; kp_idx (N,) when pose-optimizing;
+    cam_idxs (N,1) when framecodes are on; fgs (N,1) optional.
+    """
+    opt = nerf_optimizer(tcfg)
+    popt = pose_optimizer(tcfg) if tcfg.opt_pose else None
+
+    def loss_fn(params, pose_params, embeds, batch, key):
+        if tcfg.opt_pose and pose_params is not None:
+            kps, bones, skts, _ = pose_apply(
+                pose_params, batch["kp_idx"], rest_pose, skel, kp_map
+            )
+        else:
+            kps, bones, skts = batch["kp3d"], batch["bones"], batch["skts"]
+        ctx = PoseCtx(
+            kps=kps, skts=skts, bones=bones, cyls=batch["cyls"],
+            cam_idxs=batch.get("cam_idxs"),
+        )
+        all_params = {**params, **embeds}
+        ret = render_rays(
+            cfg, all_params, batch["rays_o"], batch["rays_d"], ctx, key=key
+        )
+        total, stats = compute_losses(tcfg, ret, batch)
+        if (
+            tcfg.opt_pose
+            and pose_params is not None
+            and tcfg.use_temp_loss
+            and n_frames > 1
+        ):
+            total = total + tcfg.temp_coef * temporal_loss(
+                pose_params, batch["kp_idx"], n_frames
+            )
+        return total, stats
+
+    def loss_with_anchor(params, pose_params, embeds, anchors, batch, key):
+        total, stats = loss_fn(params, pose_params, embeds, batch, key)
+        if tcfg.opt_pose and pose_params is not None and anchors is not None:
+            bone_l, pelvis_l = kp_reg_loss(
+                pcfg or PoseOptConfig(), pose_params, anchors, batch["kp_idx"], kp_map
+            )
+            stats["bone_loss"] = bone_l
+            stats["pelvis_loss"] = pelvis_l
+            total = total + tcfg.opt_pose_coef * (bone_l + pelvis_l)
+        stats["total_loss"] = total
+        return total, stats
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
+        embeds = _updated_embeds(cfg, tcfg, state.embeds, state.step)
+        if tcfg.opt_pose and state.pose_params is not None:
+            (_, stats), (g_nerf, g_pose) = jax.value_and_grad(
+                loss_with_anchor, argnums=(0, 1), has_aux=True
+            )(state.params, state.pose_params, embeds, state.pose_anchors, batch, key)
+            updates, opt_state = opt.update(g_nerf, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            p_updates, pose_opt_state = popt.update(
+                g_pose, state.pose_opt_state, state.pose_params
+            )
+            pose_params = optax.apply_updates(state.pose_params, p_updates)
+            new_state = state._replace(
+                step=state.step + 1,
+                params=params,
+                embeds=embeds,
+                opt_state=opt_state,
+                pose_params=pose_params,
+                pose_opt_state=pose_opt_state,
+            )
+        else:
+            (_, stats), g_nerf = jax.value_and_grad(
+                lambda p: loss_with_anchor(p, None, embeds, None, batch, key),
+                has_aux=True,
+            )(state.params)
+            updates, opt_state = opt.update(g_nerf, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state._replace(
+                step=state.step + 1, params=params, embeds=embeds, opt_state=opt_state
+            )
+        return new_state, stats
+
+    return train_step

@@ -1,0 +1,98 @@
+"""Metric tests: PSNR/SSIM/MS-SSIM and pose errors."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posegen_tpu.evals.image import evaluate_metric, ms_ssim, psnr, ssim
+from posegen_tpu.evals.pose import (
+    auc,
+    mpjpe,
+    pa_mpjpe,
+    pck,
+    per_joint_error,
+    similarity_transform,
+)
+
+
+def test_psnr_basics(rng):
+    img = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    assert float(psnr(jnp.asarray(img), jnp.asarray(img))) >= 100.0 - 1e-3
+    noisy = np.clip(img + 0.1, 0, 1).astype(np.float32)
+    p = float(psnr(jnp.asarray(noisy), jnp.asarray(img)))
+    assert 15.0 < p < 25.0  # 0.1 offset -> ~20dB
+
+
+def test_psnr_masked(rng):
+    img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    bad = img.copy()
+    bad[:8] = 0.0  # corrupt the top half
+    mask = np.zeros((16, 16), np.float32)
+    mask[8:] = 1.0  # evaluate only the clean half
+    p = float(psnr(jnp.asarray(bad), jnp.asarray(img), jnp.asarray(mask)))
+    assert p >= 100.0 - 1e-3
+
+
+def test_ssim_identity_and_noise(rng):
+    img = rng.uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    s_same, _ = ssim(jnp.asarray(img), jnp.asarray(img))
+    assert float(s_same) > 0.999
+    noisy = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1).astype(np.float32)
+    s_noisy, _ = ssim(jnp.asarray(noisy), jnp.asarray(img))
+    assert float(s_noisy) < 0.9
+
+
+def test_ssim_map_shape(rng):
+    img = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    m = ssim(jnp.asarray(img), jnp.asarray(img), full_map=True)
+    assert m.shape == (22, 22, 3)  # valid conv: 32 - 11 + 1
+
+
+def test_ms_ssim(rng):
+    img = rng.uniform(0, 1, (192, 192, 3)).astype(np.float32)
+    v = float(ms_ssim(jnp.asarray(img), jnp.asarray(img)))
+    assert v > 0.99
+
+
+def test_evaluate_metric_variants(rng):
+    gts = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    preds = np.clip(gts + rng.normal(0, 0.05, gts.shape), 0, 1).astype(np.float32)
+    fgs = (rng.uniform(size=(2, 64, 64)) > 0.5).astype(np.float32)
+    bboxes = np.array([[8, 8, 56, 56], [4, 4, 40, 60]])
+    out = evaluate_metric(preds, gts, fgs=fgs, bboxes=bboxes)
+    for k in ("psnr", "ssim", "psnr_box", "ssim_box", "psnr_fg"):
+        assert k in out and np.isfinite(out[k]).all(), k
+
+
+def test_similarity_transform_recovers_pose(rng):
+    gt = rng.standard_normal((24, 3)).astype(np.float32)
+    # random rigid + scale corruption
+    theta = 0.7
+    R = np.array(
+        [
+            [np.cos(theta), -np.sin(theta), 0],
+            [np.sin(theta), np.cos(theta), 0],
+            [0, 0, 1],
+        ],
+        np.float32,
+    )
+    pred = 2.5 * gt @ R.T + np.array([1.0, -2.0, 0.5], np.float32)
+    aligned, scale, _, _ = similarity_transform(jnp.asarray(pred), jnp.asarray(gt))
+    assert np.allclose(np.asarray(aligned), gt, atol=1e-4)
+    # mpjpe is large before alignment, ~0 after
+    assert float(mpjpe(jnp.asarray(pred), jnp.asarray(gt))) > 0.5
+    assert float(pa_mpjpe(jnp.asarray(pred)[None], jnp.asarray(gt)[None])) < 1e-4
+
+
+def test_pck_auc(rng):
+    errs = jnp.asarray([0.0, 0.1, 0.2, 0.3])  # meters
+    assert float(pck(errs, 0.15)) == 50.0
+    a = float(auc(errs, 0.15))
+    assert 0.0 < a < 100.0
+
+
+def test_per_joint_error_root_align(rng):
+    gt = rng.standard_normal((2, 24, 3)).astype(np.float32)
+    pred = gt + 0.05
+    errs = per_joint_error(jnp.asarray(pred), jnp.asarray(gt))
+    assert np.allclose(np.asarray(errs), 0.05 * np.sqrt(3), atol=1e-5)

@@ -1,0 +1,122 @@
+"""Trainer, pose-opt and multi-chip sharding tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posegen_tpu.pose.opt import (
+    PoseOptConfig,
+    init_pose_params,
+    kp_reg_loss,
+    pose_apply,
+)
+from posegen_tpu.render.raycast import RaycastConfig, init_raycaster
+from posegen_tpu.skeleton.skeleton import SMPL_REST_POSE
+from posegen_tpu.train.trainer import TrainConfig, create_train_state, make_train_step
+from posegen_tpu.utils.fixtures import make_train_batch
+
+TINY = RaycastConfig(N_samples=8, N_importance=4, netdepth=2, netwidth=32)
+
+
+def _make_state(tcfg, opt_pose=False, n_frames=4):
+    variables = init_raycaster(jax.random.PRNGKey(0), TINY)
+    pose_params = anchors = None
+    if opt_pose:
+        rng = np.random.default_rng(0)
+        bones0 = (rng.standard_normal((n_frames, 24, 3)) * 0.1).astype(np.float32)
+        kp0 = np.tile(SMPL_REST_POSE[None], (n_frames, 1, 1))
+        pose_params, anchors = init_pose_params(PoseOptConfig(), bones0, kp0)
+    return create_train_state(variables, tcfg, pose_params, anchors)
+
+
+def test_train_step_decreases_loss():
+    tcfg = TrainConfig(lrate=5e-3)
+    state = _make_state(tcfg)
+    step = jax.jit(make_train_step(TINY, tcfg))
+    batch = make_train_batch(TINY, n_rays=128)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(10):
+        state, stats = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(stats["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    assert int(state.step) == 10
+
+
+def test_train_step_pose_opt_updates_pose():
+    n_frames = 4
+    tcfg = TrainConfig(opt_pose=True, opt_pose_step=1, use_temp_loss=True)
+    state = _make_state(tcfg, opt_pose=True, n_frames=n_frames)
+    step = jax.jit(
+        make_train_step(
+            TINY,
+            tcfg,
+            PoseOptConfig(),
+            rest_pose=jnp.asarray(SMPL_REST_POSE),
+            n_frames=n_frames,
+        )
+    )
+    batch = make_train_batch(TINY, n_rays=64, opt_pose=True, n_frames=n_frames)
+    b0 = np.asarray(state.pose_params["bones"])
+    state, stats = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(stats["total_loss"]))
+    assert not np.allclose(np.asarray(state.pose_params["bones"]), b0), (
+        "pose params did not receive gradients"
+    )
+    assert "bone_loss" in stats and "pelvis_loss" in stats
+
+
+def test_pose_apply_shapes_and_anchor_loss():
+    rng = np.random.default_rng(1)
+    n_frames = 3
+    bones0 = (rng.standard_normal((n_frames, 24, 3)) * 0.1).astype(np.float32)
+    kp0 = np.tile(SMPL_REST_POSE[None], (n_frames, 1, 1))
+    pcfg = PoseOptConfig(use_rot6d=True, opt_pose_tol=0.01)
+    params, anchors = init_pose_params(pcfg, bones0, kp0)
+    assert params["bones"].shape == (n_frames, 24, 6)
+
+    idx = jnp.asarray([0, 2, 1, 0])
+    kps, bones, skts, l2ws = pose_apply(params, idx, jnp.asarray(SMPL_REST_POSE))
+    assert kps.shape == (4, 24, 3)
+    assert skts.shape == (4, 24, 4, 4)
+
+    # at the anchor, the hinge loss is exactly zero
+    bl, pl = kp_reg_loss(pcfg, params, anchors, idx)
+    assert float(bl) == 0.0 and float(pl) == 0.0
+    # perturbations beyond tol give positive loss
+    moved = {
+        "pelvis": params["pelvis"] + 1.0,
+        "bones": params["bones"] + 0.5,
+    }
+    bl, pl = kp_reg_loss(pcfg, moved, anchors, idx)
+    assert float(bl) > 0.0 and float(pl) > 0.0
+
+
+def test_embed_tau_annealed_in_step():
+    tcfg = TrainConfig()
+    state = _make_state(tcfg)
+    step = jax.jit(make_train_step(TINY, tcfg))
+    batch = make_train_batch(TINY, n_rays=64)
+    tau0 = float(state.embeds["embed_kp"]["tau"])
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    tau1 = float(state.embeds["embed_kp"]["tau"])
+    assert tau1 > tau0 * (10.0 ** (2 / 250000.0)) * 0.999
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (1024, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+
+    assert jax.device_count() >= 8, "conftest should force 8 cpu devices"
+    ge.dryrun_multichip(8)
