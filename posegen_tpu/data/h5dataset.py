@@ -1,0 +1,347 @@
+"""Host-side ray dataset + prefetching batch loader.
+
+Capability parity with the reference's BaseH5Dataset / RayImageSampler /
+ray_collate_fn (core/dataset.py:20-543, 730-802) redesigned for TPU input:
+
+  * Metadata (poses, cameras, cylinders, pixel-dir table) lives in RAM;
+    only image pixels are read from H5, one per-image chunk per sample.
+  * Every batch has a FIXED shape: N_images x rays_per_image pixels,
+    flattened to (N_rand, ...) — one jit compilation serves all steps.
+  * Sampling is numpy RNG on the host; the device only ever sees dense
+    arrays (rays, targets, pose rows gathered per-ray).
+  * A background thread keeps a small queue of ready batches
+    (the TPU analog of DataLoader(num_workers=16, pin_memory=True),
+    reference core/load_data.py:78-80).
+
+Variants of the reference are expressed as flags: patch sampling
+(`patch_size`), in-box background sampling (`n_box_rays`, the reference's
+"nms" samples, dataset.py:324-344), mask-only sampling, and multi-subject
+concatenation (`ConcatH5Dataset` analog via `ConcatRayDataset`).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import h5py
+import numpy as np
+
+from posegen_tpu.skeleton.cameras import get_rays_np
+
+
+class H5RayDataset:
+    """One subject's H5 file; samples pixels/rays per image."""
+
+    def __init__(
+        self,
+        h5_path: str,
+        n_rays_per_image: int = 48,
+        patch_size: int = 1,
+        n_box_rays: int = 0,
+        mask_image: bool = False,
+        white_bkgd: bool = False,
+        load_refined: Optional[str] = None,
+        seed: int = 0,
+    ):
+        self.h5_path = h5_path
+        self.n_rays = n_rays_per_image
+        self.patch_size = patch_size
+        self.n_box_rays = n_box_rays
+        self.mask_image = mask_image
+        self.white_bkgd = white_bkgd
+        self.rng = np.random.default_rng(seed)
+        self._file: Optional[h5py.File] = None
+
+        with h5py.File(h5_path, "r") as f:
+            self.H, self.W = int(f["img_shape"][0]), int(f["img_shape"][1])
+            self.n_images = f["imgs"].shape[0]
+            self.kp3d = f["kp3d"][:].astype(np.float32)
+            self.bones = f["bones"][:].astype(np.float32)
+            self.skts = f["skts"][:].astype(np.float32)
+            self.cyls = f["cyls"][:].astype(np.float32)
+            self.rest_pose = f["rest_pose"][:].astype(np.float32)
+            self.c2ws = f["c2ws"][:].astype(np.float32)
+            self.focals = f["focals"][:].astype(np.float32)
+            self.centers = f["centers"][:].astype(np.float32) if "centers" in f else None
+            self.kp_idxs = (
+                f["kp_idxs"][:].astype(np.int64)
+                if "kp_idxs" in f
+                else np.arange(self.n_images)
+            )
+            self.cam_idxs = (
+                f["cam_idxs"][:].astype(np.int64)
+                if "cam_idxs" in f
+                else np.arange(self.n_images)
+            )
+            self.bkgd_idxs = (
+                f["bkgd_idxs"][:].astype(np.int64)
+                if "bkgd_idxs" in f
+                else np.zeros(self.n_images, np.int64)
+            )
+            self.has_bkgd = "bkgds" in f
+            self.ext_scale = float(f["ext_scale"][()]) if "ext_scale" in f else 0.001
+
+        if load_refined is not None:
+            self._load_refined(load_refined)
+
+        # precomputed camera-frame pixel directions (reference init_meta,
+        # dataset.py:125-182): one (H, W, 3) table reused by every image
+        self._pixel_dirs = self._make_pixel_dirs()
+
+    # -- reference PoseRefinedDataset (dataset.py:544-568) ------------------
+    def _load_refined(self, ckpt_path: str):
+        """Overwrite poses with refined ones from a pose checkpoint
+        (native .npz from save_checkpoint or a torch .tar)."""
+        from posegen_tpu.pose.opt import pose_params_to_pose_data
+        from posegen_tpu.skeleton.geometry import get_kp_bounding_cylinder
+
+        if ckpt_path.endswith(".tar"):
+            from posegen_tpu.train.checkpoints import import_torch_checkpoint
+
+            _, extras = import_torch_checkpoint(ckpt_path)
+            pose_params = extras["pose_params"]
+        else:
+            flat = dict(np.load(ckpt_path))
+            pose_params = {
+                "pelvis": flat["pose_params//pelvis"],
+                "bones": flat["pose_params//bones"],
+            }
+        import jax.numpy as jnp
+
+        data = pose_params_to_pose_data(
+            {k: jnp.asarray(v) for k, v in pose_params.items()},
+            jnp.asarray(self.rest_pose),
+        )
+        self.kp3d = data["kp3d"]
+        self.bones = np.asarray(data["bones"])
+        self.skts = data["skts"]
+        self.cyls = np.asarray(
+            get_kp_bounding_cylinder(jnp.asarray(self.kp3d), ext_scale=self.ext_scale)
+        ).astype(np.float32)
+
+    def _make_pixel_dirs(self) -> np.ndarray:
+        i, j = np.meshgrid(
+            np.arange(self.W, dtype=np.float32),
+            np.arange(self.H, dtype=np.float32),
+            indexing="xy",
+        )
+        cx, cy = self.W * 0.5, self.H * 0.5
+        # focal applied per-image at sample time (focals can vary)
+        return np.stack([i - cx, -(j - cy), -np.ones_like(i)], axis=-1)
+
+    @property
+    def file(self) -> h5py.File:
+        # opened lazily per thread/process (reference init_dataset,
+        # dataset.py:117-123, with SWMR semantics)
+        if self._file is None:
+            self._file = h5py.File(self.h5_path, "r", swmr=True)
+        return self._file
+
+    def _sample_pixels(self, smask: np.ndarray) -> np.ndarray:
+        """Flat pixel indices for one image (reference sample_pixels,
+        dataset.py:277-344)."""
+        valid = np.flatnonzero(smask.reshape(-1) > 0)
+        if valid.size == 0:
+            valid = np.arange(self.H * self.W)
+        n_fg = self.n_rays - self.n_box_rays
+        if self.patch_size > 1:
+            # patch sampling: pick top-left corners, expand to patches
+            n_patches = max(n_fg // (self.patch_size**2), 1)
+            corners = self.rng.choice(valid, size=n_patches)
+            ys, xs = corners // self.W, corners % self.W
+            ys = np.clip(ys, 0, self.H - self.patch_size)
+            xs = np.clip(xs, 0, self.W - self.patch_size)
+            dy, dx = np.meshgrid(
+                np.arange(self.patch_size), np.arange(self.patch_size), indexing="ij"
+            )
+            idx = ((ys[:, None, None] + dy) * self.W + xs[:, None, None] + dx).reshape(-1)
+            idx = idx[: n_fg]
+        else:
+            idx = self.rng.choice(valid, size=n_fg, replace=valid.size < n_fg)
+        if self.n_box_rays > 0:
+            # in-box samples outside the mask (reference _sample_in_box2d)
+            ys, xs = np.nonzero(smask[..., 0] > 0)
+            if ys.size:
+                y0, y1 = ys.min(), ys.max() + 1
+                x0, x1 = xs.min(), xs.max() + 1
+            else:
+                y0, y1, x0, x1 = 0, self.H, 0, self.W
+            by = self.rng.integers(y0, y1, self.n_box_rays)
+            bx = self.rng.integers(x0, x1, self.n_box_rays)
+            idx = np.concatenate([idx, by * self.W + bx])
+        return idx
+
+    def sample_image(self, img_idx: int) -> Dict[str, np.ndarray]:
+        """Sample rays/targets from one image -> dict of (n_rays, ...)."""
+        f = self.file
+        img = f["imgs"][img_idx].reshape(-1, 3).astype(np.float32) / 255.0
+        mask = f["masks"][img_idx].reshape(-1, 1).astype(np.float32)
+        smask = f["sampling_masks"][img_idx]
+
+        pix = self._sample_pixels(np.asarray(smask))
+        c2w = self.c2ws[img_idx]
+        focal = self.focals[img_idx] if self.focals.ndim else float(self.focals)
+        fx = focal if np.ndim(focal) == 0 else focal[0]
+        fy = fx if np.ndim(focal) == 0 else focal[1]
+
+        dirs = self._pixel_dirs.reshape(-1, 3)[pix].copy()
+        if self.centers is not None:
+            cx, cy = self.centers[img_idx]
+            dirs[:, 0] += self.W * 0.5 - cx
+            dirs[:, 1] -= self.H * 0.5 - cy
+        dirs[:, 0] /= fx
+        dirs[:, 1] /= fy
+        rays_d = dirs @ c2w[:3, :3].T
+        rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape).copy()
+
+        target = img[pix]
+        fg = mask[pix]
+        if self.has_bkgd:
+            bkgd = f["bkgds"][self.bkgd_idxs[img_idx]].reshape(-1, 3)
+            bg = bkgd[pix].astype(np.float32) / 255.0
+        elif self.white_bkgd:
+            bg = np.ones_like(target)
+        else:
+            bg = np.zeros_like(target)
+        if self.mask_image or self.white_bkgd:
+            target = target * fg + bg * (1.0 - fg)
+
+        kp_i = int(self.kp_idxs[img_idx])
+        n = pix.shape[0]
+        return {
+            "rays_o": rays_o.astype(np.float32),
+            "rays_d": rays_d.astype(np.float32),
+            "target_s": target,
+            "fgs": fg,
+            "bgs": bg,
+            "kp3d": np.broadcast_to(self.kp3d[kp_i], (n, *self.kp3d.shape[1:])),
+            "bones": np.broadcast_to(self.bones[kp_i], (n, *self.bones.shape[1:])),
+            "skts": np.broadcast_to(self.skts[kp_i], (n, *self.skts.shape[1:])),
+            "cyls": np.broadcast_to(self.cyls[kp_i], (n, 5)),
+            "kp_idx": np.full((n,), kp_i, np.int32),
+            "cam_idxs": np.full((n, 1), self.cam_idxs[img_idx], np.int32),
+        }
+
+    def get_render_data(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
+        """Full-image eval data (reference get_render_data, dataset.py:490)."""
+        f = self.file
+        idxs = list(idxs)
+        out = {
+            "imgs": np.stack([f["imgs"][i] for i in idxs]).astype(np.float32) / 255.0,
+            "masks": np.stack([f["masks"][i] for i in idxs]).astype(np.float32),
+            "c2ws": self.c2ws[idxs],
+            "focals": self.focals[idxs] if self.focals.ndim else self.focals,
+            "kp3d": self.kp3d[self.kp_idxs[idxs]],
+            "bones": self.bones[self.kp_idxs[idxs]],
+            "skts": self.skts[self.kp_idxs[idxs]],
+            "cyls": self.cyls[self.kp_idxs[idxs]],
+            "cam_idxs": self.cam_idxs[idxs],
+            "hwf": (self.H, self.W, self.focals[idxs[0]] if self.focals.ndim else float(self.focals)),
+        }
+        if self.has_bkgd:
+            out["bkgds"] = (
+                np.stack([f["bkgds"][self.bkgd_idxs[i]] for i in idxs]).astype(np.float32)
+                / 255.0
+            )
+        return out
+
+    def close(self):
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+
+class ConcatRayDataset:
+    """Multi-subject concatenation with index offsets
+    (reference ConcatH5Dataset, dataset.py:570-693)."""
+
+    def __init__(self, datasets: List[H5RayDataset]):
+        self.datasets = datasets
+        self.n_images = sum(d.n_images for d in datasets)
+        self._offsets = np.cumsum([0] + [d.n_images for d in datasets])
+        self._kp_offsets = np.cumsum([0] + [d.kp3d.shape[0] for d in datasets])
+        self._cam_offsets = np.cumsum(
+            [0] + [int(d.cam_idxs.max()) + 1 for d in datasets]
+        )
+        self.rest_pose = datasets[0].rest_pose
+        self.kp3d = np.concatenate([d.kp3d for d in datasets])
+        self.bones = np.concatenate([d.bones for d in datasets])
+
+    def sample_image(self, img_idx: int) -> Dict[str, np.ndarray]:
+        d_i = int(np.searchsorted(self._offsets, img_idx, side="right") - 1)
+        local = img_idx - self._offsets[d_i]
+        out = self.datasets[d_i].sample_image(int(local))
+        out["kp_idx"] = out["kp_idx"] + np.int32(self._kp_offsets[d_i])
+        out["cam_idxs"] = out["cam_idxs"] + np.int32(self._cam_offsets[d_i])
+        out["subject_idxs"] = np.full_like(out["kp_idx"], d_i)
+        return out
+
+
+class RayBatchLoader:
+    """Batches of N_images x rays_per_image flattened rays, prefetched.
+
+    The iterator is infinite (training-style); every __next__ returns a dict
+    of fixed-shape numpy arrays (reference RayImageSampler + ray_collate_fn,
+    dataset.py:756-802).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        n_images_per_batch: int = 64,
+        prefetch: int = 2,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.n_images = n_images_per_batch
+        self.rng = np.random.default_rng(seed)
+        self._perm: np.ndarray = np.array([], dtype=np.int64)
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def _next_idxs(self) -> np.ndarray:
+        # full-permutation sampler (reference RandIntGenerator, dataset.py:730)
+        while self._perm.size < self.n_images:
+            self._perm = np.concatenate(
+                [self._perm, self.rng.permutation(self.dataset.n_images)]
+            )
+        idxs, self._perm = self._perm[: self.n_images], self._perm[self.n_images :]
+        return idxs
+
+    def make_batch(self) -> Dict[str, np.ndarray]:
+        parts = [self.dataset.sample_image(int(i)) for i in self._next_idxs()]
+        return {
+            k: np.concatenate([p[k] for p in parts], axis=0) for k in parts[0]
+        }
+
+    def _worker(self):
+        while not self._stop.is_set():
+            batch = self.make_batch()
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        if self._thread is None:
+            return self.make_batch()
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        if self._thread is not None:
+            while not self._q.empty():
+                self._q.get_nowait()
+            self._thread.join(timeout=2.0)
+            self._thread = None

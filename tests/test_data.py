@@ -1,0 +1,121 @@
+"""Data layer tests: H5 schema, pixel sampling, loader batches, catalog."""
+
+import numpy as np
+import pytest
+
+from posegen_tpu.data.catalog import DataConfig, load_data
+from posegen_tpu.data.h5dataset import ConcatRayDataset, H5RayDataset, RayBatchLoader
+from posegen_tpu.data.synthetic import make_synthetic_h5
+from posegen_tpu.data.writer import dilate_masks
+
+
+@pytest.fixture(scope="module")
+def h5_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "demo.h5"
+    return make_synthetic_h5(str(p), n_images=6, H=48, W=48)
+
+
+def test_dilate_masks():
+    m = np.zeros((1, 9, 9, 1), np.uint8)
+    m[0, 4, 4, 0] = 1
+    d = dilate_masks(m, kernel=3, iters=1)
+    assert d.sum() == 9  # 3x3 neighborhood
+
+
+def test_dataset_sample_shapes(h5_path):
+    ds = H5RayDataset(h5_path, n_rays_per_image=32)
+    s = ds.sample_image(0)
+    assert s["rays_o"].shape == (32, 3)
+    assert s["rays_d"].shape == (32, 3)
+    assert s["target_s"].shape == (32, 3)
+    assert s["skts"].shape == (32, 24, 4, 4)
+    assert s["cyls"].shape == (32, 5)
+    assert s["kp_idx"].shape == (32,)
+    # sampled pixels mostly on the person (dilated mask)
+    assert s["fgs"].mean() > 0.4
+    ds.close()
+
+
+def test_rays_hit_subject(h5_path):
+    """Sampled rays must pass near the subject's cylinder (geometry check)."""
+    ds = H5RayDataset(h5_path, n_rays_per_image=64)
+    s = ds.sample_image(2)
+    cyl = s["cyls"][0]
+    center = np.array([cyl[0], 0.0, cyl[1]])
+    o, d = s["rays_o"], s["rays_d"]
+    # distance from cylinder axis (xz only) at closest approach
+    oc = (center - o)[:, [0, 2]]
+    dd = d[:, [0, 2]]
+    t = np.sum(oc * dd, -1) / np.maximum(np.sum(dd * dd, -1), 1e-9)
+    closest = o[:, [0, 2]] + dd * t[:, None] - center[[0, 2]]
+    dist = np.linalg.norm(closest, axis=-1)
+    assert np.quantile(dist, 0.8) < cyl[2] * 1.5, "rays don't aim at the subject"
+    ds.close()
+
+
+def test_patch_and_box_sampling(h5_path):
+    ds = H5RayDataset(h5_path, n_rays_per_image=36, patch_size=3)
+    s = ds.sample_image(0)
+    assert s["rays_o"].shape[0] == 36
+    ds2 = H5RayDataset(h5_path, n_rays_per_image=32, n_box_rays=8)
+    s2 = ds2.sample_image(0)
+    assert s2["rays_o"].shape[0] == 32
+    ds.close(), ds2.close()
+
+
+def test_loader_batches(h5_path):
+    ds = H5RayDataset(h5_path, n_rays_per_image=16)
+    loader = RayBatchLoader(ds, n_images_per_batch=4)
+    b = loader.make_batch()
+    assert b["rays_o"].shape == (64, 3)
+    assert b["cam_idxs"].shape == (64, 1)
+    # prefetch thread path
+    it = iter(loader)
+    b2 = next(it)
+    assert b2["rays_o"].shape == (64, 3)
+    loader.close()
+    ds.close()
+
+
+def test_concat_dataset(h5_path, tmp_path):
+    p2 = make_synthetic_h5(str(tmp_path / "s2.h5"), n_images=4, H=48, W=48, seed=3)
+    ds = ConcatRayDataset([H5RayDataset(h5_path, 8), H5RayDataset(p2, 8)])
+    assert ds.n_images == 10
+    s = ds.sample_image(7)  # second subject, local idx 1
+    assert int(s["subject_idxs"][0]) == 1
+    assert int(s["kp_idx"][0]) >= 6  # offset past subject 0's poses
+
+
+def test_load_data_dispatch(tmp_path):
+    cfg = DataConfig(
+        dataset="synthetic",
+        subject="demo",
+        data_root=str(tmp_path),
+        n_rand=64,
+        n_sample_images=4,
+        num_val_images=2,
+    )
+    loader, render_data, attrs = load_data(cfg)
+    b = loader.make_batch()
+    assert b["rays_o"].shape == (64, 3)
+    assert render_data["imgs"].shape[0] == 2
+    assert attrs["n_framecodes"] >= 1
+    assert attrs["rest_pose"].shape == (24, 3)
+
+
+def test_refined_pose_load(h5_path, tmp_path):
+    """PoseRefinedDataset analog: poses overwritten from a pose ckpt."""
+    ds0 = H5RayDataset(h5_path, 8)
+    n_kp = ds0.kp3d.shape[0]
+    refined = {
+        "pose_params//pelvis": ds0.kp3d[:, 0] + 0.1,
+        "pose_params//bones": ds0.bones * 0.5,
+    }
+    p = tmp_path / "pose.ckpt.npz"
+    np.savez(p, **refined)
+    ds = H5RayDataset(h5_path, 8, load_refined=str(p))
+    assert not np.allclose(ds.kp3d, ds0.kp3d)
+    assert np.allclose(ds.bones, ds0.bones * 0.5)
+    s = ds.sample_image(0)
+    assert np.isfinite(s["skts"]).all()
+    ds.close(), ds0.close()
