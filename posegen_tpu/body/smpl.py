@@ -1,0 +1,180 @@
+"""SMPL body model: parameter loading + a functional forward.
+
+Capability parity with the reference's vendored smplx body_models.py:43-497
+(`SMPL` class: shape/pose blendshapes, LBS, optional extra joint regressor
+for SPIN's 49-joint output, run_gan.py:1475-1506). Model weights load from
+the official .pkl/.npz files (not redistributable — pass `model_path`);
+`make_random_model` builds a small stand-in for tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posegen_tpu.body.lbs import lbs, vertices2joints
+
+SMPL_N_JOINTS = 24
+
+
+@dataclasses.dataclass(frozen=True)
+class SMPLModel:
+    """Immutable model constants (a pytree of arrays; safe to close over)."""
+
+    v_template: jax.Array  # (V, 3)
+    shapedirs: jax.Array  # (V, 3, n_betas)
+    posedirs: jax.Array  # (9*(J-1), V*3)
+    J_regressor: jax.Array  # (J, V)
+    parents: np.ndarray  # (J,)
+    lbs_weights: jax.Array  # (V, J)
+    faces: Optional[np.ndarray] = None  # (F, 3) host-side
+    extra_joint_regressor: Optional[jax.Array] = None  # e.g. SPIN's J (49 or 14, V)
+
+    @property
+    def n_joints(self) -> int:
+        return self.J_regressor.shape[0]
+
+    @property
+    def n_vertices(self) -> int:
+        return self.v_template.shape[0]
+
+    def __call__(
+        self,
+        betas: jax.Array,
+        body_pose: jax.Array,
+        global_orient: Optional[jax.Array] = None,
+        transl: Optional[jax.Array] = None,
+        pose2rot: bool = True,
+    ) -> Dict[str, jax.Array]:
+        """betas (B, n_betas); body_pose (B, (J-1)*3) or (B, J-1, 3, 3);
+        global_orient (B, 3) or (B, 1, 3, 3). Returns {'vertices', 'joints'}.
+        """
+        B = betas.shape[0]
+        if pose2rot:
+            if global_orient is None:
+                global_orient = jnp.zeros((B, 3), betas.dtype)
+            pose = jnp.concatenate(
+                [global_orient.reshape(B, 3), body_pose.reshape(B, -1)], axis=-1
+            )
+        else:
+            if global_orient is None:
+                global_orient = jnp.broadcast_to(jnp.eye(3), (B, 1, 3, 3))
+            pose = jnp.concatenate(
+                [global_orient.reshape(B, 1, 3, 3), body_pose.reshape(B, -1, 3, 3)],
+                axis=1,
+            )
+        verts, joints = lbs(
+            betas, pose, self.v_template, self.shapedirs, self.posedirs,
+            self.J_regressor, self.parents, self.lbs_weights, pose2rot=pose2rot,
+        )
+        if self.extra_joint_regressor is not None:
+            joints = vertices2joints(self.extra_joint_regressor, verts)
+        if transl is not None:
+            verts = verts + transl[:, None]
+            joints = joints + transl[:, None]
+        return {"vertices": verts, "joints": joints}
+
+
+jax.tree_util.register_pytree_node(
+    SMPLModel,
+    lambda m: (
+        (m.v_template, m.shapedirs, m.posedirs, m.J_regressor, m.lbs_weights,
+         m.extra_joint_regressor),
+        (m.parents, m.faces),
+    ),
+    lambda aux, leaves: SMPLModel(
+        v_template=leaves[0], shapedirs=leaves[1], posedirs=leaves[2],
+        J_regressor=leaves[3], lbs_weights=leaves[4],
+        extra_joint_regressor=leaves[5], parents=aux[0], faces=aux[1],
+    ),
+)
+
+
+def load_smpl_model(
+    model_path: str,
+    n_betas: int = 10,
+    extra_joint_regressor: Optional[np.ndarray] = None,
+) -> SMPLModel:
+    """Load an official SMPL .pkl/.npz (fields per smplx body_models.py:499+)."""
+    if model_path.endswith(".npz"):
+        data = dict(np.load(model_path, allow_pickle=True))
+    else:
+        with open(model_path, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+
+    def arr(x):
+        if hasattr(x, "todense"):  # scipy sparse J_regressor in .pkl files
+            x = np.asarray(x.todense())
+        return np.asarray(x, dtype=np.float32)
+
+    shapedirs = arr(data["shapedirs"])[..., :n_betas]
+    posedirs = arr(data["posedirs"])
+    # official layout (V, 3, P) -> (P, V*3)
+    posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T
+    parents = np.asarray(data["kintree_table"])[0].astype(np.int64)
+    parents[0] = 0
+    return SMPLModel(
+        v_template=jnp.asarray(arr(data["v_template"])),
+        shapedirs=jnp.asarray(shapedirs),
+        posedirs=jnp.asarray(posedirs),
+        J_regressor=jnp.asarray(arr(data["J_regressor"])),
+        parents=parents,
+        lbs_weights=jnp.asarray(arr(data["weights"])),
+        faces=np.asarray(data["f"], dtype=np.int64) if "f" in data else None,
+        extra_joint_regressor=(
+            jnp.asarray(np.asarray(extra_joint_regressor, dtype=np.float32))
+            if extra_joint_regressor is not None
+            else None
+        ),
+    )
+
+
+def make_random_model(
+    n_vertices: int = 64,
+    n_joints: int = 6,
+    n_betas: int = 4,
+    seed: int = 0,
+) -> SMPLModel:
+    """Small structurally-valid stand-in model for tests."""
+    rng = np.random.default_rng(seed)
+    parents = np.array([0] + [i // 2 for i in range(n_joints - 1)], np.int64)
+
+    # joints spread out; vertices clustered near their governing joint
+    j_locs = rng.standard_normal((n_joints, 3)).astype(np.float32)
+    owner = rng.integers(0, n_joints, n_vertices)
+    v_template = (j_locs[owner] + rng.normal(0, 0.1, (n_vertices, 3))).astype(
+        np.float32
+    )
+    lbs_w = np.zeros((n_vertices, n_joints), np.float32)
+    lbs_w[np.arange(n_vertices), owner] = 1.0
+
+    # J_regressor recovering joint locations from owned vertices
+    J_reg = np.zeros((n_joints, n_vertices), np.float32)
+    for j in range(n_joints):
+        mask = owner == j
+        if mask.any():
+            J_reg[j, mask] = 1.0 / mask.sum()
+        else:
+            J_reg[j, rng.integers(0, n_vertices)] = 1.0
+    # make the regressed rest joints exactly j_locs by adjusting template? not
+    # needed — tests only rely on internal consistency.
+    return SMPLModel(
+        v_template=jnp.asarray(v_template),
+        shapedirs=jnp.asarray(
+            rng.normal(0, 0.01, (n_vertices, 3, n_betas)).astype(np.float32)
+        ),
+        posedirs=jnp.asarray(
+            rng.normal(0, 0.001, (9 * (n_joints - 1), n_vertices * 3)).astype(
+                np.float32
+            )
+        ),
+        J_regressor=jnp.asarray(J_reg),
+        parents=parents,
+        lbs_weights=jnp.asarray(lbs_w),
+    )
