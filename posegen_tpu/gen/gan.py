@@ -1,0 +1,168 @@
+"""GAN machinery: LSGAN losses, fake-replay pool, projection, train steps.
+
+Capability parity with the reference's GAN loop plumbing
+(run_gan.py:578-600 `Sample_from_Pool`, 732-759 `project_to_2d`,
+1117-1141 `get_adv_loss`, 1143-1178 `train_dis`, 1956-2135 `train_gan`)
+rebuilt as pure jitted steps + a host-side replay buffer. The LSGAN
+criterion is MSE on logits, matching the reference's nn.MSELoss.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from posegen_tpu.gen.discriminators import pos3d_discriminator_apply
+from posegen_tpu.gen.generators import GenConfig, pose_generator_apply
+
+
+def lsgan_loss(logits: jax.Array, target: float) -> jax.Array:
+    return jnp.mean((logits - target) ** 2)
+
+
+def discriminator_accuracy(logits: jax.Array, target: float) -> jax.Array:
+    """Fraction of logits within 0.5 of the target label
+    (reference get_discriminator_accuracy, run_gan.py:584-598)."""
+    return jnp.mean((jnp.abs(logits - target) <= 0.5).astype(jnp.float32))
+
+
+def project_to_2d(
+    kps: jax.Array,
+    exts: jax.Array,
+    H: float,
+    W: float,
+    focals: Tuple[float, float],
+) -> Tuple[jax.Array, jax.Array]:
+    """Perspective projection (reference run_gan.py:732-759).
+
+    kps (B, J, 3) world; exts (B, 4, 4) or (4, 4) extrinsics.
+    Returns (kp2d (B, J, 2) pixels, kp3d_cam (B, J, 3))."""
+    if exts.ndim == 2:
+        exts = jnp.broadcast_to(exts, (kps.shape[0], 4, 4))
+    hom = jnp.concatenate([kps, jnp.ones((*kps.shape[:-1], 1), kps.dtype)], axis=-1)
+    cam = jnp.einsum("nxy,njy->njx", exts, hom)[..., :3]
+    xy = cam[..., :2] * jnp.asarray(focals) / jnp.where(cam[..., 2:3] == 0, 1.0, cam[..., 2:3])
+    xy = jnp.where(jnp.isfinite(xy), xy, 0.0)
+    xy = xy + jnp.asarray([W * 0.5, H * 0.5])
+    return xy, cam
+
+
+def normalize_screen_coordinates(x: jax.Array, w: float, h: float) -> jax.Array:
+    """[0,w]x[0,h] pixels -> [-1,1] preserving aspect (run_gan.py:761-765)."""
+    return x / w * 2.0 - jnp.asarray([1.0, h / w])
+
+
+class FakePool:
+    """Replay buffer of generated poses for discriminator training
+    (reference Sample_from_Pool, run_gan.py:578-600). Host-side numpy."""
+
+    def __init__(self, max_elements: int = 4096, seed: int = 0):
+        self.max_elements = max_elements
+        self.items: list = []
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, batch: np.ndarray) -> np.ndarray:
+        out = []
+        for item in np.asarray(batch):
+            if len(self.items) < self.max_elements:
+                self.items.append(item)
+                out.append(item)
+            elif self.rng.random() > 0.5:
+                idx = self.rng.integers(0, self.max_elements)
+                out.append(self.items[idx].copy())
+                self.items[idx] = item
+            else:
+                out.append(item)
+        return np.stack(out)
+
+
+def lambda_lr(base_lr: float, n_epochs: int, steps_per_epoch: int):
+    """The reference's 'lambda' policy: linear decay to 0 over training
+    (run_gan.py get_scheduler)."""
+
+    def sched(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return base_lr * jnp.maximum(0.0, 1.0 - epoch / max(n_epochs, 1))
+
+    return sched
+
+
+def make_generator_step(
+    fk_fn: Callable[[jax.Array], jax.Array],
+    cfg: GenConfig = GenConfig(),
+    lr: float = 1e-4,
+    n_epochs: int = 50,
+    steps_per_epoch: int = 1000,
+    spin_coef: float = 0.1,
+    grad_clip: float = 1.0,
+):
+    """Generator update (reference run_gan.py:2014-2107).
+
+    fk_fn: bones (B, J, 3) -> joints (B, J, 3) world (FK through the
+    skeleton; differentiable). The optional spin_loss input carries the
+    rendered-image feedback term computed outside (its gradient path to G is
+    the reward signal 1 - mpjpe, reference :2084-2091).
+    Returns (optimizer, init_fn, step_fn).
+    """
+    opt = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adam(lambda_lr(lr, n_epochs, steps_per_epoch)),
+    )
+
+    def loss_fn(g_params, g_state, d_params, key, real_kp3d, spin_loss):
+        out, new_state = pose_generator_apply(g_params, g_state, key, real_kp3d, cfg)
+        fake_kp3d = fk_fn(out["pose_ba"])
+        logits = pos3d_discriminator_apply(d_params, fake_kp3d)
+        adv = lsgan_loss(logits, 1.0) * 0.5
+        total = adv + spin_coef * spin_loss
+        return total, (new_state, out, {"adv_loss": adv, "gen_loss": total})
+
+    @jax.jit
+    def step(g_params, g_state, g_opt_state, d_params, key, real_kp3d, spin_loss):
+        (_, (new_state, out, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(g_params, g_state, d_params, key, real_kp3d, spin_loss)
+        updates, g_opt_state = opt.update(grads, g_opt_state, g_params)
+        g_params = optax.apply_updates(g_params, updates)
+        return g_params, new_state, g_opt_state, out, stats
+
+    return opt, step
+
+
+def make_discriminator_step(
+    lr: float = 1e-4,
+    n_epochs: int = 50,
+    steps_per_epoch: int = 1000,
+    grad_clip: float = 1.0,
+):
+    """Discriminator update with pooled fakes (reference train_dis,
+    run_gan.py:1143-1178)."""
+    opt = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adam(lambda_lr(lr, n_epochs, steps_per_epoch)),
+    )
+
+    def loss_fn(d_params, real_kp3d, fake_kp3d):
+        real_logits = pos3d_discriminator_apply(d_params, real_kp3d)
+        fake_logits = pos3d_discriminator_apply(d_params, fake_kp3d)
+        loss = 0.5 * (lsgan_loss(real_logits, 1.0) + lsgan_loss(fake_logits, 0.0))
+        return loss, {
+            "dis_loss": loss,
+            "real_acc": discriminator_accuracy(real_logits, 1.0),
+            "fake_acc": discriminator_accuracy(fake_logits, 0.0),
+        }
+
+    @jax.jit
+    def step(d_params, d_opt_state, real_kp3d, fake_kp3d):
+        (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            d_params, real_kp3d, jax.lax.stop_gradient(fake_kp3d)
+        )
+        updates, d_opt_state = opt.update(grads, d_opt_state, d_params)
+        d_params = optax.apply_updates(d_params, updates)
+        return d_params, d_opt_state, stats
+
+    return opt, step

@@ -1,0 +1,173 @@
+"""Pose GAN generators.
+
+Capability parity with the reference's PoseGenerator / BAGenerator /
+RTGenerator (run_gan.py:767-980) rebuilt functionally: params + BN state are
+pytrees, randomness is explicit PRNG keys, and the whole generator forward
+jits into one program (the reference's per-layer BatchNorm1d MLP becomes a
+chain of fused matmuls).
+
+Architecture (mirroring the reference):
+  BAGenerator: noise(32) -> Linear(256) + BN + LeakyReLU
+               -> 2 x [Linear+BN+LReLU, Linear+BN+LReLU] residual-style stages
+               -> Linear(24*4) -> per-joint (axis, theta); axis normalized,
+               pose = axis * theta, root theta scaled by 2*pi.
+  RTGenerator: two such trunks; R head emits (mean, std, scale) -> sampled
+               axis-angle -> rotmat; T head emits xyz with z squared
+               (keeps the subject in front of the camera). Applies (R, T) to
+               the root-centred input pose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from posegen_tpu.nn.layers import batchnorm, init_batchnorm, init_linear, leaky_relu, linear
+from posegen_tpu.skeleton.rotations import axisang_to_rot
+
+
+@dataclasses.dataclass(frozen=True)
+class GenConfig:
+    n_joints: int = 24
+    noise_ch: int = 32
+    rt_noise_ch: int = 72
+    width: int = 256
+    num_stages: int = 2
+
+
+def _init_block(key, width) -> Dict:
+    """One residual-style stage: two Linear+BN pairs (reference Linear
+    module, run_gan.py:767-789)."""
+    k1, k2 = jax.random.split(key)
+    p1, s1 = init_batchnorm(width)
+    p2, s2 = init_batchnorm(width)
+    return {
+        "w1": init_linear(k1, width, width), "bn1": p1,
+        "w2": init_linear(k2, width, width), "bn2": p2,
+        "_state": {"bn1": s1, "bn2": s2},
+    }
+
+
+def _block_apply(p: Dict, s: Dict, x: jax.Array, train: bool) -> Tuple[jax.Array, Dict]:
+    y = linear(p["w1"], x)
+    y, s1 = batchnorm(p["bn1"], s["bn1"], y, train)
+    y = leaky_relu(y)
+    y = linear(p["w2"], y)
+    y, s2 = batchnorm(p["bn2"], s["bn2"], y, train)
+    y = leaky_relu(y)
+    return y, {"bn1": s1, "bn2": s2}
+
+
+def _init_trunk(key, cfg: GenConfig, noise_ch: int, out_dim: int) -> Dict:
+    keys = jax.random.split(key, cfg.num_stages + 2)
+    bn_p, bn_s = init_batchnorm(cfg.width)
+    return {
+        "w_in": init_linear(keys[0], noise_ch, cfg.width),
+        "bn_in": bn_p,
+        "stages": [_init_block(keys[i + 1], cfg.width) for i in range(cfg.num_stages)],
+        "w_out": init_linear(keys[-1], cfg.width, out_dim),
+        "_state": {"bn_in": bn_s},
+    }
+
+
+def _trunk_apply(
+    tree: Dict, state: Dict, noise: jax.Array, train: bool
+) -> Tuple[jax.Array, Dict]:
+    y = linear(tree["w_in"], noise)
+    y, s_in = batchnorm(tree["bn_in"], state["bn_in"], y, train)
+    y = leaky_relu(y)
+    new_state = {"bn_in": s_in, "stages": []}
+    for i, stage in enumerate(tree["stages"]):
+        y, s = _block_apply(stage, state["stages"][i], y, train)
+        new_state["stages"].append(s)
+    return linear(tree["w_out"], y), new_state
+
+
+def init_pose_generator(key: jax.Array, cfg: GenConfig = GenConfig()) -> Tuple[Dict, Dict]:
+    """-> (params, bn_state) for the combined BA+RT generator."""
+    k_ba, k_r, k_t = jax.random.split(key, 3)
+    ba = _init_trunk(k_ba, cfg, cfg.noise_ch, cfg.n_joints * 4)
+    r = _init_trunk(k_r, cfg, cfg.rt_noise_ch, 7)
+    t = _init_trunk(k_t, cfg, cfg.rt_noise_ch, 3)
+
+    def strip(tree):
+        params, state = {}, {}
+        for k, v in tree.items():
+            if k == "_state":
+                state.update(v)
+            elif k == "stages":
+                params[k] = [strip(b)[0] for b in v]
+                state[k] = [strip(b)[1] for b in v]
+            else:
+                params[k] = v
+        return params, state
+
+    pa, sa = strip(ba)
+    pr, sr = strip(r)
+    pt, st = strip(t)
+    return {"ba": pa, "r": pr, "t": pt}, {"ba": sa, "r": sr, "t": st}
+
+
+def ba_generator_apply(
+    params: Dict, state: Dict, key: jax.Array, batch: int,
+    cfg: GenConfig = GenConfig(), train: bool = True,
+) -> Tuple[jax.Array, Dict]:
+    """noise -> axis-angle bones (B, J, 3) (reference BAGenerator.forward)."""
+    noise = jax.random.normal(key, (batch, cfg.noise_ch))
+    y, new_state = _trunk_apply(params, state, noise, train)
+    y = y.reshape(batch, cfg.n_joints, 4)
+    axis = y[..., :3]
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-8)
+    theta = y[..., 3:4]
+    out = axis * theta
+    out = out.at[:, 0].multiply(2.0 * jnp.pi)
+    return out, new_state
+
+
+def rt_generator_apply(
+    params_r: Dict, params_t: Dict, state_r: Dict, state_t: Dict,
+    key: jax.Array, kp3d: jax.Array,
+    cfg: GenConfig = GenConfig(), train: bool = True,
+):
+    """noise -> (R (B,3,3), T (B,3), transformed pose (B,J,3)), new states
+    (reference RTGenerator.forward, run_gan.py:944-980)."""
+    B = kp3d.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    r_feat, ns_r = _trunk_apply(params_r, state_r, jax.random.normal(k1, (B, cfg.rt_noise_ch)), train)
+    r_mean, r_std, r_scale = r_feat[:, :3], r_feat[:, 3:6] ** 2, r_feat[:, 6:7]
+    r_axis = r_mean + r_std * jax.random.normal(k2, (B, 3))
+    r_axis = r_axis / jnp.maximum(jnp.linalg.norm(r_axis, axis=-1, keepdims=True), 1e-8)
+    R = axisang_to_rot(r_axis * r_scale)
+
+    t_feat, ns_t = _trunk_apply(params_t, state_t, jax.random.normal(k3, (B, cfg.rt_noise_ch)), train)
+    T = t_feat.at[:, 2].set(t_feat[:, 2] ** 2)
+
+    centered = kp3d - kp3d[:, :1]
+    out = jnp.einsum("nxy,njy->njx", R, centered) + T[:, None]
+    return R, T, out, ns_r, ns_t
+
+
+def pose_generator_apply(
+    params: Dict, state: Dict, key: jax.Array, kp3d: jax.Array,
+    cfg: GenConfig = GenConfig(), train: bool = True,
+) -> Tuple[Dict, Dict]:
+    """Full generator (reference PoseGenerator.forward, run_gan.py:799-816).
+
+    kp3d: (B, J, 3) real poses (used for batch size + RT application).
+    Returns ({'pose_ba', 'R', 'T', 'pose_rt'}, new_state).
+    """
+    k_ba, k_rt = jax.random.split(key)
+    pose_ba, ns_ba = ba_generator_apply(
+        params["ba"], state["ba"], k_ba, kp3d.shape[0], cfg, train
+    )
+    R, T, pose_rt, ns_r, ns_t = rt_generator_apply(
+        params["r"], params["t"], state["r"], state["t"], k_rt, kp3d, cfg, train
+    )
+    return (
+        {"pose_ba": pose_ba, "R": R, "T": T, "pose_rt": pose_rt},
+        {"ba": ns_ba, "r": ns_r, "t": ns_t},
+    )
