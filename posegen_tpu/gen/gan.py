@@ -91,6 +91,11 @@ def lambda_lr(base_lr: float, n_epochs: int, steps_per_epoch: int):
     return sched
 
 
+# 14-joint eval subset used by the SPIN feedback reward
+# (reference run_gan.py:2096-2097)
+SPIN_J14 = (1, 2, 4, 5, 7, 8, 12, 15, 16, 17, 18, 19, 20, 21)
+
+
 def make_generator_step(
     fk_fn: Callable[[jax.Array], jax.Array],
     cfg: GenConfig = GenConfig(),
@@ -102,30 +107,49 @@ def make_generator_step(
 ):
     """Generator update (reference run_gan.py:2014-2107).
 
-    fk_fn: bones (B, J, 3) -> joints (B, J, 3) world (FK through the
-    skeleton; differentiable). The optional spin_loss input carries the
-    rendered-image feedback term computed outside (its gradient path to G is
-    the reward signal 1 - mpjpe, reference :2084-2091).
-    Returns (optimizer, init_fn, step_fn).
+    The 3-D discriminator judges the generated axis-angle pose itself (as in
+    the reference, which feeds `pose_ba` to Pos3dDiscriminator).
+
+    fk_fn: bones (B, J, 3) -> joints (B, J, 3) (differentiable FK, the
+    reference's get_smpl_l2ws_torch at scale 0.4). The SPIN feedback term is
+    `1 - mpjpe(spin_pred, joints[sel])` on root-centred 14-joint subsets
+    (reference :2093-2100): `spin_pred` is a constant (SPIN ran on rendered
+    images, no grad), so the reward pushes the generator's own joints AWAY
+    from what SPIN predicted — hard-pose mining.
+
+    step(..., spin_pred (K, 14, 3), spin_sel (K,), spin_active scalar 0/1).
     """
     opt = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adam(lambda_lr(lr, n_epochs, steps_per_epoch)),
     )
 
-    def loss_fn(g_params, g_state, d_params, key, real_kp3d, spin_loss):
-        out, new_state = pose_generator_apply(g_params, g_state, key, real_kp3d, cfg)
-        fake_kp3d = fk_fn(out["pose_ba"])
-        logits = pos3d_discriminator_apply(d_params, fake_kp3d)
+    def loss_fn(g_params, g_state, d_params, key, real_pose, spin_pred,
+                spin_sel, spin_active):
+        out, new_state = pose_generator_apply(g_params, g_state, key, real_pose, cfg)
+        logits = pos3d_discriminator_apply(d_params, out["pose_ba"])
         adv = lsgan_loss(logits, 1.0) * 0.5
+
+        joints = fk_fn(out["pose_ba"])  # (B, J, 3)
+        j_sel = jnp.take(joints, spin_sel, axis=0)[:, jnp.asarray(SPIN_J14)]
+        j_sel = j_sel - j_sel[:, :1]
+        pred = spin_pred - spin_pred[:, :1]
+        # eps-safe norm: plain norm has NaN gradient at exactly-zero diffs
+        # (root joints coincide after centring when feedback is inactive)
+        err = jnp.mean(jnp.sqrt(jnp.sum((pred - j_sel) ** 2, axis=-1) + 1e-12))
+        spin_loss = (1.0 - err) * spin_active
+
         total = adv + spin_coef * spin_loss
-        return total, (new_state, out, {"adv_loss": adv, "gen_loss": total})
+        stats = {"adv_loss": adv, "spin_loss": spin_loss, "gen_loss": total}
+        return total, (new_state, out, stats)
 
     @jax.jit
-    def step(g_params, g_state, g_opt_state, d_params, key, real_kp3d, spin_loss):
+    def step(g_params, g_state, g_opt_state, d_params, key, real_pose,
+             spin_pred, spin_sel, spin_active):
         (_, (new_state, out, stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(g_params, g_state, d_params, key, real_kp3d, spin_loss)
+        )(g_params, g_state, d_params, key, real_pose, spin_pred, spin_sel,
+          spin_active)
         updates, g_opt_state = opt.update(grads, g_opt_state, g_params)
         g_params = optax.apply_updates(g_params, updates)
         return g_params, new_state, g_opt_state, out, stats

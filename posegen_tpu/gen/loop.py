@@ -1,0 +1,257 @@
+"""The PoseGen dataset-generation loop: G <-> NeRF render <-> SPIN feedback.
+
+Capability parity with the reference's `train_gan`/`train`/`run_render`
+(run_gan.py:1956-2337) and `train_spin` (:1849-1952), with the key
+inefficiency fixed: the reference reloads the NeRF from disk inside EVERY
+render call (run_gan.py:2308); here the renderer params stay device-resident
+for the whole run, and rendered images go straight into SPIN without the
+png-write/read round-trip (run_gan.py:2054-2081) — an optional sink still
+writes the (image, pose) pairs out as the generated dataset.
+
+Camera convention: the fixed extrinsic the reference uses for all feedback
+renders (run_gan.py:2021-2028) is reproduced here as FEEDBACK_EXTRINSIC.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posegen_tpu.gen.gan import (
+    SPIN_J14,
+    FakePool,
+    make_discriminator_step,
+    make_generator_step,
+)
+from posegen_tpu.gen.generators import GenConfig, init_pose_generator, pose_generator_apply
+from posegen_tpu.gen.discriminators import init_pos3d_discriminator
+from posegen_tpu.gen.hmr import hmr_apply
+from posegen_tpu.render.image import render_image
+from posegen_tpu.render.raycast import PoseCtx, RaycastConfig
+from posegen_tpu.skeleton.cameras import nerf_extrinsic_to_c2w
+from posegen_tpu.skeleton.geometry import get_kp_bounding_cylinder
+from posegen_tpu.skeleton.kinematics import invert_rigid, smpl_l2ws
+
+# fixed feedback camera (reference run_gan.py:2021-2028), ~65 deg yaw, 4.29m out
+FEEDBACK_EXTRINSIC = np.array(
+    [
+        [-5.29919172e-01, -5.56525674e-09, 8.48048140e-01, -1.34771157e-07],
+        [1.47262004e-01, 9.84807813e-01, 9.20194958e-02, 1.26640154e-08],
+        [-8.35164413e-01, 1.73648166e-01, -5.21868549e-01, 4.28571429e00],
+        [0.0, 0.0, 0.0, 1.0],
+    ],
+    dtype=np.float32,
+)
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@dataclasses.dataclass
+class GanLoopConfig:
+    """Workload knobs (reference run_gan.py:63-133 argparse defaults)."""
+
+    n_epochs: int = 50
+    lr_g: float = 1e-4
+    lr_d: float = 1e-4
+    df: int = 2  # D update period
+    feedback_every: int = 5  # SPIN feedback period (reference :2041)
+    feedback_start_epoch: int = 2
+    rpi: int = 20  # renders per feedback call
+    render_hw: int = 512
+    render_focal: float = 1000.0
+    crop: Tuple[int, int] = (100, 412)  # center crop (reference :2069)
+    pose_scale: float = 0.4
+    spin_coef: float = 0.1
+    output_dir: Optional[str] = None  # write (image, pose) dataset when set
+
+
+def fk_joints(bones: jax.Array, scale: float = 0.4) -> jax.Array:
+    """Axis-angle (B, 24, 3) -> world joints (B, 24, 3)."""
+    return smpl_l2ws(bones, scale=scale)[..., :3, 3]
+
+
+class NeRFRenderer:
+    """Resident renderer: params loaded once, one jit for all feedback calls."""
+
+    def __init__(self, cfg: RaycastConfig, params: Dict[str, Any],
+                 hw: int = 512, focal: float = 1000.0, pose_scale: float = 0.4,
+                 chunk: int = 8192):
+        self.cfg = cfg
+        self.params = params
+        self.hw = hw
+        self.focal = focal
+        self.pose_scale = pose_scale
+        self.chunk = chunk
+        from posegen_tpu.render.raycast import render_rays
+
+        self._render_fn = jax.jit(
+            lambda p, o, d, c: render_rays(
+                cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0, eval_mean_code=True
+            )
+        )
+
+    def render_poses(self, bones: np.ndarray, c2ws: np.ndarray) -> np.ndarray:
+        """Render one image per pose -> (K, H, W, 3) float [0, 1]
+        (reference run_render, run_gan.py:2299-2337, NeRF kept resident)."""
+        l2ws = np.asarray(smpl_l2ws(jnp.asarray(bones), scale=self.pose_scale))
+        kps = l2ws[..., :3, 3]
+        skts = np.asarray(invert_rigid(jnp.asarray(l2ws)))
+        cyls = np.asarray(get_kp_bounding_cylinder(jnp.asarray(kps), ext_scale=0.001))
+        imgs = []
+        for k in range(bones.shape[0]):
+            ctx = PoseCtx(
+                kps=jnp.asarray(kps[k : k + 1]),
+                skts=jnp.asarray(skts[k : k + 1]),
+                bones=jnp.asarray(bones[k : k + 1]),
+                cyls=jnp.asarray(cyls[k : k + 1].astype(np.float32)),
+            )
+            out = render_image(
+                self.cfg, self.params, self.hw, self.hw, self.focal,
+                c2ws[k], ctx, chunk=self.chunk, render_fn=self._render_fn,
+            )
+            imgs.append(out["rgb"])
+        return np.stack(imgs)
+
+
+def prepare_spin_input(imgs: np.ndarray, crop: Tuple[int, int] = (100, 412)) -> jax.Array:
+    """Center-crop, resize to 224, ImageNet-normalize
+    (reference run_gan.py:2066-2081)."""
+    lo, hi = crop
+    x = jnp.asarray(imgs[:, lo:hi, lo:hi])
+    x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "linear")
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class GanTrainer:
+    """Orchestrates the full loop (reference train(), run_gan.py:2259-2297)."""
+
+    def __init__(
+        self,
+        loop_cfg: GanLoopConfig,
+        renderer: Optional[NeRFRenderer],
+        spin_params: Optional[Dict] = None,
+        spin_state: Optional[Dict] = None,
+        gen_cfg: GenConfig = GenConfig(),
+        steps_per_epoch: int = 1000,
+        seed: int = 0,
+    ):
+        self.cfg = loop_cfg
+        self.gen_cfg = gen_cfg
+        self.renderer = renderer
+        self.spin_params = spin_params
+        self.spin_state = spin_state
+        self.key = jax.random.PRNGKey(seed)
+
+        self.g_params, self.g_state = init_pose_generator(
+            jax.random.PRNGKey(seed), gen_cfg
+        )
+        self.d_params = init_pos3d_discriminator(jax.random.PRNGKey(seed + 1))
+
+        fk = lambda b: fk_joints(b, loop_cfg.pose_scale)
+        self.g_opt, self.g_step = make_generator_step(
+            fk, gen_cfg, lr=loop_cfg.lr_g, n_epochs=loop_cfg.n_epochs,
+            steps_per_epoch=steps_per_epoch, spin_coef=loop_cfg.spin_coef,
+        )
+        self.d_opt, self.d_step = make_discriminator_step(
+            lr=loop_cfg.lr_d, n_epochs=loop_cfg.n_epochs,
+            steps_per_epoch=steps_per_epoch,
+        )
+        self.g_opt_state = self.g_opt.init(self.g_params)
+        self.d_opt_state = self.d_opt.init(self.d_params)
+        self.fake_pool = FakePool(seed=seed)
+        self.iter_num = 0
+        self.epoch = 0
+        self._render_count = 0
+        self._last_bones: Optional[np.ndarray] = None
+
+    def _next_key(self) -> jax.Array:
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def spin_feedback(self, bones: np.ndarray, sel: np.ndarray) -> jax.Array:
+        """Render selected poses, run SPIN, return predicted 14-joint sets
+        (K, 14, 3) — constants w.r.t. G (reference run_gan.py:2041-2091)."""
+        c2w = nerf_extrinsic_to_c2w(FEEDBACK_EXTRINSIC)
+        c2ws = np.broadcast_to(c2w, (len(sel), 4, 4))
+        imgs = self.renderer.render_poses(bones[sel], c2ws)
+
+        if self.cfg.output_dir:  # optional dataset sink
+            self._save_renders(imgs, bones[sel])
+
+        x = prepare_spin_input(imgs, self.cfg.crop)
+        rotmat, betas, cam, _ = hmr_apply(self.spin_params, self.spin_state, x)
+        from posegen_tpu.skeleton.kinematics import smpl_l2ws_from_rots
+
+        l2ws = smpl_l2ws_from_rots(rotmat, scale=self.cfg.pose_scale)
+        joints = l2ws[..., :3, 3]
+        return jax.lax.stop_gradient(joints[:, jnp.asarray(SPIN_J14)])
+
+    def _save_renders(self, imgs: np.ndarray, bones: np.ndarray) -> None:
+        """(image, pose) dataset export (reference run_gan.py:2049-2059,
+        2333-2337: render_output/{run}/image/%05d.png + poses npys)."""
+        import imageio.v2 as imageio
+
+        img_dir = os.path.join(self.cfg.output_dir, "image")
+        os.makedirs(img_dir, exist_ok=True)
+        for i, img in enumerate(imgs):
+            idx = self._render_count + i
+            imageio.imwrite(
+                os.path.join(img_dir, f"{idx:05d}.png"),
+                (np.clip(img, 0, 1) * 255).astype(np.uint8),
+            )
+        np.save(
+            os.path.join(self.cfg.output_dir, f"poses_axis_angles{self._render_count}.npy"),
+            bones,
+        )
+        self._render_count += len(imgs)
+
+    def train_step(self, real_pose: np.ndarray) -> Dict[str, float]:
+        """One GAN iteration (reference run_gan.py:1993-2120)."""
+        real_pose = jnp.asarray(real_pose)
+        use_feedback = (
+            self.renderer is not None
+            and self.spin_params is not None
+            and self.epoch > self.cfg.feedback_start_epoch
+            and self.iter_num % self.cfg.feedback_every == 0
+        )
+        rpi = min(self.cfg.rpi, real_pose.shape[0])
+        if use_feedback and self._last_bones is not None:
+            sel = np.random.default_rng(self.iter_num).integers(
+                0, self._last_bones.shape[0], (rpi,)
+            )
+            spin_pred = self.spin_feedback(self._last_bones, sel)
+            spin_sel = jnp.asarray(sel, jnp.int32)
+            active = jnp.asarray(1.0)
+        else:
+            spin_pred = jnp.zeros((rpi, len(SPIN_J14), 3))
+            spin_sel = jnp.zeros((rpi,), jnp.int32)
+            active = jnp.asarray(0.0)
+
+        self.g_params, self.g_state, self.g_opt_state, out, g_stats = self.g_step(
+            self.g_params, self.g_state, self.g_opt_state, self.d_params,
+            self._next_key(), real_pose, spin_pred, spin_sel, active,
+        )
+        self._last_bones = np.asarray(out["pose_ba"])
+
+        stats = {k: float(v) for k, v in g_stats.items()}
+        if self.iter_num % self.cfg.df == 0:
+            pooled = self.fake_pool(self._last_bones)
+            self.d_params, self.d_opt_state, d_stats = self.d_step(
+                self.d_params, self.d_opt_state, real_pose, jnp.asarray(pooled)
+            )
+            stats.update({k: float(v) for k, v in d_stats.items()})
+        self.iter_num += 1
+        return stats
+
+    def train_epoch(self, pose_batches) -> Dict[str, float]:
+        last: Dict[str, float] = {}
+        for batch in pose_batches:
+            last = self.train_step(batch)
+        self.epoch += 1
+        return last

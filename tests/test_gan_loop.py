@@ -1,0 +1,97 @@
+"""GAN loop + SPIN fine-tune integration tests (tiny everything)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posegen_tpu.gen.generators import GenConfig
+from posegen_tpu.gen.hmr import init_hmr
+from posegen_tpu.gen.loop import (
+    GanLoopConfig,
+    GanTrainer,
+    NeRFRenderer,
+    fk_joints,
+    prepare_spin_input,
+)
+from posegen_tpu.gen.spin_train import make_spin_finetune_step, spin_pose_loss
+from posegen_tpu.render.raycast import RaycastConfig, init_raycaster
+
+TINY_NERF = RaycastConfig(N_samples=8, N_importance=0, netdepth=2, netwidth=32)
+TINY_GEN = GenConfig(width=32, num_stages=1)
+
+
+def test_prepare_spin_input(rng):
+    imgs = rng.uniform(0, 1, (2, 512, 512, 3)).astype(np.float32)
+    x = prepare_spin_input(imgs)
+    assert x.shape == (2, 224, 224, 3)
+    # normalized stats near ImageNet transform of U[0,1]
+    assert abs(float(jnp.mean(x))) < 1.0
+
+
+def test_gan_trainer_steps_without_feedback(rng):
+    cfg = GanLoopConfig(n_epochs=2, rpi=2, df=1)
+    trainer = GanTrainer(cfg, renderer=None, gen_cfg=TINY_GEN, steps_per_epoch=4)
+    poses = (rng.standard_normal((4, 8, 24, 3)) * 0.2).astype(np.float32)
+    stats = trainer.train_epoch(poses)
+    assert np.isfinite(stats["gen_loss"])
+    assert "dis_loss" in stats
+    assert trainer.epoch == 1
+
+
+@pytest.mark.slow
+def test_gan_trainer_with_spin_feedback(rng, tmp_path):
+    """Full loop: G -> resident NeRF render -> SPIN -> reward, tiny shapes."""
+    nerf_params = init_raycaster(jax.random.PRNGKey(0), TINY_NERF)
+    renderer = NeRFRenderer(TINY_NERF, nerf_params, hw=96, focal=120.0, chunk=4096)
+    spin_params, spin_state = init_hmr(jax.random.PRNGKey(1))
+
+    cfg = GanLoopConfig(
+        n_epochs=2, rpi=1, df=2, feedback_every=1, feedback_start_epoch=-1,
+        crop=(16, 80), output_dir=str(tmp_path / "render_output"),
+    )
+    trainer = GanTrainer(
+        cfg, renderer, spin_params, spin_state, gen_cfg=TINY_GEN, steps_per_epoch=2
+    )
+    poses = (rng.standard_normal((2, 24, 3)) * 0.2).astype(np.float32)
+    s1 = trainer.train_step(poses)  # no feedback yet (no last bones)
+    assert s1["spin_loss"] == 0.0
+    s2 = trainer.train_step(poses)  # feedback engages
+    assert np.isfinite(s2["gen_loss"])
+    assert s2["spin_loss"] != 0.0
+    # dataset sink wrote renders + poses
+    assert (tmp_path / "render_output" / "image" / "00000.png").exists()
+
+
+def test_spin_pose_loss_hinge(rng):
+    from posegen_tpu.skeleton.rotations import axisang_to_rot
+
+    aa = (rng.standard_normal((4, 24, 3)) * 0.2).astype(np.float32)
+    rotmat = axisang_to_rot(jnp.asarray(aa))
+    gt = fk_joints(jnp.asarray(aa), 0.4)
+    # perfect prediction -> ~zero loss, all samples kept
+    loss, per_sample = spin_pose_loss(rotmat, gt)
+    assert float(loss) < 1e-4
+    # corrupt gt SHAPE (loss is translation- and scale-invariant) -> every
+    # per-sample error exceeds the hinge -> filtered mean is zero
+    noise = jnp.asarray(rng.standard_normal(gt.shape).astype(np.float32))
+    loss_bad, ps = spin_pose_loss(rotmat, gt + noise)
+    assert float(loss_bad) == 0.0 and np.all(np.asarray(ps) > 0.02)
+
+
+@pytest.mark.slow
+def test_spin_finetune_step_updates_weights(rng):
+    params, state = init_hmr(jax.random.PRNGKey(0))
+    opt, step = make_spin_finetune_step(lr=1e-4, hinge=None)
+    opt_state = opt.init(params)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    gt = fk_joints(jnp.asarray((rng.standard_normal((2, 24, 3)) * 0.2).astype(np.float32)))
+    w0 = np.asarray(params["fc1"]["w"])
+    ip0 = np.asarray(params["init_pose"])
+    params, opt_state, stats = step(
+        params, state, opt_state, imgs, gt, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(stats["spin_loss"]))
+    assert not np.allclose(np.asarray(params["fc1"]["w"]), w0)
+    # mean-param buffers stay frozen
+    np.testing.assert_array_equal(np.asarray(params["init_pose"]), ip0)

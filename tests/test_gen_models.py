@@ -91,12 +91,13 @@ def test_projection_roundtrip(rng):
 
 
 def test_gan_steps_run_and_learn(rng):
-    kp3d = jnp.asarray(_real_poses(rng))
+    # real AMASS-style axis-angle poses
+    real_pose = jnp.asarray((rng.standard_normal((8, 24, 3)) * 0.2).astype(np.float32))
 
     from posegen_tpu.skeleton.kinematics import smpl_l2ws
 
     def fk_fn(bones):
-        return smpl_l2ws(bones)[..., :3, 3]
+        return smpl_l2ws(bones, scale=0.4)[..., :3, 3]
 
     g_params, g_state = init_pose_generator(jax.random.PRNGKey(0), CFG)
     d_params = init_pos3d_discriminator(jax.random.PRNGKey(1))
@@ -106,17 +107,30 @@ def test_gan_steps_run_and_learn(rng):
     g_opt_state = g_opt.init(g_params)
     d_opt_state = d_opt.init(d_params)
 
+    spin_pred = jnp.zeros((2, 14, 3))
+    spin_sel = jnp.zeros((2,), jnp.int32)
     d_losses = []
     for i in range(5):
         g_params, g_state, g_opt_state, out, g_stats = g_step(
             g_params, g_state, g_opt_state, d_params,
-            jax.random.PRNGKey(i), kp3d, jnp.asarray(0.0),
+            jax.random.PRNGKey(i), real_pose, spin_pred, spin_sel,
+            jnp.asarray(0.0),
         )
-        fake = fk_fn(out["pose_ba"])
-        d_params, d_opt_state, d_stats = d_step(d_params, d_opt_state, kp3d, fake)
+        d_params, d_opt_state, d_stats = d_step(
+            d_params, d_opt_state, real_pose, out["pose_ba"]
+        )
         d_losses.append(float(d_stats["dis_loss"]))
         assert np.isfinite(float(g_stats["gen_loss"]))
     assert d_losses[-1] < d_losses[0]  # D learns to separate
+
+    # with spin feedback active the reward term engages and stays finite
+    g_params, g_state, g_opt_state, out, g_stats = g_step(
+        g_params, g_state, g_opt_state, d_params,
+        jax.random.PRNGKey(99), real_pose, spin_pred, spin_sel,
+        jnp.asarray(1.0),
+    )
+    assert np.isfinite(float(g_stats["spin_loss"]))
+    assert float(g_stats["spin_loss"]) != 0.0
 
 
 def test_hmr_forward_tiny():
