@@ -1,0 +1,331 @@
+"""Pallas TPU kernel: fused skeleton-encode + NeRF MLP field evaluation.
+
+The XLA pipeline materializes every encoding tensor in HBM — per 8k-ray
+batch that is ~53 GB of traffic (measured via cost_analysis), making the
+renderer purely bandwidth-bound while the MXU sits at ~5% (reference
+equivalent: the encode_inputs -> run_network path, raycasters.py:476-577).
+
+This kernel keeps the whole field evaluation VMEM-resident: a grid over
+point tiles loads only the (3, P) points/dirs and the ~2 MB of MLP weights,
+builds the cutoff-gated positional encodings **channel-major** ((C, P):
+lanes = points, so 24-joint/3-vector channels never pad the 128-lane
+dimension), runs the transposed MLP on the MXU in bf16 with f32
+accumulation, and writes back just the (4, P) raw output.
+
+Channel order inside the kernel is component-major ([x(24) | y(24) | z(24)]
+per 3-vector block) to avoid interleaving relayouts; `prepare_params`
+permutes the affected weight ROWS once so results match the XLA path's
+joint-major layout bit-for-bit up to bf16 rounding.
+
+Covers the flagship architecture (reldist kp + reldir bone + relray view,
+cutoff on kp/view, no framecodes, single pose per batch — the render/eval
+path). Other configs and the differentiable training path use the XLA
+pipeline in render/raycast.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_JOINTS = 24
+NF_KP = 7
+NF_VIEW = 4
+KP_CH = N_JOINTS * (1 + 2 * NF_KP)  # 360
+PTS_CH = KP_CH + 3 * N_JOINTS  # 432
+VIEW_CH = 3 * N_JOINTS * (1 + 2 * NF_VIEW)  # 648
+POINT_TILE = 1024
+
+
+class FusedFieldParams(NamedTuple):
+    """Device-ready, transposed + row-permuted weight set for one NeRF net."""
+
+    w_pts: Tuple[jax.Array, ...]  # each (out, in) bf16
+    b_pts: Tuple[jax.Array, ...]  # each (out, 1) f32
+    w_alpha: jax.Array  # (1, 256)
+    b_alpha: jax.Array  # (1, 1)
+    w_feat: jax.Array  # (256, 256)
+    b_feat: jax.Array  # (256, 1)
+    w_view: jax.Array  # (128, 904)
+    b_view: jax.Array  # (128, 1)
+    w_rgb: jax.Array  # (3, 128)
+    b_rgb: jax.Array  # (3, 1)
+
+
+def supports_fused(cfg, ctx, net_params: Dict) -> bool:
+    """The config/pose subset kernel v1 handles."""
+    return (
+        cfg.kp_dist_type == "reldist"
+        and cfg.view_type == "relray"
+        and cfg.bone_type == "reldir"
+        and cfg.multires == NF_KP
+        and cfg.multires_views == NF_VIEW
+        and cfg.multires_bones == 0
+        and cfg.use_cutoff
+        and cfg.cutoff_viewdir
+        and cfg.cutoff_inputs
+        and not cfg.cutoff_bones
+        and not cfg.freq_schedule
+        and not cfg.opt_framecode
+        and cfg.use_viewdirs
+        and cfg.n_joints == N_JOINTS
+        and not cfg.cut_to_dist
+        and not cfg.cutoff_shift
+        and not cfg.normalize_cutoff
+        and cfg.netwidth == 256
+        and len(net_params.get("views_linears", [0])) == 1
+        and ctx.kps.shape[0] == 1
+    )
+
+
+def _pts_row_perm() -> np.ndarray:
+    """Joint-major interleaved reldir rows -> component-major blocks.
+
+    XLA x_pts channel c in [360, 432): c = 360 + j*3 + comp.
+    Kernel layout: 360 + comp*24 + j.
+    perm[kernel_row] = xla_row, used to reorder weight ROWS (fan-in dims).
+    """
+    perm = np.arange(PTS_CH)
+    for comp in range(3):
+        for j in range(N_JOINTS):
+            perm[KP_CH + comp * N_JOINTS + j] = KP_CH + j * 3 + comp
+    return perm
+
+
+def _view_row_perm() -> np.ndarray:
+    """Per 72-wide view block: joint-major (j*3+comp) -> component-major."""
+    perm = np.arange(VIEW_CH)
+    for b in range(1 + 2 * NF_VIEW):
+        for comp in range(3):
+            for j in range(N_JOINTS):
+                perm[b * 72 + comp * N_JOINTS + j] = b * 72 + j * 3 + comp
+    return perm
+
+
+def prepare_params(net: Dict, skips: Tuple[int, ...] = (4,)) -> FusedFieldParams:
+    """Transpose/cast/permute a NeRF params subtree for the kernel."""
+    pts_perm = _pts_row_perm()
+    view_perm = _view_row_perm()
+
+    tw = lambda p, perm=None: jnp.asarray(
+        (p["w"] if perm is None else p["w"][perm]).T, jnp.bfloat16
+    )
+    tb = lambda p: jnp.asarray(p["b"][:, None], jnp.float32)
+
+    w_pts = []
+    for i, lay in enumerate(net["pts_linears"]):
+        if i == 0:
+            w_pts.append(tw(lay, pts_perm))
+        elif (i - 1) in skips:
+            # skip-concat input = [x_pts (432) | h (256)]: permute x_pts rows
+            perm = np.concatenate([pts_perm, PTS_CH + np.arange(256)])
+            w_pts.append(tw(lay, perm))
+        else:
+            w_pts.append(tw(lay))
+
+    # views input = [feature (256) | x_views (648)]
+    vperm = np.concatenate([np.arange(256), 256 + view_perm])
+    return FusedFieldParams(
+        w_pts=tuple(w_pts),
+        b_pts=tuple(tb(l) for l in net["pts_linears"]),
+        w_alpha=tw(net["alpha_linear"]),
+        b_alpha=tb(net["alpha_linear"]),
+        w_feat=tw(net["feature_linear"]),
+        b_feat=tb(net["feature_linear"]),
+        w_view=tw(net["views_linears"][0], vperm),
+        b_view=tb(net["views_linears"][0]),
+        w_rgb=tw(net["rgb_linear"]),
+        b_rgb=tb(net["rgb_linear"]),
+    )
+
+
+def _field_kernel(
+    depth: int,
+    skips: Tuple[int, ...],
+    pts_ref,  # (3, P) f32
+    dirs_ref,  # (3, P) f32
+    rot_ref,  # (24, 9) f32   row-major R of skts
+    trn_ref,  # (24, 3) f32
+    cut_ref,  # (24, 1) f32
+    tau_ref,  # (1, 1) f32 SMEM
+    *refs,  # weights..., out_ref
+):
+    out_ref = refs[-1]
+    wrefs = refs[:-1]
+
+    x = pts_ref[0:1, :]
+    y = pts_ref[1:2, :]
+    z = pts_ref[2:3, :]
+    dx = dirs_ref[0:1, :]
+    dy = dirs_ref[1:2, :]
+    dz = dirs_ref[2:3, :]
+
+    R = rot_ref[:, :]  # (24, 9)
+    t = trn_ref[:, :]  # (24, 3)
+
+    # world -> per-joint local frames: (24,1) x (1,P) broadcast -> (24,P)
+    XT = R[:, 0][:, None] * x + R[:, 1][:, None] * y + R[:, 2][:, None] * z + t[:, 0][:, None]
+    YT = R[:, 3][:, None] * x + R[:, 4][:, None] * y + R[:, 5][:, None] * z + t[:, 1][:, None]
+    ZT = R[:, 6][:, None] * x + R[:, 7][:, None] * y + R[:, 8][:, None] * z + t[:, 2][:, None]
+    DX = R[:, 0][:, None] * dx + R[:, 1][:, None] * dy + R[:, 2][:, None] * dz
+    DY = R[:, 3][:, None] * dx + R[:, 4][:, None] * dy + R[:, 5][:, None] * dz
+    DZ = R[:, 6][:, None] * dx + R[:, 7][:, None] * dy + R[:, 8][:, None] * dz
+
+    v = jnp.sqrt(XT * XT + YT * YT + ZT * ZT)  # (24, P)
+    w = 1.0 - jax.nn.sigmoid(tau_ref[0, 0] * (v - cut_ref[:, :]))  # (24, P)
+    inv_v = 1.0 / jnp.maximum(v, 1e-12)
+    dn_inv = jax.lax.rsqrt(jnp.maximum(DX * DX + DY * DY + DZ * DZ, 1e-24))
+
+    # x_pts (432, P): [v*w | (sin f, cos f)*w per octave | reldir (ungated,
+    # component-major — reference bone embedding has no cutoff)]
+    rows = [v * w]
+    for f_idx in range(NF_KP):
+        f = 2.0**f_idx
+        rows.append(jnp.sin(v * f) * w)
+        rows.append(jnp.cos(v * f) * w)
+    rows.extend([XT * inv_v, YT * inv_v, ZT * inv_v])
+    e_pts = jnp.concatenate(rows, axis=0)  # (432, P)
+
+    # x_views (648, P): gated [dn | sin/cos ladder], component-major blocks
+    dnx, dny, dnz = DX * dn_inv, DY * dn_inv, DZ * dn_inv
+    vrows = [dnx * w, dny * w, dnz * w]
+    for f_idx in range(NF_VIEW):
+        f = 2.0**f_idx
+        for comp in (dnx, dny, dnz):
+            vrows.append(jnp.sin(comp * f) * w)
+        for comp in (dnx, dny, dnz):
+            vrows.append(jnp.cos(comp * f) * w)
+    e_view = jnp.concatenate(vrows, axis=0)  # (648, P)
+
+    def mm(w_ref, h):
+        return jax.lax.dot_general(
+            w_ref[:, :],
+            h.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    h = e_pts
+    x0 = e_pts
+    for i in range(depth):
+        h = jnp.maximum(mm(wrefs[2 * i], h) + wrefs[2 * i + 1][:, :], 0.0)
+        if i in skips:
+            h = jnp.concatenate([x0, h], axis=0)
+    k = 2 * depth
+    alpha = mm(wrefs[k], h) + wrefs[k + 1][:, :]  # (1, P)
+    feat = mm(wrefs[k + 2], h) + wrefs[k + 3][:, :]  # (256, P)
+    hv = jnp.concatenate([feat, e_view], axis=0)  # (904, P)
+    hv = jnp.maximum(mm(wrefs[k + 4], hv) + wrefs[k + 5][:, :], 0.0)  # (128, P)
+    rgb = mm(wrefs[k + 6], hv) + wrefs[k + 7][:, :]  # (3, P)
+
+    out_ref[:, :] = jnp.concatenate([rgb, alpha], axis=0)  # (4, P)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "skips", "interpret", "tile"))
+def fused_field(
+    pts_t: jax.Array,  # (3, NS) f32, NS % tile == 0
+    dirs_t: jax.Array,  # (3, NS)
+    rot: jax.Array,  # (24, 9)
+    trn: jax.Array,  # (24, 3)
+    cut: jax.Array,  # (24, 1)
+    tau: jax.Array,  # (1, 1)
+    params: FusedFieldParams,
+    depth: int = 8,
+    skips: Tuple[int, ...] = (4,),
+    interpret: bool = False,
+    tile: int = POINT_TILE,
+) -> jax.Array:
+    """-> raw_t (4, NS) [r, g, b, sigma]."""
+    ns = pts_t.shape[1]
+    weights = []
+    for i in range(depth):
+        weights.extend([params.w_pts[i], params.b_pts[i]])
+    weights.extend(
+        [
+            params.w_alpha, params.b_alpha,
+            params.w_feat, params.b_feat,
+            params.w_view, params.b_view,
+            params.w_rgb, params.b_rgb,
+        ]
+    )
+
+    kernel = functools.partial(_field_kernel, depth, skips)
+    tile_spec = lambda: pl.BlockSpec(
+        (3, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda i: tuple(0 for _ in a.shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        tile_spec(),
+        tile_spec(),
+        full(rot),
+        full(trn),
+        full(cut),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ] + [full(w) for w in weights]
+
+    flops_per_pt = 2 * (
+        432 * 256 + 6 * 256 * 256 + 688 * 256 + 256 * 256 + 256 + 904 * 128 + 3 * 128
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((4, ns), jnp.float32),
+        grid=(ns // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pt * ns,
+            bytes_accessed=(3 + 3 + 4) * 4 * ns + 2_000_000,
+            transcendentals=(24 * 15 + 72 * 8) * ns,
+        ),
+        interpret=interpret,
+    )(pts_t, dirs_t, rot, trn, cut, tau, *weights)
+
+
+def fused_run_net(
+    cfg,
+    net_params: Dict,
+    embed_state: Dict,
+    pts: jax.Array,  # (N, S, 3)
+    rays_d: jax.Array,  # (N, 3)
+    ctx,
+    prepared: FusedFieldParams = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in replacement for raycast._run_net on the supported subset.
+
+    Returns raw (N, S, 4). Pads the flattened point set to the tile size.
+    """
+    N, S = pts.shape[:2]
+    ns = N * S
+    pad = (-ns) % POINT_TILE
+
+    pts_t = pts.reshape(ns, 3).T
+    dirs = jnp.broadcast_to(rays_d[:, None], (N, S, 3)).reshape(ns, 3).T
+    if pad:
+        pts_t = jnp.pad(pts_t, ((0, 0), (0, pad)), constant_values=1.0)
+        dirs = jnp.pad(dirs, ((0, 0), (0, pad)), constant_values=1.0)
+
+    skt = ctx.skts[0]  # (24, 4, 4), single pose
+    rot = skt[:, :3, :3].reshape(24, 9)
+    trn = skt[:, :3, 3]
+    cut = embed_state["cutoff_dist"][:, None]
+    tau = embed_state["tau"].reshape(1, 1)
+
+    if prepared is None:
+        prepared = prepare_params(net_params)
+    raw_t = fused_field(
+        pts_t, dirs, rot, trn, cut, tau, prepared,
+        depth=cfg.netdepth, skips=(4,) if cfg.netdepth > 4 else (),
+        interpret=interpret,
+    )
+    if pad:
+        raw_t = raw_t[:, :ns]
+    return raw_t.T.reshape(N, S, 4)

@@ -174,11 +174,14 @@ def embed(
     w = 1.0 - jax.nn.sigmoid(gate_arg)[..., None, :]  # (..., 1, D)
 
     if NF > 0:
-        fb = jnp.asarray(freq_bands)[:, None]  # (NF, 1)
-        xf = x[..., None, :] * fb  # (..., NF, D)
-        # interleave to [sin f0, cos f0, sin f1, ...] along the freq axis
-        sin, cos = jnp.sin(xf), jnp.cos(xf)
-        pe = jnp.stack([sin, cos], axis=-2).reshape(*xf.shape[:-2], 2 * NF, xf.shape[-1])
+        # [sin(f0 x), cos(f0 x), sin(f1 x), ...] emitted directly in final
+        # layout via cos(x) = sin(x + pi/2): one broadcasted multiply-add-sin
+        # instead of separate sin/cos tensors + an interleaving stack (a
+        # relayout copy of the largest tensor in the renderer). TPU: the VPU
+        # computes the fused chain; no intermediate hits HBM.
+        fb2 = jnp.repeat(jnp.asarray(freq_bands), 2)[:, None]  # (2NF, 1)
+        phase = jnp.tile(jnp.asarray([0.0, np.pi / 2.0], x.dtype), NF)[:, None]
+        pe = jnp.sin(x[..., None, :] * fb2 + phase)  # (..., 2NF, D)
         pe = pe * _schedule_w(cfg, state["alpha"])
     else:
         pe = jnp.zeros((*x.shape[:-1], 0, x.shape[-1]), dtype=x.dtype)

@@ -80,7 +80,13 @@ def sample_pdf(
         assert key is not None
         u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples), dtype=cdf.dtype)
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # side='right' searchsorted as a broadcast count: (N, n_samples, B) compare
+    # + reduce. On TPU this is a handful of fused VPU ops; a vmapped
+    # jnp.searchsorted lowers to a per-row binary-search loop that costs more
+    # than the entire MLP evaluation (~20 ms vs ~1 ms for 8k rays).
+    inds = jnp.sum(
+        (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1
+    )
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
 

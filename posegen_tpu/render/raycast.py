@@ -263,8 +263,16 @@ def _run_net(
     rays_d: jax.Array,
     ctx: PoseCtx,
     eval_mean_code: bool,
+    use_fused: bool = False,
 ) -> jax.Array:
     """Encode and evaluate one NeRF net over (N, S) samples -> raw (N, S, 4)."""
+    if use_fused:
+        from posegen_tpu.kernels import field as fused
+
+        return fused.fused_run_net(
+            cfg, net_params, params["embed_kp"], pts, rays_d, ctx,
+            interpret=jax.default_backend() == "cpu",
+        )
     x_pts, x_views, _ = encode_inputs(cfg, params, pts, rays_d, ctx)
     frame_idx = None
     if cfg.opt_framecode and ctx.cam_idxs is not None:
@@ -290,6 +298,7 @@ def render_rays(
     raw_noise_std: Optional[float] = None,
     eval_mean_code: bool = False,
     det_noise: Optional[Dict[str, jax.Array]] = None,
+    use_fused: Optional[bool] = None,
 ) -> Dict[str, jax.Array]:
     """Volume-render a batch of rays (reference raycasters.py:361-474).
 
@@ -297,10 +306,21 @@ def render_rays(
     perturb/raw_noise_std default to the config (pass 0.0 for eval).
     det_noise: {'coarse': (N,S), 'importance': (N,I), 'sigma': (N,S+I), ...}
       optional deterministic noise for golden-parity tests.
+    use_fused: run the Pallas fused field kernel (kernels/field.py); None =
+      auto (on whenever the config/pose shape qualifies — the inference path;
+      training differentiates through the XLA path instead).
     Returns rgb_map/disp_map/acc_map/alpha (+ *0 coarse copies).
     """
     perturb = cfg.perturb if perturb is None else perturb
     raw_noise_std = cfg.raw_noise_std if raw_noise_std is None else raw_noise_std
+    if use_fused is None:
+        from posegen_tpu.kernels.field import supports_fused
+
+        # auto-dispatch only on real TPUs: the CPU fallback would run the
+        # kernel in the (slow) interpreter; tests opt in explicitly
+        use_fused = jax.default_backend() == "tpu" and supports_fused(
+            cfg, ctx, params["coarse"]
+        )
     act = density_activation(cfg.nerf_cfg)
     dn = det_noise or {}
 
@@ -316,7 +336,7 @@ def render_rays(
     )
     pts = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
 
-    raw_c = _run_net(cfg, params["coarse"], params, pts, rays_d, ctx, eval_mean_code)
+    raw_c = _run_net(cfg, params["coarse"], params, pts, rays_d, ctx, eval_mean_code, use_fused)
     noise_c = None
     if raw_noise_std > 0.0:
         if "sigma0" in dn:
@@ -343,11 +363,11 @@ def render_rays(
         # re-encode the merged, sorted sample set in one pass (equivalent to
         # the reference's encoding gather-merge, raycasters.py:446-469)
         pts_all = rays_o[:, None] + rays_d[:, None] * z_all[..., None]
-        raw_f = _run_net(cfg, fine_params, params, pts_all, rays_d, ctx, eval_mean_code)
+        raw_f = _run_net(cfg, fine_params, params, pts_all, rays_d, ctx, eval_mean_code, use_fused)
     else:
         # single-net: evaluate only the new samples, merge raws by sort order
         pts_is = rays_o[:, None] + rays_d[:, None] * z_samples[..., None]
-        raw_is = _run_net(cfg, fine_params, params, pts_is, rays_d, ctx, eval_mean_code)
+        raw_is = _run_net(cfg, fine_params, params, pts_is, rays_d, ctx, eval_mean_code, use_fused)
         raw_cat = jnp.concatenate([raw_c, raw_is], axis=1)
         raw_f = jnp.take_along_axis(raw_cat, sorted_idxs[..., None], axis=1)
 

@@ -1,0 +1,61 @@
+"""Pallas fused field kernel: interpret-mode parity vs the XLA path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posegen_tpu.kernels.field import (
+    fused_run_net,
+    prepare_params,
+    supports_fused,
+)
+from posegen_tpu.render.raycast import RaycastConfig, render_rays
+from posegen_tpu.utils.fixtures import make_problem
+
+CFG = RaycastConfig()  # flagship config: exactly what the kernel supports
+
+
+def test_supports_fused_gating():
+    cfg, params, ctx, _, _ = make_problem(CFG, n_rays=8)
+    assert supports_fused(cfg, ctx, params["coarse"])
+    bad = RaycastConfig(opt_framecode=True, n_framecodes=4)
+    assert not supports_fused(bad, ctx, params["coarse"])
+    multi_pose = ctx._replace(kps=jnp.tile(ctx.kps, (8, 1, 1)))
+    assert not supports_fused(cfg, multi_pose, params["coarse"])
+
+
+@pytest.mark.slow
+def test_fused_field_matches_xla():
+    """Interpret-mode kernel output == XLA encode+MLP path (bf16 tolerance)."""
+    from posegen_tpu.models import nerf as nerf_mod
+    from posegen_tpu.render.raycast import encode_inputs
+
+    cfg, params, ctx, ro, rd = make_problem(CFG, n_rays=16)
+    n, s = 16, 8
+    key = jax.random.PRNGKey(3)
+    z = jnp.sort(jax.random.uniform(key, (n, s), minval=0.5, maxval=2.0), axis=-1)
+    pts = ro[:, None] + rd[:, None] * z[..., None]
+
+    x_pts, x_views, _ = encode_inputs(cfg, params, pts, rd, ctx)
+    raw_ref = nerf_mod.nerf_apply(cfg.nerf_cfg, params["coarse"], x_pts, x_views)
+
+    raw_k = fused_run_net(
+        cfg, params["coarse"], params["embed_kp"], pts, rd, ctx, interpret=True
+    )
+    assert raw_k.shape == (n, s, 4)
+    scale = float(jnp.abs(raw_ref).max())
+    err = float(jnp.abs(raw_k - raw_ref).max())
+    assert err < 0.02 * max(scale, 1.0), f"kernel mismatch: {err} vs scale {scale}"
+
+
+@pytest.mark.slow
+def test_render_rays_fused_flag_interpret():
+    """render_rays(use_fused=True) runs the kernel end-to-end (interpreted)."""
+    cfg, params, ctx, ro, rd = make_problem(
+        RaycastConfig(N_samples=8, N_importance=4), n_rays=8
+    )
+    out_x = render_rays(cfg, params, ro, rd, ctx, perturb=0.0, use_fused=False)
+    out_f = render_rays(cfg, params, ro, rd, ctx, perturb=0.0, use_fused=True)
+    err = float(jnp.abs(out_f["rgb_map"] - out_x["rgb_map"]).max())
+    assert err < 5e-3, f"fused render diverges: {err}"
