@@ -174,7 +174,15 @@ class H5RayDataset:
         return idx
 
     def sample_image(self, img_idx: int) -> Dict[str, np.ndarray]:
-        """Sample rays/targets from one image -> dict of (n_rays, ...)."""
+        """Sample rays/targets from one image -> dict of (n_rays, ...).
+
+        Uses the native C++ sampler (csrc/host_sampler.cpp) for the common
+        configuration; falls back to the numpy path for patch/box sampling
+        and principal-point offsets.
+        """
+        native = self._sample_image_native(img_idx)
+        if native is not None:
+            return native
         f = self.file
         img = f["imgs"][img_idx].reshape(-1, 3).astype(np.float32) / 255.0
         mask = f["masks"][img_idx].reshape(-1, 1).astype(np.float32)
@@ -213,6 +221,54 @@ class H5RayDataset:
         return {
             "rays_o": rays_o.astype(np.float32),
             "rays_d": rays_d.astype(np.float32),
+            "target_s": target,
+            "fgs": fg,
+            "bgs": bg,
+            "kp3d": np.broadcast_to(self.kp3d[kp_i], (n, *self.kp3d.shape[1:])),
+            "bones": np.broadcast_to(self.bones[kp_i], (n, *self.bones.shape[1:])),
+            "skts": np.broadcast_to(self.skts[kp_i], (n, *self.skts.shape[1:])),
+            "cyls": np.broadcast_to(self.cyls[kp_i], (n, 5)),
+            "kp_idx": np.full((n,), kp_i, np.int32),
+            "cam_idxs": np.full((n, 1), self.cam_idxs[img_idx], np.int32),
+        }
+
+    def _sample_image_native(self, img_idx: int) -> Optional[Dict[str, np.ndarray]]:
+        """C++ fast path: scan+draw+gather in one native call."""
+        if self.patch_size > 1 or self.n_box_rays > 0 or self.centers is not None:
+            return None
+        from posegen_tpu.data import native
+
+        if native.get_lib() is None:
+            return None
+        f = self.file
+        img = np.asarray(f["imgs"][img_idx]).reshape(-1, 3)
+        mask = np.asarray(f["masks"][img_idx]).reshape(-1)
+        smask = np.asarray(f["sampling_masks"][img_idx]).reshape(-1)
+        focal = self.focals[img_idx] if self.focals.ndim else float(self.focals)
+        fx = focal if np.ndim(focal) == 0 else focal[0]
+        fy = fx if np.ndim(focal) == 0 else focal[1]
+        bkgd = (
+            np.asarray(f["bkgds"][self.bkgd_idxs[img_idx]]).reshape(-1, 3)
+            if self.has_bkgd
+            else None
+        )
+        out = native.sample_and_gather(
+            smask, img, mask, self._pixel_dirs.reshape(-1, 3),
+            self.c2ws[img_idx], float(fx), float(fy),
+            self.n_rays, int(self.rng.integers(0, 2**63 - 1)), bkgd=bkgd,
+        )
+        if out is None:
+            return None
+        target, fg, bg = out["target_s"], out["fgs"], out["bgs"]
+        if self.white_bkgd and not self.has_bkgd:
+            bg = np.ones_like(bg)
+        if self.mask_image or self.white_bkgd:
+            target = target * fg + bg * (1.0 - fg)
+        kp_i = int(self.kp_idxs[img_idx])
+        n = self.n_rays
+        return {
+            "rays_o": out["rays_o"],
+            "rays_d": out["rays_d"],
             "target_s": target,
             "fgs": fg,
             "bgs": bg,

@@ -1,0 +1,119 @@
+"""ctypes bindings for the native host sampler (csrc/host_sampler.cpp).
+
+The C++ library does the data loader's hot per-image loop (mask scan, pixel
+draw, ray construction + pixel gather) in one pass. Loading is lazy and
+optional: `get_lib()` returns None when the .so hasn't been built (run
+csrc/build.sh), and callers fall back to the numpy path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Optional
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "lib", "libposegen_host.so")
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_F32P = ctypes.POINTER(ctypes.c_float)
+
+
+def build_lib() -> bool:
+    """Compile the library in-tree (g++); True on success."""
+    script = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "build.sh")
+    try:
+        subprocess.run(["sh", script], check=True, capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib(auto_build: bool = True) -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _lib is not None:
+        return _lib
+    if _load_attempted:
+        return None
+    _load_attempted = True
+    if not os.path.exists(_LIB_PATH) and auto_build:
+        build_lib()
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.pg_sample_pixels.restype = ctypes.c_int64
+    lib.pg_sample_pixels.argtypes = [
+        _U8P, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, _I64P, _I64P,
+    ]
+    lib.pg_gather_rays.restype = None
+    lib.pg_gather_rays.argtypes = [
+        _I64P, ctypes.c_int64, _U8P, _U8P, _U8P, _F32P, _F32P,
+        ctypes.c_float, ctypes.c_float,
+        _F32P, _F32P, _F32P, _F32P, _F32P,
+    ]
+    _lib = lib
+    return lib
+
+
+def _ptr(a: np.ndarray, typ):
+    return a.ctypes.data_as(typ)
+
+
+def sample_and_gather(
+    smask: np.ndarray,  # (H*W,) uint8 sampling mask
+    img: np.ndarray,  # (H*W, 3) uint8
+    mask: np.ndarray,  # (H*W,) uint8 fg mask
+    pix_dirs: np.ndarray,  # (H*W, 3) f32 pre-focal camera dirs
+    c2w: np.ndarray,  # (4, 4) or (3, 4) f32
+    fx: float,
+    fy: float,
+    n_rays: int,
+    seed: int,
+    bkgd: Optional[np.ndarray] = None,  # (H*W, 3) uint8
+) -> Optional[Dict[str, np.ndarray]]:
+    """One-call native sample_image core; None if the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_pixels = smask.shape[0]
+    smask = np.ascontiguousarray(smask, np.uint8)
+    img = np.ascontiguousarray(img, np.uint8)
+    mask = np.ascontiguousarray(mask, np.uint8)
+    pix_dirs = np.ascontiguousarray(pix_dirs, np.float32)
+    c2w34 = np.ascontiguousarray(np.asarray(c2w, np.float32)[:3, :4])
+
+    scratch = np.empty(n_pixels, np.int64)
+    idx = np.empty(n_rays, np.int64)
+    lib.pg_sample_pixels(
+        _ptr(smask, _U8P), n_pixels, n_rays, np.uint64(seed),
+        _ptr(scratch, _I64P), _ptr(idx, _I64P),
+    )
+
+    rays_o = np.empty((n_rays, 3), np.float32)
+    rays_d = np.empty((n_rays, 3), np.float32)
+    target = np.empty((n_rays, 3), np.float32)
+    fg = np.empty((n_rays, 1), np.float32)
+    bg = np.empty((n_rays, 3), np.float32)
+    bk = (
+        np.ascontiguousarray(bkgd, np.uint8)
+        if bkgd is not None
+        else None
+    )
+    lib.pg_gather_rays(
+        _ptr(idx, _I64P), n_rays,
+        _ptr(img, _U8P), _ptr(mask, _U8P),
+        _ptr(bk, _U8P) if bk is not None else None,
+        _ptr(pix_dirs, _F32P), _ptr(c2w34, _F32P),
+        ctypes.c_float(fx), ctypes.c_float(fy),
+        _ptr(rays_o, _F32P), _ptr(rays_d, _F32P),
+        _ptr(target, _F32P), _ptr(fg, _F32P), _ptr(bg, _F32P),
+    )
+    return {
+        "idx": idx, "rays_o": rays_o, "rays_d": rays_d,
+        "target_s": target, "fgs": fg, "bgs": bg,
+    }
