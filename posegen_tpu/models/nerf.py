@@ -117,22 +117,31 @@ def forward_density(cfg: NeRFConfig, params: Dict, x_pts: jax.Array) -> jax.Arra
 
 
 def framecode_lookup(
-    codes: jax.Array, idx: jax.Array, eval_mean: bool = False
+    codes: jax.Array,
+    idx: jax.Array,
+    eval_mean: bool = False,
+    idx_map: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Per-frame code retrieval (reference networks/embedding.py:17-33).
 
     idx: (..., 1) integer frame index, or (..., 3) [idx0, idx1, w] for
     two-code interpolation. eval_mean: use the mean code (test-time idx<0).
+    idx_map: optional remap table applied before lookup (the reference
+    Optcodes' idx_map, embedding.py:12-20 — e.g. many views sharing codes).
     """
     if eval_mean:
         mean = jnp.mean(codes, axis=0, keepdims=True)
         return jnp.broadcast_to(mean, (*idx.shape[:-1], codes.shape[-1]))
     if idx.shape[-1] == 3:
-        c0 = codes[idx[..., 0].astype(jnp.int32)]
-        c1 = codes[idx[..., 1].astype(jnp.int32)]
+        i0, i1 = idx[..., 0].astype(jnp.int32), idx[..., 1].astype(jnp.int32)
+        if idx_map is not None:
+            i0, i1 = jnp.take(idx_map, i0), jnp.take(idx_map, i1)
         w = idx[..., 2:3]
-        return c0 * (1.0 - w) + c1 * w
-    return codes[idx[..., 0].astype(jnp.int32)]
+        return codes[i0] * (1.0 - w) + codes[i1] * w
+    i = idx[..., 0].astype(jnp.int32)
+    if idx_map is not None:
+        i = jnp.take(idx_map, i)
+    return codes[i]
 
 
 def nerf_apply(

@@ -140,3 +140,26 @@ def translate(tx: float, ty: float, tz: float) -> np.ndarray:
     m = np.eye(4, dtype=np.float32)
     m[:3, 3] = [tx, ty, tz]
     return m
+
+
+def ndc_rays(H, W, focal, near, rays_o, rays_d):
+    """Shift rays to normalized device coordinates
+    (reference ray_utils.py:64-81; forward-facing scenes, unused by the
+    human pipelines but part of the ray toolbox)."""
+    xp = jnp if isinstance(rays_o, jax.Array) else np
+    t = -(near + rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+
+    o0 = -1.0 / (W / (2.0 * focal)) * rays_o[..., 0] / rays_o[..., 2]
+    o1 = -1.0 / (H / (2.0 * focal)) * rays_o[..., 1] / rays_o[..., 2]
+    o2 = 1.0 + 2.0 * near / rays_o[..., 2]
+    d0 = (
+        -1.0 / (W / (2.0 * focal))
+        * (rays_d[..., 0] / rays_d[..., 2] - rays_o[..., 0] / rays_o[..., 2])
+    )
+    d1 = (
+        -1.0 / (H / (2.0 * focal))
+        * (rays_d[..., 1] / rays_d[..., 2] - rays_o[..., 1] / rays_o[..., 2])
+    )
+    d2 = -2.0 * near / rays_o[..., 2]
+    return xp.stack([o0, o1, o2], -1), xp.stack([d0, d1, d2], -1)
