@@ -1,0 +1,135 @@
+"""Model-to-model SMPL parameter transfer by optimization.
+
+Capability parity with the reference's vendored transfer tool
+(smplx/transfer_model/transfer_model.py:257-396 `run_fitting` +
+losses/losses.py + optimizers/minimize.py): given a source mesh (vertices
+on the target model's topology, optionally produced by a deformation-
+transfer matrix), recover the target model's parameters (betas, pose,
+translation) by minimizing edge + vertex losses.
+
+Rebuilt TPU-first: the whole fit is jitted optax-Adam gradient descent over
+the parameter pytree — the per-part trust-region LBFGS loop of the
+reference collapses into two staged objectives (edge loss to settle pose,
+then vertex loss for everything), batched over meshes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from posegen_tpu.body.smpl import SMPLModel
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    edge_steps: int = 300
+    vertex_steps: int = 400
+    lr: float = 0.05
+    betas_weight: float = 1e-3  # shape prior (keep betas near zero)
+
+
+def apply_deformation_transfer(def_matrix: np.ndarray, vertices: np.ndarray) -> np.ndarray:
+    """Map source-topology vertices onto the target topology
+    (reference utils: def_matrix (V_tgt, V_src))."""
+    return np.einsum("tv,bvc->btc", def_matrix, vertices)
+
+
+def _edges_from_faces(faces: np.ndarray) -> np.ndarray:
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    e = np.sort(e, axis=1)
+    return np.unique(e, axis=0)
+
+
+def _forward(model: SMPLModel, params: Dict[str, jax.Array]) -> jax.Array:
+    out = model(
+        betas=params["betas"],
+        body_pose=params["body_pose"],
+        global_orient=params["global_orient"],
+        transl=params["transl"],
+    )
+    return out["vertices"]
+
+
+def init_variables(batch_size: int, model: SMPLModel, n_betas: int = 10) -> Dict:
+    """(reference get_variables, transfer_model.py:204-255)."""
+    return {
+        "betas": jnp.zeros((batch_size, n_betas)),
+        "global_orient": jnp.zeros((batch_size, 3)),
+        "body_pose": jnp.zeros((batch_size, (model.n_joints - 1) * 3)),
+        "transl": jnp.zeros((batch_size, 3)),
+    }
+
+
+def run_fitting(
+    model: SMPLModel,
+    target_vertices: np.ndarray,
+    faces: Optional[np.ndarray] = None,
+    cfg: FitConfig = FitConfig(),
+    def_matrix: Optional[np.ndarray] = None,
+) -> Tuple[Dict[str, jax.Array], Dict[str, float]]:
+    """Fit `model` params to target vertices (B, V_tgt, 3).
+
+    def_matrix: optional (V_tgt, V_src) mapping when targets come from a
+    different topology. Returns (params, {'edge_loss', 'vertex_loss'}).
+    """
+    if def_matrix is not None:
+        target_vertices = apply_deformation_transfer(def_matrix, target_vertices)
+    target = jnp.asarray(target_vertices, jnp.float32)
+    B = target.shape[0]
+
+    faces = faces if faces is not None else model.faces
+    if faces is None:
+        raise ValueError("need faces for the edge objective")
+    edges = jnp.asarray(_edges_from_faces(np.asarray(faces)))
+
+    params = init_variables(B, model, model.shapedirs.shape[-1])
+    opt = optax.adam(cfg.lr)
+
+    def edge_loss_fn(p):
+        v = _forward(model, p)
+        est = v[:, edges[:, 0]] - v[:, edges[:, 1]]
+        gt = target[:, edges[:, 0]] - target[:, edges[:, 1]]
+        return jnp.mean(jnp.sum((est - gt) ** 2, -1))
+
+    def vertex_loss_fn(p):
+        v = _forward(model, p)
+        return (
+            jnp.mean(jnp.sum((v - target) ** 2, -1))
+            + cfg.betas_weight * jnp.mean(p["betas"] ** 2)
+        )
+
+    @jax.jit
+    def fit_stage(params, opt_state, use_vertex: bool):
+        def body(carry, _):
+            p, s = carry
+            loss, g = jax.value_and_grad(
+                lambda q: jax.lax.cond(
+                    use_vertex, vertex_loss_fn, edge_loss_fn, q
+                )
+            )(p)
+            updates, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, updates), s), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None,
+            length=max(cfg.edge_steps, cfg.vertex_steps),
+        )
+        return params, opt_state, losses
+
+    # stage 1: edge objective settles the pose (translation-invariant)
+    opt_state = opt.init(params)
+    params, _, e_losses = fit_stage(params, opt_state, False)
+    # stage 2: full vertex objective for shape + translation
+    opt_state = opt.init(params)
+    params, _, v_losses = fit_stage(params, opt_state, True)
+
+    return params, {
+        "edge_loss": float(e_losses[-1]),
+        "vertex_loss": float(v_losses[-1]),
+    }

@@ -19,10 +19,13 @@ def axisang_to_rot(axisang: jax.Array) -> jax.Array:
 
     Rodrigues formula with a Taylor-safe branch near zero angle.
     """
-    theta = jnp.linalg.norm(axisang, axis=-1, keepdims=True)
-    small = theta < 1e-6
-    # safe normalised axis (arbitrary where theta ~ 0; sin(theta)/theta -> 1)
-    axis = axisang / jnp.where(small, jnp.ones_like(theta), theta)
+    theta_sq = jnp.sum(axisang**2, axis=-1, keepdims=True)
+    small = theta_sq < 1e-12
+    # gradient-safe norm: sqrt sees a masked operand so d(sqrt)/dx at 0 never
+    # produces NaN (the small branch below uses the first-order expansion
+    # which bypasses theta entirely)
+    theta = jnp.sqrt(jnp.where(small, jnp.ones_like(theta_sq), theta_sq))
+    axis = axisang / theta
     x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
     zero = jnp.zeros_like(x)
     K = jnp.stack(

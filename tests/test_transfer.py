@@ -1,0 +1,66 @@
+"""SMPL parameter-transfer fitting tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posegen_tpu.body.smpl import make_random_model
+from posegen_tpu.body.transfer import (
+    FitConfig,
+    apply_deformation_transfer,
+    init_variables,
+    run_fitting,
+)
+
+
+def _with_faces(model, seed=0):
+    rng = np.random.default_rng(seed)
+    V = model.n_vertices
+    faces = rng.choice(V, (3 * V, 3))
+    ok = (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) & (
+        faces[:, 0] != faces[:, 2]
+    )
+    import dataclasses
+
+    return dataclasses.replace(model, faces=faces[ok].astype(np.int64))
+
+
+@pytest.mark.slow
+def test_fitting_recovers_parameters(rng):
+    model = _with_faces(make_random_model(n_vertices=48, n_joints=6, n_betas=4))
+    gt = {
+        "betas": jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32)) * 0.5,
+        "global_orient": jnp.asarray((rng.standard_normal((2, 3)) * 0.2).astype(np.float32)),
+        "body_pose": jnp.asarray((rng.standard_normal((2, 15)) * 0.2).astype(np.float32)),
+        "transl": jnp.asarray(rng.standard_normal((2, 3)).astype(np.float32)) * 0.3,
+    }
+    target = model(
+        betas=gt["betas"], body_pose=gt["body_pose"],
+        global_orient=gt["global_orient"], transl=gt["transl"],
+    )["vertices"]
+
+    params, losses = run_fitting(
+        model, np.asarray(target), cfg=FitConfig(edge_steps=250, vertex_steps=400, lr=0.03)
+    )
+    assert losses["vertex_loss"] < 1e-3, losses
+    fit_v = model(
+        betas=params["betas"], body_pose=params["body_pose"],
+        global_orient=params["global_orient"], transl=params["transl"],
+    )["vertices"]
+    err = float(jnp.mean(jnp.linalg.norm(fit_v - target, axis=-1)))
+    assert err < 0.05, f"v2v error {err}"
+
+
+def test_deformation_transfer_and_variables(rng):
+    model = make_random_model(n_vertices=16, n_joints=4, n_betas=4)
+    src = rng.standard_normal((2, 10, 3)).astype(np.float32)
+    D = rng.uniform(0, 1, (16, 10)).astype(np.float32)
+    D /= D.sum(-1, keepdims=True)
+    out = apply_deformation_transfer(D, src)
+    assert out.shape == (2, 16, 3)
+    np.testing.assert_allclose(out[0, 0], D[0] @ src[0], atol=1e-5)
+
+    var = init_variables(3, model, 4)
+    assert var["body_pose"].shape == (3, 9)
+    assert var["betas"].shape == (3, 4)
