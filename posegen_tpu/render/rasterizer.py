@@ -90,6 +90,26 @@ def rasterize_mesh(
     return img.astype(np.float32)
 
 
+def overlay_mesh(
+    img: np.ndarray,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    c2w: np.ndarray,
+    focal: float,
+    alpha: float = 0.8,
+    color=(0.65, 0.75, 0.9),
+) -> np.ndarray:
+    """Composite a mesh render over an image (the reference's pyrender SMPL
+    debug overlay, core/misc/renderer.py:7-83). img: (H, W, 3) [0,1]."""
+    H, W = img.shape[:2]
+    colors = np.tile(np.asarray(color, np.float64), (len(verts), 1))
+    ren = rasterize_mesh(verts, faces, c2w, H, W, focal, colors=colors, bg=-1.0)
+    fg = ~np.all(ren == -1.0, axis=-1)  # bg sentinel marks untouched pixels
+    out = img.astype(np.float32).copy()
+    out[fg] = alpha * ren[fg] + (1 - alpha) * out[fg]
+    return out
+
+
 def turntable_render(
     verts: np.ndarray,
     faces: np.ndarray,

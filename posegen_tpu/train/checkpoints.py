@@ -191,3 +191,20 @@ def import_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
             pose["bones"] = jnp.asarray(np.asarray(popt["bones"], dtype=np.float32))
         extras["pose_params"] = pose
     return variables, extras
+
+
+def save_pose_checkpoint(log_dir: str, state: Any, step: Optional[int] = None) -> str:
+    """Pose-only checkpoint (reference save_popt, trainer.py:510-518:
+    poseopt layer + anchors saved separately every i_pose_weights)."""
+    os.makedirs(log_dir, exist_ok=True)
+    if step is None:
+        step = int(np.asarray(state.step))
+    path = os.path.join(log_dir, f"{step:08d}.pose.npz")
+    flat = {}
+    if state.pose_params is not None:
+        flat.update(_flatten(state.pose_params, "pose_params"))
+    if state.pose_anchors is not None:
+        flat.update(_flatten(state.pose_anchors, "pose_anchors"))
+    flat["global_step"] = np.asarray(step)
+    np.savez(path, **flat)
+    return path

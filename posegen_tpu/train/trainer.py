@@ -194,8 +194,11 @@ def make_train_step(
             cam_idxs=batch.get("cam_idxs"),
         )
         all_params = {**params, **embeds}
+        # training differentiates through the renderer -> XLA path (the
+        # Pallas fused kernel is forward-only; see kernels/field.py)
         ret = render_rays(
-            cfg, all_params, batch["rays_o"], batch["rays_d"], ctx, key=key
+            cfg, all_params, batch["rays_o"], batch["rays_d"], ctx, key=key,
+            use_fused=False,
         )
         total, stats = compute_losses(tcfg, ret, batch)
         if (
@@ -221,12 +224,19 @@ def make_train_step(
         stats["total_loss"] = total
         return total, stats
 
+    def _gradnorm(g) -> jax.Array:
+        """Global gradient norm (reference get_gradnorm stats,
+        trainer.py:194-205)."""
+        return optax.global_norm(g)
+
     def train_step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
         embeds = _updated_embeds(cfg, tcfg, state.embeds, state.step)
         if tcfg.opt_pose and state.pose_params is not None:
             (_, stats), (g_nerf, g_pose) = jax.value_and_grad(
                 loss_with_anchor, argnums=(0, 1), has_aux=True
             )(state.params, state.pose_params, embeds, state.pose_anchors, batch, key)
+            stats["grad_norm"] = _gradnorm(g_nerf)
+            stats["pose_grad_norm"] = _gradnorm(g_pose)
             updates, opt_state = opt.update(g_nerf, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             p_updates, pose_opt_state = popt.update(
@@ -246,6 +256,7 @@ def make_train_step(
                 lambda p: loss_with_anchor(p, None, embeds, None, batch, key),
                 has_aux=True,
             )(state.params)
+            stats["grad_norm"] = _gradnorm(g_nerf)
             updates, opt_state = opt.update(g_nerf, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             new_state = state._replace(

@@ -39,15 +39,15 @@ def test_args_txt_roundtrip(tmp_path):
 
 
 def test_reference_configs_parse():
-    for cfg in (
-        "configs/surreal/surreal.txt",
-        "configs/h36m/h36m_prot2.txt",
-        "configs/perfcap/perfcap.txt",
-        "configs/mixamo/mixamo.txt",
-        "configs/synthetic/demo.txt",
-    ):
+    import glob
+
+    for cfg in sorted(glob.glob("configs/*/*.txt")):
         args = parse_with_config(nerf_config_parser(), ["--config", cfg])
-        assert args.N_samples == 64 or cfg.endswith("demo.txt")
+        assert args.N_samples in (12, 64, 96), cfg
+    args = parse_with_config(
+        nerf_config_parser(), ["--config", "configs/surreal/surreal_single.txt"]
+    )
+    assert args.single_net and args.N_importance == 48
 
 
 @pytest.mark.slow

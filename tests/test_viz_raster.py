@@ -78,3 +78,17 @@ def test_draw_skeletons_3d(rng):
     out = draw_skeletons_3d(imgs, kps, c2w[None], 64, 64, 60.0)
     assert out.shape == (1, 64, 64, 3)
     assert out.sum() > 0
+
+
+def test_overlay_mesh(rng):
+    from posegen_tpu.render.rasterizer import overlay_mesh
+    from posegen_tpu.data.synthetic import _look_at_c2w
+
+    verts, faces = _sphere_mesh(n=14)
+    img = rng.uniform(0, 0.3, (64, 64, 3)).astype(np.float32)
+    c2w = _look_at_c2w(np.array([0, 0, 2.0], np.float32), np.zeros(3, np.float32))
+    out = overlay_mesh(img, verts, faces, c2w, 60.0)
+    assert out.shape == img.shape
+    diff = np.abs(out - img).sum(-1)
+    assert (diff > 0.1).sum() > 200  # mesh visibly composited
+    assert (diff < 1e-6).sum() > 1000  # background untouched
