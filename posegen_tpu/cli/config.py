@@ -192,6 +192,7 @@ def args_to_train_config(args):
         lrate=args.lrate,
         lrate_decay=args.lrate_decay,
         loss_fn=args.loss_fn,
+        rays_per_image=max(args.N_rand // max(args.N_sample_images, 1), 1),
         opt_pose=args.opt_pose,
         opt_pose_lrate=args.opt_pose_lrate,
         opt_pose_lrate_decay=args.opt_pose_lrate_decay,

@@ -221,11 +221,21 @@ class GanTrainer:
             and self.iter_num % self.cfg.feedback_every == 0
         )
         rpi = min(self.cfg.rpi, real_pose.shape[0])
-        if use_feedback and self._last_bones is not None:
-            sel = np.random.default_rng(self.iter_num).integers(
-                0, self._last_bones.shape[0], (rpi,)
+        key = self._next_key()
+        if use_feedback:
+            # pre-run the generator with the SAME key the update will use:
+            # the rendered/SPIN-judged poses are exactly this iteration's
+            # generated poses (reference run_gan.py:2041-2091 computes the
+            # reward on the current forward). The BN state from this pre-pass
+            # is discarded; g_step recomputes it identically.
+            out_pre, _ = pose_generator_apply(
+                self.g_params, self.g_state, key, real_pose, self.gen_cfg
             )
-            spin_pred = self.spin_feedback(self._last_bones, sel)
+            bones_now = np.asarray(out_pre["pose_ba"])
+            sel = np.random.default_rng(self.iter_num).integers(
+                0, bones_now.shape[0], (rpi,)
+            )
+            spin_pred = self.spin_feedback(bones_now, sel)
             spin_sel = jnp.asarray(sel, jnp.int32)
             active = jnp.asarray(1.0)
         else:
@@ -235,7 +245,7 @@ class GanTrainer:
 
         self.g_params, self.g_state, self.g_opt_state, out, g_stats = self.g_step(
             self.g_params, self.g_state, self.g_opt_state, self.d_params,
-            self._next_key(), real_pose, spin_pred, spin_sel, active,
+            key, real_pose, spin_pred, spin_sel, active,
         )
         self._last_bones = np.asarray(out["pose_ba"])
 

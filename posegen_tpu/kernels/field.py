@@ -58,8 +58,8 @@ class FusedFieldParams(NamedTuple):
     b_rgb: jax.Array  # (3, 1)
 
 
-def supports_fused(cfg, ctx, net_params: Dict) -> bool:
-    """The config/pose subset kernel v1 handles."""
+def supports_fused_config(cfg) -> bool:
+    """Config-only eligibility (pose/group shape checked separately)."""
     return (
         cfg.kp_dist_type == "reldist"
         and cfg.view_type == "relray"
@@ -79,6 +79,13 @@ def supports_fused(cfg, ctx, net_params: Dict) -> bool:
         and not cfg.cutoff_shift
         and not cfg.normalize_cutoff
         and cfg.netwidth == 256
+    )
+
+
+def supports_fused(cfg, ctx, net_params: Dict) -> bool:
+    """The config/pose subset the inference kernel handles (single pose)."""
+    return (
+        supports_fused_config(cfg)
         and len(net_params.get("views_linears", [0])) == 1
         and ctx.kps.shape[0] == 1
     )
@@ -108,13 +115,19 @@ def _view_row_perm() -> np.ndarray:
     return perm
 
 
-def prepare_params(net: Dict, skips: Tuple[int, ...] = (4,)) -> FusedFieldParams:
-    """Transpose/cast/permute a NeRF params subtree for the kernel."""
+def prepare_params(
+    net: Dict, skips: Tuple[int, ...] = (4,), dtype=jnp.bfloat16
+) -> FusedFieldParams:
+    """Transpose/cast/permute a NeRF params subtree for the kernel.
+
+    dtype=bfloat16 for inference; float32 for the trainable path (the
+    kernels cast to bf16 at the MXU, and f32 weight storage keeps the
+    custom-VJP cotangents full precision)."""
     pts_perm = _pts_row_perm()
     view_perm = _view_row_perm()
 
     tw = lambda p, perm=None: jnp.asarray(
-        (p["w"] if perm is None else p["w"][perm]).T, jnp.bfloat16
+        (p["w"] if perm is None else p["w"][perm]).T, dtype
     )
     tb = lambda p: jnp.asarray(p["b"][:, None], jnp.float32)
 
@@ -145,20 +158,13 @@ def prepare_params(net: Dict, skips: Tuple[int, ...] = (4,)) -> FusedFieldParams
     )
 
 
-def _field_kernel(
-    depth: int,
-    skips: Tuple[int, ...],
-    pts_ref,  # (3, P) f32
-    dirs_ref,  # (3, P) f32
-    rot_ref,  # (24, 9) f32   row-major R of skts
-    trn_ref,  # (24, 3) f32
-    cut_ref,  # (24, 1) f32
-    tau_ref,  # (1, 1) f32 SMEM
-    *refs,  # weights..., out_ref
-):
-    out_ref = refs[-1]
-    wrefs = refs[:-1]
+def encode_channels(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref):
+    """Shared in-kernel encoding: refs -> (e_pts (432,P), e_view (648,P)).
 
+    Channel-major cutoff-gated positional encodings; used by both the
+    forward field kernel and the backward (weight-gradient) kernel, which
+    recomputes the encodings instead of storing them.
+    """
     x = pts_ref[0:1, :]
     y = pts_ref[1:2, :]
     z = pts_ref[2:3, :]
@@ -202,37 +208,105 @@ def _field_kernel(
         for comp in (dnx, dny, dnz):
             vrows.append(jnp.cos(comp * f) * w)
     e_view = jnp.concatenate(vrows, axis=0)  # (648, P)
+    return e_pts, e_view
 
-    def mm(w_ref, h):
-        return jax.lax.dot_general(
-            w_ref[:, :],
-            h.astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+
+# MXU operand dtype; tests may override to float32 for exactness checks
+MM_DTYPE = jnp.bfloat16
+
+
+def mm_t(w, h):
+    """bf16 MXU matmul with f32 accumulation: (C_out, C_in) @ (C_in, P)."""
+    return jax.lax.dot_general(
+        w.astype(MM_DTYPE),
+        h.astype(MM_DTYPE),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _field_kernel(
+    depth: int,
+    skips: Tuple[int, ...],
+    pts_ref,  # (3, P) f32
+    dirs_ref,  # (3, P) f32
+    rot_ref,  # (24, 9) f32   row-major R of skts
+    trn_ref,  # (24, 3) f32
+    cut_ref,  # (24, 1) f32
+    tau_ref,  # (1, 1) f32 SMEM
+    *refs,  # weights..., out_ref
+):
+    out_ref = refs[-1]
+    wrefs = refs[:-1]
+
+    e_pts, e_view = encode_channels(
+        pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref, tau_ref
+    )
 
     h = e_pts
     x0 = e_pts
     for i in range(depth):
-        h = jnp.maximum(mm(wrefs[2 * i], h) + wrefs[2 * i + 1][:, :], 0.0)
+        h = jnp.maximum(mm_t(wrefs[2 * i][:, :], h) + wrefs[2 * i + 1][:, :], 0.0)
         if i in skips:
             h = jnp.concatenate([x0, h], axis=0)
     k = 2 * depth
-    alpha = mm(wrefs[k], h) + wrefs[k + 1][:, :]  # (1, P)
-    feat = mm(wrefs[k + 2], h) + wrefs[k + 3][:, :]  # (256, P)
+    alpha = mm_t(wrefs[k][:, :], h) + wrefs[k + 1][:, :]  # (1, P)
+    feat = mm_t(wrefs[k + 2][:, :], h) + wrefs[k + 3][:, :]  # (256, P)
     hv = jnp.concatenate([feat, e_view], axis=0)  # (904, P)
-    hv = jnp.maximum(mm(wrefs[k + 4], hv) + wrefs[k + 5][:, :], 0.0)  # (128, P)
-    rgb = mm(wrefs[k + 6], hv) + wrefs[k + 7][:, :]  # (3, P)
+    hv = jnp.maximum(mm_t(wrefs[k + 4][:, :], hv) + wrefs[k + 5][:, :], 0.0)  # (128, P)
+    rgb = mm_t(wrefs[k + 6][:, :], hv) + wrefs[k + 7][:, :]  # (3, P)
 
     out_ref[:, :] = jnp.concatenate([rgb, alpha], axis=0)  # (4, P)
 
 
+def flatten_weights(params: FusedFieldParams, depth: int):
+    ws = []
+    for i in range(depth):
+        ws.extend([params.w_pts[i], params.b_pts[i]])
+    ws.extend(
+        [
+            params.w_alpha, params.b_alpha,
+            params.w_feat, params.b_feat,
+            params.w_view, params.b_view,
+            params.w_rgb, params.b_rgb,
+        ]
+    )
+    return ws
+
+
+def grouped_specs(ns: int, n_groups: int, tile: int, rot, trn, cut, weights):
+    """Grid + BlockSpecs shared by the forward and backward field kernels.
+
+    Points are grouped by pose: grid (n_groups, tiles_per_group); each grid
+    step sees one (3, tile) point block and ITS group's skts row."""
+    tpg = ns // n_groups // tile  # tiles per group
+    grid = (n_groups, tpg)
+    pt_spec = lambda: pl.BlockSpec(
+        (3, tile), lambda g, j: (0, g * tpg + j), memory_space=pltpu.VMEM
+    )
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda g, j: tuple(0 for _ in a.shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pt_spec(),
+        pt_spec(),
+        pl.BlockSpec((1, 24, 9), lambda g, j: (g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 24, 3), lambda g, j: (g, 0, 0), memory_space=pltpu.VMEM),
+        full(cut),
+        pl.BlockSpec((1, 1), lambda g, j: (0, 0), memory_space=pltpu.SMEM),
+    ] + [full(w) for w in weights]
+    out_spec = pl.BlockSpec(
+        (4, tile), lambda g, j: (0, g * tpg + j), memory_space=pltpu.VMEM
+    )
+    return grid, in_specs, out_spec, full
+
+
 @functools.partial(jax.jit, static_argnames=("depth", "skips", "interpret", "tile"))
 def fused_field(
-    pts_t: jax.Array,  # (3, NS) f32, NS % tile == 0
-    dirs_t: jax.Array,  # (3, NS)
-    rot: jax.Array,  # (24, 9)
-    trn: jax.Array,  # (24, 3)
+    pts_t: jax.Array,  # (3, NS) f32; NS % (n_groups * tile) == 0,
+    dirs_t: jax.Array,  # (3, NS)    points contiguous per pose group
+    rot: jax.Array,  # (G, 24, 9)
+    trn: jax.Array,  # (G, 24, 3)
     cut: jax.Array,  # (24, 1)
     tau: jax.Array,  # (1, 1)
     params: FusedFieldParams,
@@ -243,43 +317,20 @@ def fused_field(
 ) -> jax.Array:
     """-> raw_t (4, NS) [r, g, b, sigma]."""
     ns = pts_t.shape[1]
-    weights = []
-    for i in range(depth):
-        weights.extend([params.w_pts[i], params.b_pts[i]])
-    weights.extend(
-        [
-            params.w_alpha, params.b_alpha,
-            params.w_feat, params.b_feat,
-            params.w_view, params.b_view,
-            params.w_rgb, params.b_rgb,
-        ]
-    )
-
+    weights = flatten_weights(params, depth)
     kernel = functools.partial(_field_kernel, depth, skips)
-    tile_spec = lambda: pl.BlockSpec(
-        (3, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    grid, in_specs, out_spec, _ = grouped_specs(
+        ns, rot.shape[0], tile, rot, trn, cut, weights
     )
-    full = lambda a: pl.BlockSpec(
-        a.shape, lambda i: tuple(0 for _ in a.shape), memory_space=pltpu.VMEM
-    )
-    in_specs = [
-        tile_spec(),
-        tile_spec(),
-        full(rot),
-        full(trn),
-        full(cut),
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-    ] + [full(w) for w in weights]
-
     flops_per_pt = 2 * (
         432 * 256 + 6 * 256 * 256 + 688 * 256 + 256 * 256 + 256 + 904 * 128 + 3 * 128
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((4, ns), jnp.float32),
-        grid=(ns // tile,),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pt * ns,
             bytes_accessed=(3 + 3 + 4) * 4 * ns + 2_000_000,
@@ -298,14 +349,28 @@ def fused_run_net(
     ctx,
     prepared: FusedFieldParams = None,
     interpret: bool = False,
+    trainable: bool = False,
 ) -> jax.Array:
     """Drop-in replacement for raycast._run_net on the supported subset.
 
     Returns raw (N, S, 4). Pads the flattened point set to the tile size.
+    trainable=True routes through the custom-VJP forward/backward pair
+    (kernels/field_grad.py) so weight gradients flow.
     """
+    from posegen_tpu.kernels.field_grad import TRAIN_TILE, make_trainable_field
+
     N, S = pts.shape[:2]
     ns = N * S
-    pad = (-ns) % POINT_TILE
+    tile = TRAIN_TILE if trainable else POINT_TILE
+
+    G = ctx.skts.shape[0]  # pose groups (rays must be contiguous per group)
+    if N % G != 0:
+        raise ValueError(f"rays ({N}) not divisible into {G} pose groups")
+    if G > 1 and (ns // G) % tile != 0:
+        raise ValueError(
+            f"points per group ({ns // G}) not a multiple of tile {tile}"
+        )
+    pad = (-ns) % tile if G == 1 else 0
 
     pts_t = pts.reshape(ns, 3).T
     dirs = jnp.broadcast_to(rays_d[:, None], (N, S, 3)).reshape(ns, 3).T
@@ -313,19 +378,26 @@ def fused_run_net(
         pts_t = jnp.pad(pts_t, ((0, 0), (0, pad)), constant_values=1.0)
         dirs = jnp.pad(dirs, ((0, 0), (0, pad)), constant_values=1.0)
 
-    skt = ctx.skts[0]  # (24, 4, 4), single pose
-    rot = skt[:, :3, :3].reshape(24, 9)
-    trn = skt[:, :3, 3]
+    rot = ctx.skts[:, :, :3, :3].reshape(G, 24, 9)
+    trn = ctx.skts[:, :, :3, 3].reshape(G, 24, 3)
     cut = embed_state["cutoff_dist"][:, None]
     tau = embed_state["tau"].reshape(1, 1)
 
-    if prepared is None:
-        prepared = prepare_params(net_params)
-    raw_t = fused_field(
-        pts_t, dirs, rot, trn, cut, tau, prepared,
-        depth=cfg.netdepth, skips=(4,) if cfg.netdepth > 4 else (),
-        interpret=interpret,
-    )
+    skips = (4,) if cfg.netdepth > 4 else ()
+    if trainable:
+        prepared = prepare_params(net_params, skips=skips, dtype=jnp.float32)
+        f = make_trainable_field(
+            depth=cfg.netdepth, skips=skips, interpret=interpret
+        )
+        raw_t = f(pts_t, dirs, rot, trn, cut, tau, prepared)
+    else:
+        if prepared is None:
+            prepared = prepare_params(net_params, skips=skips)
+        raw_t = fused_field(
+            pts_t, dirs, rot, trn, cut, tau, prepared,
+            depth=cfg.netdepth, skips=skips,
+            interpret=interpret,
+        )
     if pad:
         raw_t = raw_t[:, :ns]
     return raw_t.T.reshape(N, S, 4)

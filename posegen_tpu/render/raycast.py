@@ -272,6 +272,7 @@ def _run_net(
         return fused.fused_run_net(
             cfg, net_params, params["embed_kp"], pts, rays_d, ctx,
             interpret=jax.default_backend() == "cpu",
+            trainable=use_fused == "train",
         )
     x_pts, x_views, _ = encode_inputs(cfg, params, pts, rays_d, ctx)
     frame_idx = None

@@ -54,6 +54,10 @@ class TrainConfig:
     cutoff_step: int = 250
     cutoff_rate: float = 10.0
     freq_schedule_step: int = 5
+    # Pallas trainable field kernel (kernels/field_grad.py): None = auto
+    # (on TPU, when the config qualifies and rays group evenly per pose)
+    fused_train: Optional[bool] = None
+    rays_per_image: int = 0  # rays per pose group in a batch (0 = one group)
 
 
 class TrainState(NamedTuple):
@@ -182,6 +186,37 @@ def make_train_step(
     opt = nerf_optimizer(tcfg)
     popt = pose_optimizer(tcfg) if tcfg.opt_pose else None
 
+    def _fused_train_mode(params, batch) -> Any:
+        """'train' when the custom-VJP Pallas kernel applies, else False.
+
+        Requirements (all static at trace time): TPU backend, supported
+        config, no pose refinement (its gradients flow into skts, which the
+        weight-gradient-only kernel does not propagate), framecodes off, and
+        rays grouping evenly into per-pose blocks whose sample counts are
+        tile multiples.
+        """
+        from posegen_tpu.kernels.field import supports_fused_config
+        from posegen_tpu.kernels.field_grad import TRAIN_TILE
+
+        enabled = tcfg.fused_train
+        if enabled is None:
+            # auto only single-chip: XLA does not partition pallas_call under
+            # jit sharding, so multi-device runs keep the XLA path unless the
+            # user forces fused_train=True
+            enabled = jax.default_backend() == "tpu" and jax.device_count() == 1
+        if not enabled or tcfg.opt_pose or not supports_fused_config(cfg):
+            return False
+        if len(params["coarse"].get("views_linears", [0])) != 1:
+            return False
+        n = batch["rays_o"].shape[0]
+        rpi = tcfg.rays_per_image or n
+        if n % rpi != 0:
+            return False
+        for s in (cfg.N_samples, cfg.N_samples + cfg.N_importance):
+            if (rpi * s) % TRAIN_TILE != 0:
+                return False
+        return "train"
+
     def loss_fn(params, pose_params, embeds, batch, key):
         if tcfg.opt_pose and pose_params is not None:
             kps, bones, skts, _ = pose_apply(
@@ -189,16 +224,29 @@ def make_train_step(
             )
         else:
             kps, bones, skts = batch["kp3d"], batch["bones"], batch["skts"]
-        ctx = PoseCtx(
-            kps=kps, skts=skts, bones=bones, cyls=batch["cyls"],
-            cam_idxs=batch.get("cam_idxs"),
-        )
+
+        use_fused = _fused_train_mode(params, batch)
+        if use_fused == "train":
+            # per-pose-group skts: rays are contiguous per image in a batch
+            # (RayBatchLoader layout), so row 0 of each group is its pose
+            n = batch["rays_o"].shape[0]
+            rpi = tcfg.rays_per_image or n
+            skts_g = skts.reshape(n // rpi, rpi, *skts.shape[1:])[:, 0]
+            kps_g = kps.reshape(n // rpi, rpi, *kps.shape[1:])[:, 0]
+            bones_g = bones.reshape(n // rpi, rpi, *bones.shape[1:])[:, 0]
+            ctx = PoseCtx(
+                kps=kps_g, skts=skts_g, bones=bones_g, cyls=batch["cyls"],
+                cam_idxs=batch.get("cam_idxs"),
+            )
+        else:
+            ctx = PoseCtx(
+                kps=kps, skts=skts, bones=bones, cyls=batch["cyls"],
+                cam_idxs=batch.get("cam_idxs"),
+            )
         all_params = {**params, **embeds}
-        # training differentiates through the renderer -> XLA path (the
-        # Pallas fused kernel is forward-only; see kernels/field.py)
         ret = render_rays(
             cfg, all_params, batch["rays_o"], batch["rays_d"], ctx, key=key,
-            use_fused=False,
+            use_fused=use_fused,
         )
         total, stats = compute_losses(tcfg, ret, batch)
         if (

@@ -1,0 +1,89 @@
+"""Custom-VJP fused field: weight gradients match the XLA autodiff path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posegen_tpu.kernels.field import fused_run_net
+from posegen_tpu.models import nerf as nerf_mod
+from posegen_tpu.render.raycast import RaycastConfig, encode_inputs
+from posegen_tpu.utils.fixtures import make_problem
+
+CFG = RaycastConfig()
+
+
+@pytest.fixture
+def f32_matmuls():
+    """Exactness mode: CPU XLA computes f32 matmuls exactly, so comparing
+    against the kernel's bf16 MXU casts only measures rounding noise.
+    Temporarily run the kernels in f32 to verify the backward MATH."""
+    import posegen_tpu.kernels.field as field
+
+    orig = field.MM_DTYPE
+    field.MM_DTYPE = jnp.float32
+    yield
+    field.MM_DTYPE = orig
+
+
+@pytest.mark.slow
+def test_trainable_fused_grads_match_xla(f32_matmuls):
+    cfg, params, ctx, ro, rd = make_problem(CFG, n_rays=8)
+    n, s = 8, 6
+    key = jax.random.PRNGKey(3)
+    z = jnp.sort(jax.random.uniform(key, (n, s), minval=0.5, maxval=2.0), axis=-1)
+    pts = ro[:, None] + rd[:, None] * z[..., None]
+    # a fixed random cotangent-inducing loss
+    wgt = jax.random.normal(jax.random.PRNGKey(7), (n, s, 4))
+
+    def loss_xla(net):
+        x_pts, x_views, _ = encode_inputs(cfg, params, pts, rd, ctx)
+        raw = nerf_mod.nerf_apply(cfg.nerf_cfg, net, x_pts, x_views)
+        return jnp.sum(raw * wgt)
+
+    def loss_fused(net):
+        raw = fused_run_net(
+            cfg, net, params["embed_kp"], pts, rd, ctx,
+            interpret=True, trainable=True,
+        )
+        return jnp.sum(raw * wgt)
+
+    g_xla = jax.grad(loss_xla)(params["coarse"])
+    g_fus = jax.grad(loss_fused)(params["coarse"])
+
+    flat_x, _ = jax.tree_util.tree_flatten_with_path(g_xla)
+    flat_f = dict(jax.tree_util.tree_flatten_with_path(g_fus)[0])
+    checked = 0
+    all_x, all_f = [], []
+    for path, gx in flat_x:
+        gf = flat_f[path]
+        gx, gf = np.asarray(gx), np.asarray(gf)
+        all_x.append(gx.ravel())
+        all_f.append(gf.ravel())
+        scale = max(np.abs(gx).max(), 1e-3)
+        err = np.abs(gf - gx).max() / scale
+        assert err < 1e-4, f"{jax.tree_util.keystr(path)}: rel err {err}"
+        checked += 1
+    assert checked >= 20  # all layers covered
+    vx, vf = np.concatenate(all_x), np.concatenate(all_f)
+    rel_l2 = float(np.linalg.norm(vf - vx) / (np.linalg.norm(vx) + 1e-12))
+    assert rel_l2 < 1e-5, f"gradient rel L2 {rel_l2}"
+
+
+@pytest.mark.slow
+def test_trainable_fused_value_matches_inference_kernel():
+    cfg, params, ctx, ro, rd = make_problem(CFG, n_rays=8)
+    z = jnp.sort(
+        jax.random.uniform(jax.random.PRNGKey(0), (8, 6), minval=0.5, maxval=2.0), -1
+    )
+    pts = ro[:, None] + rd[:, None] * z[..., None]
+    raw_inf = fused_run_net(
+        cfg, params["coarse"], params["embed_kp"], pts, rd, ctx, interpret=True
+    )
+    raw_tr = fused_run_net(
+        cfg, params["coarse"], params["embed_kp"], pts, rd, ctx,
+        interpret=True, trainable=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw_tr), np.asarray(raw_inf), rtol=2e-2, atol=2e-3
+    )

@@ -1,0 +1,83 @@
+"""Trainer with the custom-VJP fused kernel == XLA-path training (f32 mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posegen_tpu.render.raycast import RaycastConfig, init_raycaster
+from posegen_tpu.train.trainer import TrainConfig, create_train_state, make_train_step
+from posegen_tpu.utils.fixtures import make_pose_ctx, make_rays
+
+CFG = RaycastConfig()  # flagship 64+16, 8x256
+
+
+def _grouped_batch(rng, n_images=2, rpi=16):
+    """Batch with per-image pose groups (the RayBatchLoader layout)."""
+    n = n_images * rpi
+    parts = []
+    for i in range(n_images):
+        ctx = make_pose_ctx(seed=i)
+        ro, rd = make_rays(rpi, seed=10 + i)
+        parts.append({
+            "rays_o": np.asarray(ro),
+            "rays_d": np.asarray(rd),
+            "target_s": rng.uniform(0, 1, (rpi, 3)).astype(np.float32),
+            "kp3d": np.tile(np.asarray(ctx.kps), (rpi, 1, 1)),
+            "skts": np.tile(np.asarray(ctx.skts), (rpi, 1, 1, 1)),
+            "bones": np.tile(np.asarray(ctx.bones), (rpi, 1, 1)),
+            "cyls": np.tile(np.asarray(ctx.cyls), (rpi, 1)),
+        })
+    return {k: jnp.asarray(np.concatenate([p[k] for p in parts])) for k in parts[0]}
+
+
+@pytest.mark.slow
+def test_fused_train_step_matches_xla(rng):
+    import posegen_tpu.kernels.field as field
+
+    orig = field.MM_DTYPE
+    field.MM_DTYPE = jnp.float32  # exactness mode (see test_fused_grad)
+    try:
+        batch = _grouped_batch(rng)
+        variables = init_raycaster(jax.random.PRNGKey(0), CFG)
+        key = jax.random.PRNGKey(5)
+
+        tcfg_x = TrainConfig(fused_train=False, rays_per_image=16)
+        tcfg_f = TrainConfig(fused_train=True, rays_per_image=16)
+
+        s_x = create_train_state(variables, tcfg_x)
+        s_f = create_train_state(variables, tcfg_f)
+        step_x = make_train_step(CFG, tcfg_x)
+        step_f = make_train_step(CFG, tcfg_f)
+
+        s_x, stats_x = step_x(s_x, batch, key)
+        s_f, stats_f = step_f(s_f, batch, key)
+
+        assert np.isfinite(float(stats_f["total_loss"]))
+        np.testing.assert_allclose(
+            float(stats_f["total_loss"]), float(stats_x["total_loss"]),
+            rtol=1e-4,
+        )
+        # updated parameters agree to numerical noise
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(s_x.params)[0],
+            jax.tree_util.tree_flatten_with_path(s_f.params)[0],
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            err = np.abs(a - b).max()
+            assert err < 5e-5, f"{jax.tree_util.keystr(path)}: {err}"
+    finally:
+        field.MM_DTYPE = orig
+
+
+def test_fused_train_mode_gating(rng):
+    """Fused-train auto-disables on bad grouping / pose-opt / framecodes."""
+    batch = _grouped_batch(rng, n_images=2, rpi=16)
+    variables = init_raycaster(jax.random.PRNGKey(0), CFG)
+
+    # rpi that breaks tile divisibility -> falls back to XLA, still works
+    tcfg = TrainConfig(fused_train=True, rays_per_image=8)
+    state = create_train_state(variables, tcfg)
+    step = make_train_step(CFG, tcfg)
+    state, stats = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(stats["total_loss"]))

@@ -54,11 +54,13 @@ def test_gan_trainer_with_spin_feedback(rng, tmp_path):
         cfg, renderer, spin_params, spin_state, gen_cfg=TINY_GEN, steps_per_epoch=2
     )
     poses = (rng.standard_normal((2, 24, 3)) * 0.2).astype(np.float32)
-    s1 = trainer.train_step(poses)  # no feedback yet (no last bones)
-    assert s1["spin_loss"] == 0.0
-    s2 = trainer.train_step(poses)  # feedback engages
+    # feedback engages immediately: the reward is computed on THIS
+    # iteration's generated poses (pre-run with the update's PRNG key)
+    s1 = trainer.train_step(poses)
+    assert np.isfinite(s1["gen_loss"])
+    assert s1["spin_loss"] != 0.0
+    s2 = trainer.train_step(poses)
     assert np.isfinite(s2["gen_loss"])
-    assert s2["spin_loss"] != 0.0
     # dataset sink wrote renders + poses
     assert (tmp_path / "render_output" / "image" / "00000.png").exists()
 
