@@ -28,7 +28,7 @@ def render_parser() -> argparse.ArgumentParser:
     p.add_argument("--selected_idxs", type=int, nargs="+", default=None)
     p.add_argument("--bullet_n", type=int, default=12)
     p.add_argument("--interp_n", type=int, default=5)
-    p.add_argument("--chunk", type=int, default=8192)
+    p.add_argument("--chunk", type=int, default=65536)
     p.add_argument("--render_res", type=int, nargs=2, default=None)
     p.add_argument("--white_bkgd", action="store_true")
     p.add_argument("--eval", action="store_true")

@@ -50,6 +50,9 @@ def valid_rays_for_pose(
     return ro.astype(np.float32), rd.astype(np.float32), valid_idx, (tl, br)
 
 
+KEEP_MAPS = ("rgb_map", "acc_map", "disp_map")
+
+
 def _render_chunks(
     cfg: RaycastConfig,
     params: Dict[str, Any],
@@ -58,8 +61,15 @@ def _render_chunks(
     ctx: PoseCtx,
     chunk: int,
     render_fn=None,
+    keys: Tuple[str, ...] = KEEP_MAPS,
 ) -> Dict[str, np.ndarray]:
-    """Pad the ray set to a chunk multiple and run fixed-shape device batches."""
+    """Pad the ray set to a chunk multiple and run fixed-shape device batches.
+
+    Only `keys` are read back: the per-sample maps (alpha/weights, ~40 MB per
+    32k-ray chunk) cost more in device->host transfer than the whole render
+    compute on tunneled TPUs. Async dispatch: all chunks are enqueued before
+    any readback, so transfers overlap compute.
+    """
     n = rays_o.shape[0]
     n_pad = (-n) % chunk
     ro = np.concatenate([rays_o, np.broadcast_to(rays_o[-1:], (n_pad, 3))]) if n_pad else rays_o
@@ -72,9 +82,14 @@ def _render_chunks(
             )
         )
 
-    outs: Dict[str, List[np.ndarray]] = {}
+    device_outs: List[Dict[str, jax.Array]] = []
     for i in range(0, ro.shape[0], chunk):
-        ret = render_fn(params, jnp.asarray(ro[i : i + chunk]), jnp.asarray(rd[i : i + chunk]), ctx)
+        ret = render_fn(
+            params, jnp.asarray(ro[i : i + chunk]), jnp.asarray(rd[i : i + chunk]), ctx
+        )
+        device_outs.append({k: v for k, v in ret.items() if k in keys})
+    outs: Dict[str, List[np.ndarray]] = {}
+    for ret in device_outs:
         for k, v in ret.items():
             outs.setdefault(k, []).append(np.asarray(v))
     return {k: np.concatenate(v)[:n] for k, v in outs.items()}
