@@ -218,16 +218,19 @@ class H5RayDataset:
 
         kp_i = int(self.kp_idxs[img_idx])
         n = pix.shape[0]
+        # pose arrays are PER-IMAGE rows (leading dim 1): batches concatenate
+        # them to (n_images, ...) and the trainer expands on device — sending
+        # per-ray copies would ship ~256x redundant bytes to the accelerator
         return {
             "rays_o": rays_o.astype(np.float32),
             "rays_d": rays_d.astype(np.float32),
             "target_s": target,
             "fgs": fg,
             "bgs": bg,
-            "kp3d": np.broadcast_to(self.kp3d[kp_i], (n, *self.kp3d.shape[1:])),
-            "bones": np.broadcast_to(self.bones[kp_i], (n, *self.bones.shape[1:])),
-            "skts": np.broadcast_to(self.skts[kp_i], (n, *self.skts.shape[1:])),
-            "cyls": np.broadcast_to(self.cyls[kp_i], (n, 5)),
+            "kp3d": self.kp3d[kp_i : kp_i + 1],
+            "bones": self.bones[kp_i : kp_i + 1],
+            "skts": self.skts[kp_i : kp_i + 1],
+            "cyls": self.cyls[kp_i : kp_i + 1],
             "kp_idx": np.full((n,), kp_i, np.int32),
             "cam_idxs": np.full((n, 1), self.cam_idxs[img_idx], np.int32),
         }
@@ -272,10 +275,10 @@ class H5RayDataset:
             "target_s": target,
             "fgs": fg,
             "bgs": bg,
-            "kp3d": np.broadcast_to(self.kp3d[kp_i], (n, *self.kp3d.shape[1:])),
-            "bones": np.broadcast_to(self.bones[kp_i], (n, *self.bones.shape[1:])),
-            "skts": np.broadcast_to(self.skts[kp_i], (n, *self.skts.shape[1:])),
-            "cyls": np.broadcast_to(self.cyls[kp_i], (n, 5)),
+            "kp3d": self.kp3d[kp_i : kp_i + 1],
+            "bones": self.bones[kp_i : kp_i + 1],
+            "skts": self.skts[kp_i : kp_i + 1],
+            "cyls": self.cyls[kp_i : kp_i + 1],
             "kp_idx": np.full((n,), kp_i, np.int32),
             "cam_idxs": np.full((n, 1), self.cam_idxs[img_idx], np.int32),
         }

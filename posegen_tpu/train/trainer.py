@@ -209,15 +209,19 @@ def make_train_step(
         if len(params["coarse"].get("views_linears", [0])) != 1:
             return False
         n = batch["rays_o"].shape[0]
-        rpi = tcfg.rays_per_image or n
-        if n % rpi != 0:
+        g = batch["skts"].shape[0]  # pose groups carried by the batch
+        if g == 1:
+            return "train"  # single group: fused_run_net pads to the tile
+        if n % g != 0:
             return False
+        rpi = n // g
         for s in (cfg.N_samples, cfg.N_samples + cfg.N_importance):
             if (rpi * s) % TRAIN_TILE != 0:
                 return False
         return "train"
 
     def loss_fn(params, pose_params, embeds, batch, key):
+        n = batch["rays_o"].shape[0]
         if tcfg.opt_pose and pose_params is not None:
             kps, bones, skts, _ = pose_apply(
                 pose_params, batch["kp_idx"], rest_pose, skel, kp_map
@@ -225,22 +229,28 @@ def make_train_step(
         else:
             kps, bones, skts = batch["kp3d"], batch["bones"], batch["skts"]
 
+        # batches carry pose arrays per IMAGE group (G rows, rays contiguous
+        # per group — the RayBatchLoader layout), not per ray: expanding on
+        # device saves ~rays_per_image x of host->device transfer
+        g = skts.shape[0]
+        cyls = batch["cyls"]
+        if 1 < g < n:
+            cyls = jnp.repeat(cyls, n // g, axis=0) if cyls.shape[0] == g else cyls
+
         use_fused = _fused_train_mode(params, batch)
-        if use_fused == "train":
-            # per-pose-group skts: rays are contiguous per image in a batch
-            # (RayBatchLoader layout), so row 0 of each group is its pose
-            n = batch["rays_o"].shape[0]
-            rpi = tcfg.rays_per_image or n
-            skts_g = skts.reshape(n // rpi, rpi, *skts.shape[1:])[:, 0]
-            kps_g = kps.reshape(n // rpi, rpi, *kps.shape[1:])[:, 0]
-            bones_g = bones.reshape(n // rpi, rpi, *bones.shape[1:])[:, 0]
+        if use_fused == "train" and g != n:
             ctx = PoseCtx(
-                kps=kps_g, skts=skts_g, bones=bones_g, cyls=batch["cyls"],
+                kps=kps, skts=skts, bones=bones, cyls=cyls,
                 cam_idxs=batch.get("cam_idxs"),
             )
         else:
+            if 1 < g < n:  # expand per-group rows to per-ray for the XLA path
+                rep = n // g
+                kps = jnp.repeat(kps, rep, axis=0)
+                bones = jnp.repeat(bones, rep, axis=0)
+                skts = jnp.repeat(skts, rep, axis=0)
             ctx = PoseCtx(
-                kps=kps, skts=skts, bones=bones, cyls=batch["cyls"],
+                kps=kps, skts=skts, bones=bones, cyls=cyls,
                 cam_idxs=batch.get("cam_idxs"),
             )
         all_params = {**params, **embeds}

@@ -28,8 +28,9 @@ def test_dataset_sample_shapes(h5_path):
     assert s["rays_o"].shape == (32, 3)
     assert s["rays_d"].shape == (32, 3)
     assert s["target_s"].shape == (32, 3)
-    assert s["skts"].shape == (32, 24, 4, 4)
-    assert s["cyls"].shape == (32, 5)
+    # pose arrays are per-image rows (one row per sampled image)
+    assert s["skts"].shape == (1, 24, 4, 4)
+    assert s["cyls"].shape == (1, 5)
     assert s["kp_idx"].shape == (32,)
     # sampled pixels mostly on the person (dilated mask)
     assert s["fgs"].mean() > 0.4

@@ -13,8 +13,8 @@ CFG = RaycastConfig()  # flagship 64+16, 8x256
 
 
 def _grouped_batch(rng, n_images=2, rpi=16):
-    """Batch with per-image pose groups (the RayBatchLoader layout)."""
-    n = n_images * rpi
+    """Batch with per-image pose ROWS (the RayBatchLoader layout: pose
+    arrays have one row per image; rays are contiguous per image)."""
     parts = []
     for i in range(n_images):
         ctx = make_pose_ctx(seed=i)
@@ -23,10 +23,10 @@ def _grouped_batch(rng, n_images=2, rpi=16):
             "rays_o": np.asarray(ro),
             "rays_d": np.asarray(rd),
             "target_s": rng.uniform(0, 1, (rpi, 3)).astype(np.float32),
-            "kp3d": np.tile(np.asarray(ctx.kps), (rpi, 1, 1)),
-            "skts": np.tile(np.asarray(ctx.skts), (rpi, 1, 1, 1)),
-            "bones": np.tile(np.asarray(ctx.bones), (rpi, 1, 1)),
-            "cyls": np.tile(np.asarray(ctx.cyls), (rpi, 1)),
+            "kp3d": np.asarray(ctx.kps),
+            "skts": np.asarray(ctx.skts),
+            "bones": np.asarray(ctx.bones),
+            "cyls": np.asarray(ctx.cyls),
         })
     return {k: jnp.asarray(np.concatenate([p[k] for p in parts])) for k in parts[0]}
 
@@ -75,9 +75,11 @@ def test_fused_train_mode_gating(rng):
     batch = _grouped_batch(rng, n_images=2, rpi=16)
     variables = init_raycaster(jax.random.PRNGKey(0), CFG)
 
-    # rpi that breaks tile divisibility -> falls back to XLA, still works
-    tcfg = TrainConfig(fused_train=True, rays_per_image=8)
+    # grouping that breaks tile divisibility (24 rays/group x 80 samples is
+    # not a 256 multiple) -> falls back to the XLA path, still works
+    bad = _grouped_batch(rng, n_images=2, rpi=24)
+    tcfg = TrainConfig(fused_train=True)
     state = create_train_state(variables, tcfg)
     step = make_train_step(CFG, tcfg)
-    state, stats = step(state, batch, jax.random.PRNGKey(0))
+    state, stats = step(state, bad, jax.random.PRNGKey(0))
     assert np.isfinite(float(stats["total_loss"]))
