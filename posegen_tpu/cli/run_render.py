@@ -24,7 +24,8 @@ def render_parser() -> argparse.ArgumentParser:
     p.add_argument("--outputdir", type=str, default="render_output")
     p.add_argument("--runname", type=str, default="render")
     p.add_argument("--render_type", type=str, default="val",
-                   choices=["val", "bullet", "interpolate", "mesh", "retarget"])
+                   choices=["val", "bullet", "interpolate", "mesh", "retarget",
+                            "animate", "poserot", "selected"])
     p.add_argument("--selected_idxs", type=int, nargs="+", default=None)
     p.add_argument("--bullet_n", type=int, default=12)
     p.add_argument("--interp_n", type=int, default=5)
@@ -115,7 +116,10 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
     from posegen_tpu.render.raycast import PoseCtx
 
     dcfg = args_to_data_config(targs)
-    dcfg.num_val_images = max(len(args.selected_idxs or [2, 2]), 2)
+    if args.render_type in ("animate",):
+        dcfg.num_val_images = 10**9  # all frames (load_data clips to dataset size)
+    else:
+        dcfg.num_val_images = max(len(args.selected_idxs or [2, 2]), 2)
     _, render_data, attrs = load_data(dcfg)
 
     out_dir = os.path.join(args.outputdir, args.runname)
@@ -189,6 +193,47 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
             for i in range(len(bones))
         ]
         c2ws = np.broadcast_to(render_data["c2ws"][0], (len(bones), 4, 4))
+    elif args.render_type == "poserot":
+        # fixed body pose, root-bone rotation sweep
+        # (reference load_poserotate, run_render.py:700-760)
+        import jax.numpy as jnp
+
+        from posegen_tpu.skeleton.geometry import get_kp_bounding_cylinder
+        from posegen_tpu.skeleton.kinematics import invert_rigid, smpl_l2ws
+        from posegen_tpu.skeleton.rotations import axisang_to_rot, rot_to_axisang
+
+        base = np.asarray(render_data["bones"][0])
+        n = args.bullet_n
+        bones = np.tile(base[None], (n, 1, 1)).astype(np.float32)
+        for i, t in enumerate(np.linspace(0, 2 * np.pi, n, endpoint=False)):
+            rot_y = axisang_to_rot(jnp.asarray([0.0, t, 0.0]))
+            root = rot_to_axisang(rot_y @ axisang_to_rot(jnp.asarray(base[0])))
+            bones[i, 0] = np.asarray(root)
+        rest = attrs["rest_pose"]
+        l2ws = np.asarray(smpl_l2ws(jnp.asarray(bones), rest_pose=rest))
+        kps = l2ws[..., :3, 3]
+        skts = np.asarray(invert_rigid(jnp.asarray(l2ws)))
+        cyls = np.asarray(get_kp_bounding_cylinder(jnp.asarray(kps), ext_scale=0.001))
+        ctxs = [
+            PoseCtx(kps=kps[i : i + 1], skts=skts[i : i + 1],
+                    bones=bones[i : i + 1], cyls=cyls[i : i + 1].astype(np.float32))
+            for i in range(n)
+        ]
+        c2ws = np.broadcast_to(render_data["c2ws"][0], (n, 4, 4))
+    elif args.render_type in ("animate", "selected"):
+        # dataset pose sequence (animate: fixed cam; selected: chosen idxs
+        # with their own cams — reference load_selected/animate)
+        n_all = render_data["imgs"].shape[0]
+        idxs = (
+            [i for i in args.selected_idxs if i < n_all]
+            if args.selected_idxs
+            else list(range(n_all))
+        )
+        ctxs = [ctx_for(i) for i in idxs]
+        if args.render_type == "animate":
+            c2ws = np.broadcast_to(render_data["c2ws"][0], (len(idxs), 4, 4))
+        else:
+            c2ws = render_data["c2ws"][idxs]
     else:  # val
         n = render_data["imgs"].shape[0]
         ctxs = [ctx_for(i) for i in range(n)]

@@ -100,8 +100,13 @@ def load_data(cfg: DataConfig) -> Tuple[RayBatchLoader, Dict[str, Any], Dict[str
     loader = RayBatchLoader(ds, n_images_per_batch=cfg.n_sample_images, seed=cfg.seed)
 
     # held-out render/eval views: evenly spaced images
-    val_idxs = np.linspace(
-        0, base.n_images - 1, max(cfg.num_val_images, 1), dtype=np.int64
+    val_idxs = np.unique(
+        np.linspace(
+            0,
+            base.n_images - 1,
+            min(max(cfg.num_val_images, 1), base.n_images),
+            dtype=np.int64,
+        )
     )
     render_data = base.get_render_data(list(val_idxs))
 

@@ -112,3 +112,45 @@ def test_gan_cli_smoke(tmp_path):
         "--outputdir", str(tmp_path), "--runname", "smoke",
     ])
     assert trainer.iter_num > 0
+
+
+@pytest.mark.slow
+def test_render_modes(tmp_path):
+    """animate / poserot / selected / bullet / interpolate modes all render."""
+    import jax
+
+    from posegen_tpu.cli.config import (
+        args_to_raycast_config, args_to_train_config, dump_args,
+        nerf_config_parser, parse_with_config,
+    )
+    from posegen_tpu.render.raycast import init_raycaster
+    from posegen_tpu.train.checkpoints import save_checkpoint
+    from posegen_tpu.train.trainer import create_train_state
+
+    args = parse_with_config(
+        nerf_config_parser(),
+        ["--config", "configs/synthetic/demo.txt",
+         "--basedir", str(tmp_path / "logs"), "--data_root", str(tmp_path / "data")],
+    )
+    log_dir = str(tmp_path / "logs" / args.expname)
+    dump_args(log_dir, args)
+    cfg = args_to_raycast_config(args)
+    state = create_train_state(
+        init_raycaster(jax.random.PRNGKey(0), cfg), args_to_train_config(args)
+    )
+    ckpt = save_checkpoint(log_dir, state, step=1)
+
+    from posegen_tpu.cli.run_render import run_render
+
+    for mode, extra in (
+        ("poserot", ["--bullet_n", "2"]),
+        ("selected", ["--selected_idxs", "0", "3"]),
+        ("animate", ["--selected_idxs", "0", "1", "2"]),
+    ):
+        out = run_render([
+            "--nerf_args", os.path.join(log_dir, "args.txt"),
+            "--ckptpath", ckpt,
+            "--outputdir", str(tmp_path / "ro"), "--runname", mode,
+            "--render_type", mode, "--chunk", "2048",
+        ] + extra)
+        assert os.path.exists(os.path.join(out, "image", "00000.png")), mode
