@@ -72,7 +72,6 @@ def supports_fused_config(cfg) -> bool:
         and cfg.cutoff_inputs
         and not cfg.cutoff_bones
         and not cfg.freq_schedule
-        and not cfg.opt_framecode
         and cfg.use_viewdirs
         and cfg.n_joints == N_JOINTS
         and not cfg.cut_to_dist
@@ -88,6 +87,7 @@ def supports_fused(cfg, ctx, net_params: Dict) -> bool:
         supports_fused_config(cfg)
         and len(net_params.get("views_linears", [0])) == 1
         and ctx.kps.shape[0] == 1
+        and (not cfg.opt_framecode or ctx.cam_idxs is not None)
     )
 
 
@@ -116,7 +116,8 @@ def _view_row_perm() -> np.ndarray:
 
 
 def prepare_params(
-    net: Dict, skips: Tuple[int, ...] = (4,), dtype=jnp.bfloat16
+    net: Dict, skips: Tuple[int, ...] = (4,), dtype=jnp.bfloat16,
+    code_ch: int = 0,
 ) -> FusedFieldParams:
     """Transpose/cast/permute a NeRF params subtree for the kernel.
 
@@ -142,8 +143,10 @@ def prepare_params(
         else:
             w_pts.append(tw(lay))
 
-    # views input = [feature (256) | x_views (648)]
-    vperm = np.concatenate([np.arange(256), 256 + view_perm])
+    # views input = [feature (256) | x_views (648) | framecode (code_ch)]
+    vperm = np.concatenate(
+        [np.arange(256), 256 + view_perm, 256 + VIEW_CH + np.arange(code_ch)]
+    )
     return FusedFieldParams(
         w_pts=tuple(w_pts),
         b_pts=tuple(tb(l) for l in net["pts_linears"]),
@@ -228,12 +231,14 @@ def mm_t(w, h):
 def _field_kernel(
     depth: int,
     skips: Tuple[int, ...],
+    code_ch: int,
     pts_ref,  # (3, P) f32
     dirs_ref,  # (3, P) f32
-    rot_ref,  # (24, 9) f32   row-major R of skts
-    trn_ref,  # (24, 3) f32
+    rot_ref,  # (1, 24, 9) f32   this group's skts rotations
+    trn_ref,  # (1, 24, 3) f32
     cut_ref,  # (24, 1) f32
     tau_ref,  # (1, 1) f32 SMEM
+    code_ref,  # (1, max(code_ch, 1)) f32 per-group framecode
     *refs,  # weights..., out_ref
 ):
     out_ref = refs[-1]
@@ -242,6 +247,7 @@ def _field_kernel(
     e_pts, e_view = encode_channels(
         pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref, tau_ref
     )
+    P = e_pts.shape[1]
 
     h = e_pts
     x0 = e_pts
@@ -252,7 +258,12 @@ def _field_kernel(
     k = 2 * depth
     alpha = mm_t(wrefs[k][:, :], h) + wrefs[k + 1][:, :]  # (1, P)
     feat = mm_t(wrefs[k + 2][:, :], h) + wrefs[k + 3][:, :]  # (256, P)
-    hv = jnp.concatenate([feat, e_view], axis=0)  # (904, P)
+    parts = [feat, e_view]
+    if code_ch > 0:
+        # per-group framecode broadcast across the tile (reference
+        # nerf.py:154-158 concatenates Optcodes output into the view branch)
+        parts.append(jnp.broadcast_to(code_ref[0][:, None], (code_ch, P)))
+    hv = jnp.concatenate(parts, axis=0)  # (904 + code_ch, P)
     hv = jnp.maximum(mm_t(wrefs[k + 4][:, :], hv) + wrefs[k + 5][:, :], 0.0)  # (128, P)
     rgb = mm_t(wrefs[k + 6][:, :], hv) + wrefs[k + 7][:, :]  # (3, P)
 
@@ -274,7 +285,7 @@ def flatten_weights(params: FusedFieldParams, depth: int):
     return ws
 
 
-def grouped_specs(ns: int, n_groups: int, tile: int, rot, trn, cut, weights):
+def grouped_specs(ns: int, n_groups: int, tile: int, rot, trn, cut, codes, weights):
     """Grid + BlockSpecs shared by the forward and backward field kernels.
 
     Points are grouped by pose: grid (n_groups, tiles_per_group); each grid
@@ -294,6 +305,9 @@ def grouped_specs(ns: int, n_groups: int, tile: int, rot, trn, cut, weights):
         pl.BlockSpec((1, 24, 3), lambda g, j: (g, 0, 0), memory_space=pltpu.VMEM),
         full(cut),
         pl.BlockSpec((1, 1), lambda g, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (1, codes.shape[1]), lambda g, j: (g, 0), memory_space=pltpu.VMEM
+        ),  # per-group framecode row
     ] + [full(w) for w in weights]
     out_spec = pl.BlockSpec(
         (4, tile), lambda g, j: (0, g * tpg + j), memory_space=pltpu.VMEM
@@ -301,7 +315,9 @@ def grouped_specs(ns: int, n_groups: int, tile: int, rot, trn, cut, weights):
     return grid, in_specs, out_spec, full
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "skips", "interpret", "tile"))
+@functools.partial(
+    jax.jit, static_argnames=("depth", "skips", "interpret", "tile", "code_ch")
+)
 def fused_field(
     pts_t: jax.Array,  # (3, NS) f32; NS % (n_groups * tile) == 0,
     dirs_t: jax.Array,  # (3, NS)    points contiguous per pose group
@@ -309,18 +325,20 @@ def fused_field(
     trn: jax.Array,  # (G, 24, 3)
     cut: jax.Array,  # (24, 1)
     tau: jax.Array,  # (1, 1)
+    codes: jax.Array,  # (G, max(code_ch, 1)) per-group framecodes (zeros off)
     params: FusedFieldParams,
     depth: int = 8,
     skips: Tuple[int, ...] = (4,),
     interpret: bool = False,
     tile: int = POINT_TILE,
+    code_ch: int = 0,
 ) -> jax.Array:
     """-> raw_t (4, NS) [r, g, b, sigma]."""
     ns = pts_t.shape[1]
     weights = flatten_weights(params, depth)
-    kernel = functools.partial(_field_kernel, depth, skips)
+    kernel = functools.partial(_field_kernel, depth, skips, code_ch)
     grid, in_specs, out_spec, _ = grouped_specs(
-        ns, rot.shape[0], tile, rot, trn, cut, weights
+        ns, rot.shape[0], tile, rot, trn, cut, codes, weights
     )
     flops_per_pt = 2 * (
         432 * 256 + 6 * 256 * 256 + 688 * 256 + 256 * 256 + 256 + 904 * 128 + 3 * 128
@@ -337,7 +355,7 @@ def fused_field(
             transcendentals=(24 * 15 + 72 * 8) * ns,
         ),
         interpret=interpret,
-    )(pts_t, dirs_t, rot, trn, cut, tau, *weights)
+    )(pts_t, dirs_t, rot, trn, cut, tau, codes, *weights)
 
 
 def fused_run_net(
@@ -350,6 +368,7 @@ def fused_run_net(
     prepared: FusedFieldParams = None,
     interpret: bool = False,
     trainable: bool = False,
+    eval_mean_code: bool = False,
 ) -> jax.Array:
     """Drop-in replacement for raycast._run_net on the supported subset.
 
@@ -383,20 +402,38 @@ def fused_run_net(
     cut = embed_state["cutoff_dist"][:, None]
     tau = embed_state["tau"].reshape(1, 1)
 
+    # per-group framecodes (reference Optcodes, networks/embedding.py):
+    # cam idxs are constant within an image's rays, so one code row per group
+    code_ch = cfg.framecode_ch if cfg.opt_framecode else 0
+    if code_ch > 0:
+        from posegen_tpu.models.nerf import framecode_lookup
+
+        idxs = ctx.cam_idxs
+        if idxs.shape[0] == N and G != N:
+            idxs = idxs.reshape(G, N // G, -1)[:, 0]
+        codes = framecode_lookup(
+            net_params["framecodes"], idxs, eval_mean=eval_mean_code
+        ).reshape(G, code_ch)
+    else:
+        codes = jnp.zeros((G, 1), jnp.float32)
+
     skips = (4,) if cfg.netdepth > 4 else ()
     if trainable:
-        prepared = prepare_params(net_params, skips=skips, dtype=jnp.float32)
-        f = make_trainable_field(
-            depth=cfg.netdepth, skips=skips, interpret=interpret
+        prepared = prepare_params(
+            net_params, skips=skips, dtype=jnp.float32, code_ch=code_ch
         )
-        raw_t = f(pts_t, dirs, rot, trn, cut, tau, prepared)
+        f = make_trainable_field(
+            depth=cfg.netdepth, skips=skips, interpret=interpret,
+            code_ch=code_ch,
+        )
+        raw_t = f(pts_t, dirs, rot, trn, cut, tau, codes, prepared)
     else:
         if prepared is None:
-            prepared = prepare_params(net_params, skips=skips)
+            prepared = prepare_params(net_params, skips=skips, code_ch=code_ch)
         raw_t = fused_field(
-            pts_t, dirs, rot, trn, cut, tau, prepared,
+            pts_t, dirs, rot, trn, cut, tau, codes, prepared,
             depth=cfg.netdepth, skips=skips,
-            interpret=interpret,
+            interpret=interpret, code_ch=code_ch,
         )
     if pad:
         raw_t = raw_t[:, :ns]

@@ -87,13 +87,14 @@ def _mm_tn(w, g):
 def _field_bwd_kernel(
     depth: int,
     skips: Tuple[int, ...],
-    pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref,
+    code_ch: int,
+    pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref, code_ref,
     *refs,
 ):
     n_w = 2 * depth + 8
     wrefs = refs[:n_w]
     g_ref = refs[n_w]  # (4, P) output cotangent
-    outs = refs[n_w + 1:]  # gradient refs, same order as weights
+    outs = refs[n_w + 1:]  # gradient refs: weights..., then d_codes
 
     e_pts, e_view = encode_channels(
         pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref, tau_ref
@@ -112,7 +113,12 @@ def _field_bwd_kernel(
             h = jnp.concatenate([e_pts, h], axis=0)
     k = 2 * depth
     feat = mm_t(wrefs[k + 2][:, :], h) + wrefs[k + 3][:, :]
-    hv_in = jnp.concatenate([feat, e_view], axis=0)  # (904, P)
+    parts = [feat, e_view]
+    if code_ch > 0:
+        parts.append(
+            jnp.broadcast_to(code_ref[0][:, None], (code_ch, e_pts.shape[1]))
+        )
+    hv_in = jnp.concatenate(parts, axis=0)  # (904 + code_ch, P)
     zv = mm_t(wrefs[k + 4][:, :], hv_in) + wrefs[k + 5][:, :]
     hv = jnp.maximum(zv, 0.0)  # (128, P)
 
@@ -139,8 +145,20 @@ def _field_bwd_kernel(
     # view layer
     acc(outs[k + 4], _mm_nt(g_zv, hv_in))
     acc(outs[k + 5], jnp.sum(g_zv, axis=1, keepdims=True))
-    g_hv_in = _mm_tn(wrefs[k + 4][:, :], g_zv)  # (904, P)
+    g_hv_in = _mm_tn(wrefs[k + 4][:, :], g_zv)  # (904 + code_ch, P)
     g_feat = g_hv_in[0:256, :]
+    if code_ch > 0:
+        # per-group code gradient: accumulate over this group's tiles only
+        g_code = jnp.sum(g_hv_in[904 : 904 + code_ch, :], axis=1)[None, :]
+        first_in_group = pl.program_id(1) == 0
+
+        @pl.when(first_in_group)
+        def _():
+            outs[-1][:, :] = g_code
+
+        @pl.when(jnp.logical_not(first_in_group))
+        def _():
+            outs[-1][:, :] = outs[-1][:, :] + g_code
     # feature + alpha heads (both consume the trunk output h)
     acc(outs[k + 2], _mm_nt(g_feat, h))
     acc(outs[k + 3], jnp.sum(g_feat, axis=1, keepdims=True))
@@ -166,40 +184,50 @@ def make_trainable_field(
     skips: Tuple[int, ...] = (4,),
     tile: int = TRAIN_TILE,
     interpret: bool = False,
+    code_ch: int = 0,
 ):
-    """-> f(pts_t, dirs_t, rot, trn, cut, tau, params) with custom VJP.
+    """-> f(pts_t, dirs_t, rot, trn, cut, tau, codes, params) with custom VJP.
 
-    params: FusedFieldParams of f32 tensors. Inputs get zero cotangents
-    (data / scheduled buffers); weight cotangents are exact f32 sums of the
-    per-tile bf16-accumulated products.
+    params: FusedFieldParams of f32 tensors. Rays/skts/buffers get zero
+    cotangents; weights AND per-group framecodes get real gradients (the
+    framecode table outside differentiates through the gather).
     """
 
-    def fwd_only(pts_t, dirs_t, rot, trn, cut, tau, params):
+    def fwd_only(pts_t, dirs_t, rot, trn, cut, tau, codes, params):
         return fused_field(
-            pts_t, dirs_t, rot, trn, cut, tau, params,
+            pts_t, dirs_t, rot, trn, cut, tau, codes, params,
             depth=depth, skips=skips, interpret=interpret, tile=tile,
+            code_ch=code_ch,
         )
 
     @jax.custom_vjp
-    def f(pts_t, dirs_t, rot, trn, cut, tau, params):
-        return fwd_only(pts_t, dirs_t, rot, trn, cut, tau, params)
+    def f(pts_t, dirs_t, rot, trn, cut, tau, codes, params):
+        return fwd_only(pts_t, dirs_t, rot, trn, cut, tau, codes, params)
 
-    def f_fwd(pts_t, dirs_t, rot, trn, cut, tau, params):
-        out = fwd_only(pts_t, dirs_t, rot, trn, cut, tau, params)
-        return out, (pts_t, dirs_t, rot, trn, cut, tau, params)
+    def f_fwd(pts_t, dirs_t, rot, trn, cut, tau, codes, params):
+        out = fwd_only(pts_t, dirs_t, rot, trn, cut, tau, codes, params)
+        return out, (pts_t, dirs_t, rot, trn, cut, tau, codes, params)
 
     def f_bwd(res, g):
-        pts_t, dirs_t, rot, trn, cut, tau, params = res
+        pts_t, dirs_t, rot, trn, cut, tau, codes, params = res
         ns = pts_t.shape[1]
         weights = _flatten_params(params, depth)
 
-        kernel = functools.partial(_field_bwd_kernel, depth, skips)
+        kernel = functools.partial(_field_bwd_kernel, depth, skips, code_ch)
         grid, in_specs, g_spec, full = grouped_specs(
-            ns, rot.shape[0], tile, rot, trn, cut, weights
+            ns, rot.shape[0], tile, rot, trn, cut, codes, weights
         )
         in_specs = in_specs + [g_spec]  # output cotangent tiles like points
         out_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
         out_specs = [full(w) for w in weights]
+        if code_ch > 0:
+            out_shapes.append(jax.ShapeDtypeStruct(codes.shape, jnp.float32))
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, codes.shape[1]), lambda gg, j: (gg, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
 
         flops_per_pt = 3 * 2 * (
             432 * 256 + 6 * 256 * 256 + 688 * 256 + 256 * 256 + 904 * 128
@@ -216,13 +244,15 @@ def make_trainable_field(
                 transcendentals=(24 * 15 + 72 * 8) * ns,
             ),
             interpret=interpret,
-        )(pts_t, dirs_t, rot, trn, cut, tau, *weights, g)
+        )(pts_t, dirs_t, rot, trn, cut, tau, codes, *weights, g)
 
-        d_params = _unflatten_params(list(grads), depth)
+        grads = list(grads)
+        d_codes = grads.pop() if code_ch > 0 else jnp.zeros_like(codes)
+        d_params = _unflatten_params(grads, depth)
         zeros = lambda a: jnp.zeros_like(a)
         return (
             zeros(pts_t), zeros(dirs_t), zeros(rot), zeros(trn),
-            zeros(cut), zeros(tau), d_params,
+            zeros(cut), zeros(tau), d_codes, d_params,
         )
 
     f.defvjp(f_fwd, f_bwd)

@@ -273,6 +273,7 @@ def _run_net(
             cfg, net_params, params["embed_kp"], pts, rays_d, ctx,
             interpret=jax.default_backend() == "cpu",
             trainable=use_fused == "train",
+            eval_mean_code=eval_mean_code,
         )
     x_pts, x_views, _ = encode_inputs(cfg, params, pts, rays_d, ctx)
     frame_idx = None

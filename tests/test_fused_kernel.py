@@ -59,3 +59,59 @@ def test_render_rays_fused_flag_interpret():
     out_f = render_rays(cfg, params, ro, rd, ctx, perturb=0.0, use_fused=True)
     err = float(jnp.abs(out_f["rgb_map"] - out_x["rgb_map"]).max())
     assert err < 5e-3, f"fused render diverges: {err}"
+
+
+@pytest.mark.slow
+def test_fused_framecodes_match_xla():
+    """Fused kernel with per-frame codes == XLA path, fwd and framecode grads."""
+    from posegen_tpu.models import nerf as nerf_mod
+    from posegen_tpu.render.raycast import encode_inputs
+    import posegen_tpu.kernels.field as field
+
+    cfg = RaycastConfig(opt_framecode=True, n_framecodes=4)
+    from posegen_tpu.utils.fixtures import make_problem
+
+    _, params, ctx, ro, rd = make_problem(cfg, n_rays=8)
+    assert ctx.cam_idxs is not None
+    n, s = 8, 8
+    key = jax.random.PRNGKey(3)
+    z = jnp.sort(jax.random.uniform(key, (n, s), minval=0.5, maxval=2.0), axis=-1)
+    pts = ro[:, None] + rd[:, None] * z[..., None]
+
+    x_pts, x_views, _ = encode_inputs(cfg, params, pts, rd, ctx)
+    frame_idx = jnp.broadcast_to(ctx.cam_idxs[:, None, :], (n, s, 1))
+    raw_ref = nerf_mod.nerf_apply(
+        cfg.nerf_cfg, params["coarse"], x_pts, x_views, frame_idx
+    )
+    raw_k = fused_run_net(
+        cfg, params["coarse"], params["embed_kp"], pts, rd, ctx, interpret=True
+    )
+    err = float(jnp.abs(raw_k - raw_ref).max())
+    scale = max(float(jnp.abs(raw_ref).max()), 1.0)
+    assert err < 0.02 * scale, err
+
+    # trainable path: gradient reaches the framecode table (f32 exactness)
+    orig = field.MM_DTYPE
+    field.MM_DTYPE = jnp.float32
+    try:
+        wgt = jax.random.normal(jax.random.PRNGKey(7), (n, s, 4))
+
+        def loss_xla(net):
+            raw = nerf_mod.nerf_apply(cfg.nerf_cfg, net, x_pts, x_views, frame_idx)
+            return jnp.sum(raw * wgt)
+
+        def loss_fused(net):
+            raw = fused_run_net(
+                cfg, net, params["embed_kp"], pts, rd, ctx,
+                interpret=True, trainable=True,
+            )
+            return jnp.sum(raw * wgt)
+
+        g_xla = jax.grad(loss_xla)(params["coarse"])
+        g_fus = jax.grad(loss_fused)(params["coarse"])
+        gx = np.asarray(g_xla["framecodes"])
+        gf = np.asarray(g_fus["framecodes"])
+        assert np.abs(gx).max() > 0, "framecode grads are zero in reference"
+        np.testing.assert_allclose(gf, gx, rtol=1e-4, atol=1e-6)
+    finally:
+        field.MM_DTYPE = orig
