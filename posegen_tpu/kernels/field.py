@@ -260,9 +260,10 @@ def _field_kernel(
     feat = mm_t(wrefs[k + 2][:, :], h) + wrefs[k + 3][:, :]  # (256, P)
     parts = [feat, e_view]
     if code_ch > 0:
-        # per-group framecode broadcast across the tile (reference
+        # this group's framecode row broadcast across the tile (reference
         # nerf.py:154-158 concatenates Optcodes output into the view branch)
-        parts.append(jnp.broadcast_to(code_ref[0][:, None], (code_ch, P)))
+        row = code_ref[pl.program_id(0)]
+        parts.append(jnp.broadcast_to(row[:, None], (code_ch, P)))
     hv = jnp.concatenate(parts, axis=0)  # (904 + code_ch, P)
     hv = jnp.maximum(mm_t(wrefs[k + 4][:, :], hv) + wrefs[k + 5][:, :], 0.0)  # (128, P)
     rgb = mm_t(wrefs[k + 6][:, :], hv) + wrefs[k + 7][:, :]  # (3, P)
@@ -305,9 +306,7 @@ def grouped_specs(ns: int, n_groups: int, tile: int, rot, trn, cut, codes, weigh
         pl.BlockSpec((1, 24, 3), lambda g, j: (g, 0, 0), memory_space=pltpu.VMEM),
         full(cut),
         pl.BlockSpec((1, 1), lambda g, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec(
-            (1, codes.shape[1]), lambda g, j: (g, 0), memory_space=pltpu.VMEM
-        ),  # per-group framecode row
+        full(codes),  # all framecode rows (tiny); kernel indexes its group
     ] + [full(w) for w in weights]
     out_spec = pl.BlockSpec(
         (4, tile), lambda g, j: (0, g * tpg + j), memory_space=pltpu.VMEM

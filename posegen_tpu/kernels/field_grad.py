@@ -115,8 +115,9 @@ def _field_bwd_kernel(
     feat = mm_t(wrefs[k + 2][:, :], h) + wrefs[k + 3][:, :]
     parts = [feat, e_view]
     if code_ch > 0:
+        row = code_ref[pl.program_id(0)]
         parts.append(
-            jnp.broadcast_to(code_ref[0][:, None], (code_ch, e_pts.shape[1]))
+            jnp.broadcast_to(row[:, None], (code_ch, e_pts.shape[1]))
         )
     hv_in = jnp.concatenate(parts, axis=0)  # (904 + code_ch, P)
     zv = mm_t(wrefs[k + 4][:, :], hv_in) + wrefs[k + 5][:, :]
@@ -148,17 +149,18 @@ def _field_bwd_kernel(
     g_hv_in = _mm_tn(wrefs[k + 4][:, :], g_zv)  # (904 + code_ch, P)
     g_feat = g_hv_in[0:256, :]
     if code_ch > 0:
-        # per-group code gradient: accumulate over this group's tiles only
+        # code gradients: full (G, C) output block; zero once at the global
+        # first grid step (TPU grids iterate sequentially), then every step
+        # adds its tile's contribution to its group's row
         g_code = jnp.sum(g_hv_in[904 : 904 + code_ch, :], axis=1)[None, :]
-        first_in_group = pl.program_id(1) == 0
+        gid = pl.program_id(0)
+        global_first = (pl.program_id(0) + pl.program_id(1)) == 0
 
-        @pl.when(first_in_group)
+        @pl.when(global_first)
         def _():
-            outs[-1][:, :] = g_code
+            outs[-1][:, :] = jnp.zeros_like(outs[-1])
 
-        @pl.when(jnp.logical_not(first_in_group))
-        def _():
-            outs[-1][:, :] = outs[-1][:, :] + g_code
+        outs[-1][pl.ds(gid, 1), :] = outs[-1][pl.ds(gid, 1), :] + g_code
     # feature + alpha heads (both consume the trunk output h)
     acc(outs[k + 2], _mm_nt(g_feat, h))
     acc(outs[k + 3], jnp.sum(g_feat, axis=1, keepdims=True))
@@ -222,12 +224,7 @@ def make_trainable_field(
         out_specs = [full(w) for w in weights]
         if code_ch > 0:
             out_shapes.append(jax.ShapeDtypeStruct(codes.shape, jnp.float32))
-            out_specs.append(
-                pl.BlockSpec(
-                    (1, codes.shape[1]), lambda gg, j: (gg, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            )
+            out_specs.append(full(codes))
 
         flops_per_pt = 3 * 2 * (
             432 * 256 + 6 * 256 * 256 + 688 * 256 + 256 * 256 + 904 * 128
