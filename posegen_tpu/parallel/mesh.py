@@ -90,3 +90,35 @@ def make_parallel_render(render_fn, mesh: Mesh, axis: str = "data"):
         )
 
     return jax.jit(render)
+
+
+def make_shardmap_render(cfg, mesh: Mesh, axis: str = "data", use_fused=None):
+    """Multi-chip renderer via shard_map: each chip runs the (Pallas-fused)
+    render on its ray shard; outputs all_gather back to replicated.
+
+    XLA's jit partitioner cannot split a pallas_call, so the sharded fused
+    path must be expressed as per-device code — exactly what shard_map is.
+    ctx must be single-pose (leading dim 1, replicated across chips).
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from posegen_tpu.render.raycast import render_rays
+
+    def per_device(params, rays_o, rays_d, ctx):
+        out = render_rays(
+            cfg, params, rays_o, rays_d, ctx,
+            perturb=0.0, raw_noise_std=0.0, eval_mean_code=True,
+            use_fused=use_fused,
+        )
+        return {k: out[k] for k in ("rgb_map", "acc_map", "disp_map")}
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P()),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

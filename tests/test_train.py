@@ -120,3 +120,33 @@ def test_graft_entry_multichip():
 
     assert jax.device_count() >= 8, "conftest should force 8 cpu devices"
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_shardmap_fused_render_multichip():
+    """shard_map splits rays across 8 virtual devices; each runs the fused
+    kernel (interpret on CPU); result matches the single-device render."""
+    import posegen_tpu.kernels.field as field
+    from posegen_tpu.parallel.mesh import make_mesh, make_shardmap_render, replicate
+    from posegen_tpu.render.raycast import RaycastConfig, render_rays
+    from posegen_tpu.utils.fixtures import make_problem
+
+    orig = field.MM_DTYPE
+    field.MM_DTYPE = jnp.float32  # CPU dot thunks reject bf16 x bf16 -> f32
+    try:
+        cfg, variables, ctx, ro, rd = make_problem(
+            RaycastConfig(N_samples=8, N_importance=4), n_rays=64
+        )
+        mesh = make_mesh(8)
+        params_r = replicate(variables, mesh)
+
+        f = make_shardmap_render(cfg, mesh, use_fused=True)
+        out = f(params_r, ro, rd, ctx)
+        ref = render_rays(
+            cfg, variables, ro, rd, ctx, perturb=0.0, raw_noise_std=0.0,
+            eval_mean_code=True, use_fused=False,
+        )
+        err = float(jnp.abs(out["rgb_map"] - ref["rgb_map"]).max())
+        assert err < 5e-3, f"sharded fused render diverges: {err}"
+    finally:
+        field.MM_DTYPE = orig
