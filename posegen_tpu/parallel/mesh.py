@@ -23,6 +23,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -100,10 +101,6 @@ def make_shardmap_render(cfg, mesh: Mesh, axis: str = "data", use_fused=None):
     path must be expressed as per-device code — exactly what shard_map is.
     ctx must be single-pose (leading dim 1, replicated across chips).
     """
-    from functools import partial
-
-    from jax.experimental.shard_map import shard_map
-
     from posegen_tpu.render.raycast import render_rays
 
     def per_device(params, rays_o, rays_d, ctx):
@@ -114,11 +111,71 @@ def make_shardmap_render(cfg, mesh: Mesh, axis: str = "data", use_fused=None):
         )
         return {k: out[k] for k in ("rgb_map", "acc_map", "disp_map")}
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P()),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_shardmap_train_step(cfg, tcfg, mesh: Mesh, axis: str = "data"):
+    """Data-parallel training with the fused Pallas kernels on every chip.
+
+    jit's partitioner cannot split pallas_call, so the loss/grad runs inside
+    shard_map: each device evaluates its ray shard through the custom-VJP
+    kernels and psums gradients + metrics over ICI; the (replicated) optax
+    update then runs in the enclosing jit. Batches must shard evenly and the
+    pose context must be replicated (single pose group per shard; the
+    grouped layout generalizes by sharding whole image groups per chip).
+    """
+    from posegen_tpu.render.raycast import PoseCtx, render_rays
+    from posegen_tpu.train import losses as L
+    from posegen_tpu.train.trainer import nerf_optimizer
+
+    shard_map = jax.shard_map
+    opt = nerf_optimizer(tcfg)
+
+    def loss_fn(params, embeds, batch, key):
+        ctx = PoseCtx(
+            kps=batch["kp3d"], skts=batch["skts"], bones=batch["bones"],
+            cyls=batch["cyls"], cam_idxs=batch.get("cam_idxs"),
+        )
+        ret = render_rays(
+            cfg, {**params, **embeds}, batch["rays_o"], batch["rays_d"], ctx,
+            key=key, use_fused="train",
+        )
+        loss = L.rgb_loss(tcfg.loss_fn, ret["rgb_map"], batch["target_s"])
+        if "rgb0" in ret:
+            loss = loss + L.rgb_loss(tcfg.loss_fn, ret["rgb0"], batch["target_s"])
+        return loss
+
+    def per_device_grads(params, embeds, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, embeds, batch, key)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        return loss, grads
+
+    def step(params, embeds, opt_state, batch, key):
+        n = batch["rays_o"].shape[0]
+        # shard per-ray leaves; replicate per-image pose rows / scalars
+        batch_specs = {
+            k: P(axis) if (hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == n)
+            else P()
+            for k, v in batch.items()
+        }
+        sharded_grads = shard_map(
+            per_device_grads,
+            mesh=mesh,
+            in_specs=(P(), P(), batch_specs, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        loss, grads = sharded_grads(params, embeds, batch, key)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return opt, jax.jit(step)
