@@ -9,7 +9,7 @@ whole skinning pipeline jits into one fused program.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,9 +10,8 @@ the official .pkl/.npz files (not redistributable — pass `model_path`);
 from __future__ import annotations
 
 import dataclasses
-import os
 import pickle
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,7 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
     args = p.parse_args(argv)
 
     from posegen_tpu.cli.run_render import load_trained
-    from posegen_tpu.gen.loop import FEEDBACK_EXTRINSIC, GanLoopConfig, NeRFRenderer
+    from posegen_tpu.gen.loop import FEEDBACK_EXTRINSIC, NeRFRenderer
     from posegen_tpu.skeleton.cameras import nerf_extrinsic_to_c2w
 
     _, cfg, variables = load_trained(args.nerf_args, args.ckptpath)

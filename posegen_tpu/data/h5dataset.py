@@ -23,12 +23,11 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import h5py
 import numpy as np
 
-from posegen_tpu.skeleton.cameras import get_rays_np
 
 
 class H5RayDataset:

@@ -16,7 +16,7 @@ that callers do with h5py/scipy/imageio; everything numerical lives here.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -13,7 +13,7 @@ from typing import Optional
 import numpy as np
 
 from posegen_tpu.data.writer import dilate_masks, write_pose_h5
-from posegen_tpu.skeleton.cameras import get_rays_np, nerf_c2w_to_extrinsic, world_to_cam
+from posegen_tpu.skeleton.cameras import nerf_c2w_to_extrinsic, world_to_cam
 from posegen_tpu.skeleton.geometry import get_kp_bounding_cylinder
 from posegen_tpu.skeleton.skeleton import SMPL_REST_POSE
 

@@ -26,7 +26,7 @@ Schema (N images, J joints, C cameras):
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import h5py
 import numpy as np

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Tuple
 
 import numpy as np
 

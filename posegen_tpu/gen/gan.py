@@ -9,7 +9,7 @@ criterion is MSE on logits, matching the reference's nn.MSELoss.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

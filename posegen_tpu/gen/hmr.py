@@ -10,7 +10,6 @@ OIHW -> HWIO transposes) so reference-pretrained SPIN weights drop in.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
 import jax

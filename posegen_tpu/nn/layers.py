@@ -8,7 +8,7 @@ Convs are NHWC — the TPU-native layout.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

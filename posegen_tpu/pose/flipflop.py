@@ -14,7 +14,7 @@ function; the flip decisions are host-side ints.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

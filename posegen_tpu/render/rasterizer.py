@@ -11,7 +11,7 @@ intrinsics convention as the rest of the framework.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 

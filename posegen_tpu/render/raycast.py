@@ -21,7 +21,6 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from posegen_tpu.models import nerf as nerf_mod
 from posegen_tpu.models.nerf import NeRFConfig, density_activation, init_nerf, nerf_apply
@@ -29,7 +28,7 @@ from posegen_tpu.ops import embedding as emb_mod
 from posegen_tpu.ops import encoders as enc
 from posegen_tpu.ops import sampling as samp
 from posegen_tpu.ops.embedding import EmbedConfig
-from posegen_tpu.skeleton.skeleton import SMPL_SKELETON, Skeleton, per_joint_cutoffs
+from posegen_tpu.skeleton.skeleton import SMPL_SKELETON, Skeleton
 
 
 class PoseCtx(NamedTuple):

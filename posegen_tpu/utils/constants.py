@@ -5,8 +5,6 @@ joint conventions: 49-joint output = 25 OpenPose + 24 extra, H36M regressor
 index maps, image normalization).
 """
 
-import numpy as np
-
 IMG_NORM_MEAN = [0.485, 0.456, 0.406]
 IMG_NORM_STD = [0.229, 0.224, 0.225]
 IMG_RES = 224

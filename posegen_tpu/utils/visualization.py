@@ -9,8 +9,6 @@ gated on the import (the library is optional in this image).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
-
 import numpy as np
 
 from posegen_tpu.skeleton.cameras import nerf_c2w_to_extrinsic, world_to_cam
