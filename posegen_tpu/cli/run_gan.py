@@ -105,8 +105,16 @@ def main(argv: Optional[Sequence[str]] = None):
         print(f"epoch {epoch}: {stats}")
 
     if args.train_spin_epochs > 0 and spin_params is not None:
-        print("SPIN fine-tuning on generated renders is driven via "
-              "posegen_tpu.gen.spin_train.make_spin_finetune_step")
+        from posegen_tpu.gen.spin_driver import train_spin
+
+        spin_params, history = train_spin(
+            spin_params, spin_state,
+            render_dir=os.path.join(args.outputdir, args.runname),
+            epochs=args.train_spin_epochs,
+            ckpt_dir=os.path.join(args.outputdir, args.runname, "spin_ckpts"),
+            seed=args.seed,
+        )
+        print(f"SPIN fine-tuning done: {history[-1]}")
     return trainer
 
 

@@ -1,0 +1,91 @@
+"""SPIN fine-tuning driver over generated renders (+ optional MPII mix).
+
+Capability parity with reference `train_spin` (run_gan.py:1849-1952): epochs
+over the NeRF-rendered (image, pose) dataset with the hinge-filtered
+scale-normalized joint loss, optional MPII passes (no hinge), periodic 3DPW
+evaluation, checkpoints per epoch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posegen_tpu.gen.datasets import MPIIPoseDataset, RenderedPoseDataset
+from posegen_tpu.gen.spin_train import make_spin_finetune_step
+
+
+def train_spin(
+    spin_params: Dict,
+    spin_state: Dict,
+    render_dir: str,
+    mpii_annot: Optional[str] = None,
+    mpii_img_dir: Optional[str] = None,
+    epochs: int = 10,
+    batch_size: int = 32,
+    lr: float = 1e-5,
+    pose_scale: float = 0.4,
+    crop=(100, 412),
+    res: int = 224,
+    ckpt_dir: Optional[str] = None,
+    evaluator=None,
+    seed: int = 0,
+):
+    """Fine-tune SPIN; returns (params, opt metrics history)."""
+    nerf_ds = RenderedPoseDataset(render_dir, crop=crop, res=res, pose_scale=pose_scale)
+    if len(nerf_ds) == 0:
+        raise FileNotFoundError(f"no rendered (image, pose) pairs under {render_dir}")
+    mpii_ds = (
+        MPIIPoseDataset(mpii_annot, mpii_img_dir, res=res, pose_scale=pose_scale)
+        if mpii_annot and mpii_img_dir
+        else None
+    )
+
+    opt_h, step_hinge = make_spin_finetune_step(lr=lr, pose_scale=pose_scale, hinge=0.02)
+    _, step_plain = make_spin_finetune_step(lr=lr, pose_scale=pose_scale, hinge=None)
+    opt_state = opt_h.init(spin_params)
+
+    key = jax.random.PRNGKey(seed)
+    history = []
+    for epoch in range(epochs):
+        # NeRF-render passes (hinge filter, reference run_gan.py:1890-1914)
+        losses = []
+        for i, b in enumerate(nerf_ds.batches(batch_size, seed=seed + epoch)):
+            key, k = jax.random.split(key)
+            spin_params, opt_state, stats = step_hinge(
+                spin_params, spin_state, opt_state,
+                jnp.asarray(b["image"]), jnp.asarray(b["pose"]), k,
+            )
+            losses.append(float(stats["spin_loss"]))
+        # MPII mix passes (no hinge, reference :1916-1940)
+        if mpii_ds is not None:
+            idxs = np.random.default_rng(seed + epoch).permutation(len(mpii_ds))
+            for s in range(0, len(idxs) - batch_size + 1, batch_size):
+                items = [mpii_ds[int(i)] for i in idxs[s : s + batch_size]]
+                b = {k2: np.stack([it[k2] for it in items]) for k2 in items[0]}
+                key, k = jax.random.split(key)
+                spin_params, opt_state, stats = step_plain(
+                    spin_params, spin_state, opt_state,
+                    jnp.asarray(b["image"]), jnp.asarray(b["pose"]), k,
+                )
+                losses.append(float(stats["spin_loss"]))
+
+        entry = {"epoch": epoch, "spin_loss": float(np.mean(losses)) if losses else 0.0}
+        if evaluator is not None:
+            entry["eval"] = evaluator(spin_params, spin_state)
+        history.append(entry)
+        print(f"spin epoch {epoch}: {entry}")
+
+        if ckpt_dir:  # per-epoch checkpoints (reference :1946-1951)
+            os.makedirs(ckpt_dir, exist_ok=True)
+            from posegen_tpu.train.checkpoints import _flatten
+
+            np.savez(
+                os.path.join(ckpt_dir, f"spin_{epoch:03d}.npz"),
+                **_flatten({"params": spin_params, "state": spin_state}),
+            )
+    return spin_params, history

@@ -97,3 +97,35 @@ def test_spin_finetune_step_updates_weights(rng):
     assert not np.allclose(np.asarray(params["fc1"]["w"]), w0)
     # mean-param buffers stay frozen
     np.testing.assert_array_equal(np.asarray(params["init_pose"]), ip0)
+
+
+@pytest.mark.slow
+def test_spin_finetune_driver(tmp_path, rng):
+    """train_spin over a generated render dir: loss finite, ckpts written."""
+    import imageio.v2 as imageio
+
+    from posegen_tpu.gen.spin_driver import train_spin
+
+    out = tmp_path / "render_output"
+    (out / "image").mkdir(parents=True)
+    n = 4
+    bones = (rng.standard_normal((n, 24, 3)) * 0.2).astype(np.float32)
+    np.save(out / "poses_axis_angles0.npy", bones)
+    for i in range(n):
+        imageio.imwrite(
+            out / "image" / f"{i:05d}.png",
+            rng.integers(0, 255, (96, 96, 3), dtype=np.uint8),
+        )
+
+    params, state = init_hmr(jax.random.PRNGKey(0))
+    w0 = np.asarray(params["fc1"]["w"])
+    params, history = train_spin(
+        params, state, str(out), epochs=1, batch_size=2,
+        crop=(16, 80), res=64, ckpt_dir=str(tmp_path / "ckpts"),
+    )
+    assert np.isfinite(history[0]["spin_loss"])
+    assert (tmp_path / "ckpts" / "spin_000.npz").exists()
+    # note: the hinge may filter every (random-image) sample to zero loss;
+    # weights change only when some sample passes — accept either, but the
+    # driver must run end-to-end without error
+    assert w0.shape == np.asarray(params["fc1"]["w"]).shape
