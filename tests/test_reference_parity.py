@@ -246,3 +246,113 @@ def test_nerf_mlp_forward_parity(rng):
 
     ours = np.asarray(nerf_apply(cfg, params, jnp.asarray(x_pts), jnp.asarray(x_views)))
     np.testing.assert_allclose(ours, ref_raw, rtol=2e-4, atol=2e-5)
+
+
+def test_full_render_rays_parity(rng):
+    """END-TO-END: our render_rays == the reference RayCaster.render_rays
+    (same weights, deterministic sampling) at the pixel level."""
+    import torch.nn.functional as TF
+
+    from core.encoders import RelDistEncoder, VecNormEncoder, WorldToLocalEncoder
+    from core.cutoff_embedder import get_embedder as ref_get_embedder
+    from core.networks.nerf import NeRF as RefNeRF
+    from core.raycasters import RayCaster as RefRayCaster
+
+    import jax
+    from posegen_tpu.render.raycast import PoseCtx, RaycastConfig, init_raycaster, render_rays
+    from posegen_tpu.utils.fixtures import make_pose_ctx, make_rays
+
+    cfg = RaycastConfig(
+        netdepth=4, netwidth=64, N_samples=16, N_importance=8,
+        multires=7, multires_views=4,
+    )
+    variables = init_raycaster(jax.random.PRNGKey(0), cfg)
+    ctx = make_pose_ctx(seed=0)
+    ro, rd = make_rays(24, seed=1)
+
+    # ---- assemble the reference RayCaster with OUR weights ----------------
+    def build_ref_net(ours):
+        net = RefNeRF(
+            D=4, W=64,
+            input_ch=cfg.embed_kp_cfg.out_dim,
+            input_ch_bones=cfg.embed_bone_cfg.out_dim,
+            input_ch_views=cfg.embed_view_cfg.out_dim,
+            skips=[2] if 2 in cfg.nerf_cfg.skips else [4],
+            use_viewdirs=True,
+        )
+        sd = net.state_dict()
+        with torch.no_grad():
+            for i, lay in enumerate(ours["pts_linears"]):
+                sd[f"pts_linears.{i}.weight"].copy_(torch.tensor(np.asarray(lay["w"]).T))
+                sd[f"pts_linears.{i}.bias"].copy_(torch.tensor(np.asarray(lay["b"])))
+            for name in ("alpha_linear", "feature_linear", "rgb_linear"):
+                sd[f"{name}.weight"].copy_(torch.tensor(np.asarray(ours[name]["w"]).T))
+                sd[f"{name}.bias"].copy_(torch.tensor(np.asarray(ours[name]["b"])))
+            sd["views_linears.0.weight"].copy_(
+                torch.tensor(np.asarray(ours["views_linears"][0]["w"]).T))
+            sd["views_linears.0.bias"].copy_(
+                torch.tensor(np.asarray(ours["views_linears"][0]["b"])))
+        net.load_state_dict(sd)
+        return net
+
+    cut = torch.tensor(np.asarray(variables["embed_kp"]["cutoff_dist"]))
+    mk_cut_kwargs = lambda dist_inputs: {
+        "cutoff": True, "cutoff_dim": 24, "cutoff_dist": cut.clone(),
+        "cutoff_inputs": True, "opt_cutoff": False, "cut_to_dist": False,
+        "dist_inputs": dist_inputs, "shift_inputs": False,
+        "freq_schedule": False, "init_alpha": 0.0, "normalize": False,
+    }
+    embed_fn, _ = ref_get_embedder(7, input_dims=24, cutoff_kwargs=mk_cut_kwargs(False))
+    embeddirs_fn, _ = ref_get_embedder(4, input_dims=72, cutoff_kwargs=mk_cut_kwargs(True))
+    embedbones_fn, _ = ref_get_embedder(0, input_dims=72, cutoff_kwargs={"cutoff": False})
+    # match our tau (reference init_tau differs from ours)
+    with torch.no_grad():
+        embed_fn.tau.fill_(float(variables["embed_kp"]["tau"]))
+        embeddirs_fn.tau.fill_(float(variables["embed_view"]["tau"]))
+
+    joint_coords = torch.eye(3).view(1, 1, 3, 3).expand(1, 24, 3, 3).contiguous()
+    caster = RefRayCaster(
+        build_ref_net(variables["coarse"]),
+        embed_fn, embedbones_fn, embeddirs_fn,
+        network_fine=build_ref_net(variables["fine"]),
+        joint_coords=joint_coords,
+    )
+    caster.eval()
+
+    preproc = {
+        "density_scale": 1.0,
+        "density_fn": TF.relu,
+        "pts_tr_fn": WorldToLocalEncoder(),
+        "kp_input_fn": RelDistEncoder(24),
+        "view_input_fn": VecNormEncoder(24),
+        "bone_input_fn": VecNormEncoder(24),
+    }
+    n = ro.shape[0]
+    ray_batch = torch.tensor(np.concatenate(
+        [np.asarray(ro), np.asarray(rd),
+         np.full((n, 1), cfg.near, np.float32),
+         np.full((n, 1), cfg.far, np.float32),
+         np.asarray(rd)], axis=-1,
+    ))
+    # the reference expects kp arrays pre-expanded per ray (its internal
+    # broadcast branch has a latent NameError, raycasters.py:506)
+    tile = lambda a: torch.tensor(np.tile(np.asarray(a), (n,) + (1,) * (np.asarray(a).ndim - 1)))
+    with torch.no_grad():
+        ref_out = caster.render_rays(
+            ray_batch, cfg.N_samples,
+            tile(ctx.kps),
+            skts=tile(ctx.skts),
+            cyls=tile(ctx.cyls),
+            bones=tile(ctx.bones),
+            perturb=0.0, N_importance=cfg.N_importance, raw_noise_std=0.0,
+            preproc_kwargs=preproc,
+        )
+
+    ours = render_rays(cfg, variables, ro, rd, ctx, perturb=0.0,
+                       raw_noise_std=0.0, use_fused=False)
+
+    for key, ref_key in (("rgb_map", "rgb_map"), ("acc_map", "acc_map"),
+                         ("rgb0", "rgb0"), ("disp_map", "disp_map")):
+        a = np.asarray(ours[key])
+        b = ref_out[ref_key].numpy()
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5, err_msg=key)
