@@ -120,3 +120,48 @@ def test_refined_pose_load(h5_path, tmp_path):
     s = ds.sample_image(0)
     assert np.isfinite(s["skts"]).all()
     ds.close(), ds0.close()
+
+
+def test_multi_subject_training_batches(h5_path, tmp_path):
+    """ConcatRayDataset batches train end-to-end (framecode offsets intact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from posegen_tpu.data.catalog import DataConfig, load_data
+    from posegen_tpu.data.synthetic import make_synthetic_h5
+    from posegen_tpu.render.raycast import RaycastConfig, init_raycaster
+    from posegen_tpu.train.trainer import TrainConfig, create_train_state, make_train_step
+
+    # build a second subject next to the shared module-scoped one
+    import os, shutil
+
+    root = tmp_path / "data" / "synthetic"
+    root.mkdir(parents=True)
+    shutil.copy(h5_path, root / "demo.h5")
+    make_synthetic_h5(str(root / "s2.h5"), n_images=4, H=48, W=48, seed=9)
+    from posegen_tpu.data.catalog import DATASET_CATALOG
+
+    DATASET_CATALOG["synthetic"]["s2"] = "synthetic/s2.h5"
+    try:
+        dcfg = DataConfig(
+            dataset="synthetic", data_root=str(tmp_path / "data"),
+            n_rand=64, n_sample_images=4, multi_subjects=("demo", "s2"),
+        )
+        loader, _, attrs = load_data(dcfg)
+        b = loader.make_batch()
+        assert "subject_idxs" in b
+        assert b["kp3d"].shape[0] == 4  # grouped pose rows
+
+        cfg = RaycastConfig(
+            N_samples=8, N_importance=4, netdepth=2, netwidth=32,
+            opt_framecode=True, n_framecodes=attrs["n_framecodes"],
+        )
+        tcfg = TrainConfig()
+        state = create_train_state(init_raycaster(jax.random.PRNGKey(0), cfg), tcfg)
+        step = jax.jit(make_train_step(cfg, tcfg))
+        batch = {k: jnp.asarray(v) for k, v in b.items() if k != "subject_idxs"}
+        state, stats = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(stats["total_loss"]))
+        loader.close()
+    finally:
+        DATASET_CATALOG["synthetic"].pop("s2", None)
