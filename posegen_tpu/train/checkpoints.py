@@ -176,7 +176,9 @@ def import_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
         ("embeddirs_state_dict", "embed_view"),
         ("embedbones_state_dict", "embed_bone"),
     ):
-        if ckpt.get(src):
+        # empty state dicts still count (a no-cutoff Embedder has no buffers,
+        # but render_rays indexes the state unconditionally)
+        if ckpt.get(src) is not None:
             variables[dst] = _import_embed(to_np(ckpt[src]))
 
     extras: Dict[str, Any] = {"global_step": int(ckpt.get("global_step", 0))}

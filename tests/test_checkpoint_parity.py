@@ -1,0 +1,220 @@
+"""PSNR parity against a reference-TRAINED checkpoint (.tar path end-to-end).
+
+The round-1 golden tests proved pixel parity of the math with shared random
+weights. This test closes the remaining gap (BASELINE.md quality target): it
+runs the ACTUAL reference Trainer (core/trainer.py, torch CPU via
+tests/reference_shims) for a couple hundred iterations, saves its .tar with
+Trainer.save_nerf (core/trainer.py:487-508 — the reference's real key
+scheme, custom RayCaster.state_dict key mangling raycasters.py:752-766 and
+all), imports it with train/checkpoints.import_torch_checkpoint, renders the
+same held-out rays through BOTH stacks, and asserts the two renders agree at
+pixel level and in PSNR-vs-GT to < 0.05 dB.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+import reference_shims
+
+reference_shims.install()
+
+import torch  # noqa: E402
+import torch.nn as nn  # noqa: E402
+import torch.nn.functional as TF  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from posegen_tpu.evals.image import psnr as jax_psnr  # noqa: E402
+from posegen_tpu.render.raycast import RaycastConfig, render_rays  # noqa: E402
+from posegen_tpu.train.checkpoints import import_torch_checkpoint  # noqa: E402
+from posegen_tpu.utils.fixtures import make_pose_ctx, make_rays  # noqa: E402
+
+CFG = RaycastConfig(
+    netdepth=4, netwidth=64, N_samples=16, N_importance=8,
+    multires=7, multires_views=4,
+)
+
+
+def _build_reference_raycaster(cfg: RaycastConfig, seed: int = 3):
+    """A reference RayCaster with the reference's OWN torch init (no weight
+    copying from our side) plus the preproc kwargs of the flagship config
+    (reldist kp / vecnorm view+bone encoders, relu density)."""
+    from core.cutoff_embedder import get_embedder as ref_get_embedder
+    from core.encoders import RelDistEncoder, VecNormEncoder, WorldToLocalEncoder
+    from core.networks.nerf import NeRF as RefNeRF
+    from core.raycasters import RayCaster as RefRayCaster
+
+    torch.manual_seed(seed)
+
+    def build_net():
+        return RefNeRF(
+            D=cfg.netdepth, W=cfg.netwidth,
+            input_ch=cfg.embed_kp_cfg.out_dim,
+            input_ch_bones=cfg.embed_bone_cfg.out_dim,
+            input_ch_views=cfg.embed_view_cfg.out_dim,
+            skips=[2] if 2 in cfg.nerf_cfg.skips else [4],
+            use_viewdirs=True,
+        )
+
+    mk_cut_kwargs = lambda dist_inputs: {
+        "cutoff": True, "cutoff_dim": 24,
+        "cutoff_dist": torch.ones(24) * 0.175,
+        "cutoff_inputs": True, "opt_cutoff": False, "cut_to_dist": False,
+        "dist_inputs": dist_inputs, "shift_inputs": False,
+        "freq_schedule": False, "init_alpha": 0.0, "normalize": False,
+    }
+    embed_fn, _ = ref_get_embedder(
+        cfg.multires, input_dims=24, cutoff_kwargs=mk_cut_kwargs(False)
+    )
+    embeddirs_fn, _ = ref_get_embedder(
+        cfg.multires_views, input_dims=72, cutoff_kwargs=mk_cut_kwargs(True)
+    )
+    embedbones_fn, _ = ref_get_embedder(
+        cfg.multires_bones, input_dims=72, cutoff_kwargs={"cutoff": False}
+    )
+
+    joint_coords = torch.eye(3).view(1, 1, 3, 3).expand(1, 24, 3, 3).contiguous()
+    caster = RefRayCaster(
+        build_net(), embed_fn, embedbones_fn, embeddirs_fn,
+        network_fine=build_net(), joint_coords=joint_coords,
+    )
+    preproc = {
+        "density_scale": 1.0,
+        "density_fn": TF.relu,
+        "pts_tr_fn": WorldToLocalEncoder(),
+        "kp_input_fn": RelDistEncoder(24),
+        "view_input_fn": VecNormEncoder(24),
+        "bone_input_fn": VecNormEncoder(24),
+    }
+    return caster, preproc
+
+
+def _gt_rgb(rays_o: np.ndarray, rays_d: np.ndarray) -> np.ndarray:
+    """Smooth synthetic target colors (any consistent function works: the
+    parity claim is about the two stacks agreeing on the SAME checkpoint)."""
+    x = np.concatenate([rays_o, rays_d], -1)
+    r = 0.5 + 0.4 * np.sin(3.0 * x[:, 3])
+    g = 0.5 + 0.4 * np.cos(2.0 * x[:, 4] + x[:, 0])
+    b = 0.5 + 0.4 * np.sin(x[:, 5] + 2.0 * x[:, 1])
+    return np.stack([r, g, b], -1).astype(np.float32)
+
+
+@pytest.mark.slow
+def test_reference_trained_tar_psnr_parity(tmp_path):
+    from types import SimpleNamespace
+
+    from core.trainer import Trainer, render
+
+    cfg = CFG
+    caster, preproc = _build_reference_raycaster(cfg)
+    dp_caster = nn.DataParallel(caster)
+
+    n_iters = 200
+    args = SimpleNamespace(
+        # loss / trainer knobs actually read on the popt-less path
+        opt_pose_stop=None, opt_pose=False, opt_pose_cache=False,
+        opt_pose_step=1, chunk=4096, loss_fn="MSE", loss_beta=0.1,
+        reg_fn=None, use_background=False, coarse_weight=0.1,
+        lrate=5e-4, lrate_decay=250, lrate_decay_rate=0.1, decay_unit=1000,
+        finetune=False, opt_framecode=False,
+        # embedder schedule knobs (update_embed_fns, raycasters.py:731)
+        cutoff_step=1, cutoff_rate=10.0, freq_schedule_step=1, multires=cfg.multires,
+    )
+    optimizer = torch.optim.Adam(caster.parameters(), lr=args.lrate)
+    render_kwargs_train = {
+        "ray_caster": dp_caster,
+        "use_viewdirs": True,
+        "near": cfg.near, "far": cfg.far,
+        "N_samples": cfg.N_samples, "N_importance": cfg.N_importance,
+        "perturb": 1.0, "raw_noise_std": 0.0,
+        "preproc_kwargs": preproc,
+    }
+    trainer = Trainer(
+        args, {"hwf": (8, 8, 10.0)}, optimizer, None,
+        render_kwargs_train, None, popt_kwargs=None, device="cpu",
+    )
+
+    # ---- train on the reference stack --------------------------------------
+    ctx = make_pose_ctx(seed=0)
+    pool_o, pool_d = make_rays(512, seed=1)
+    pool_o, pool_d = np.asarray(pool_o), np.asarray(pool_d)
+    pool_rgb = _gt_rgb(pool_o, pool_d)
+
+    def tile(a, n):
+        a = np.asarray(a)
+        return torch.tensor(np.tile(a, (n,) + (1,) * (a.ndim - 1)))
+
+    rng = np.random.default_rng(0)
+    torch.manual_seed(0)
+    n_rand = 128
+    losses = []
+    for i in range(1, n_iters + 1):
+        sel = rng.integers(0, pool_o.shape[0], (n_rand,))
+        batch = {
+            "rays": torch.tensor(np.stack([pool_o[sel], pool_d[sel]], 0)),
+            "target_s": torch.tensor(pool_rgb[sel]),
+            "kp3d": tile(ctx.kps, n_rand),
+            "skts": tile(ctx.skts, n_rand),
+            "bones": tile(ctx.bones, n_rand),
+            "cyls": tile(ctx.cyls, n_rand),
+        }
+        loss_dict, stats = trainer.train_batch(batch, i=i, global_step=i)
+        losses.append(loss_dict["total_loss"].item())
+        assert np.isfinite(losses[-1])
+    # the reference trainer actually learned (weights are trained, not init)
+    assert np.mean(losses[-20:]) < np.mean(losses[:20])
+
+    # tau must have annealed away from its init (proves the saved embed state
+    # is genuinely trained, not the constructor default)
+    assert caster.embed_fn.get_tau() != pytest.approx(
+        float(caster.embed_fn.init_tau)
+    )
+
+    # ---- save the .tar exactly as the reference does -----------------------
+    tar_path = str(tmp_path / "000200.tar")
+    trainer.save_nerf(tar_path, global_step=n_iters)
+
+    # ---- render held-out rays through the reference stack ------------------
+    val_o, val_d = make_rays(96, seed=7)
+    val_gt = _gt_rgb(np.asarray(val_o), np.asarray(val_d))
+    caster.eval()
+    with torch.no_grad():
+        ref_out = render(
+            8, 8, 10.0, chunk=4096,
+            rays=(torch.tensor(np.asarray(val_o)), torch.tensor(np.asarray(val_d))),
+            kp_batch=tile(ctx.kps, 96), skts=tile(ctx.skts, 96),
+            bones=tile(ctx.bones, 96), cyls=tile(ctx.cyls, 96),
+            **{**render_kwargs_train, "perturb": 0.0},
+        )
+    ref_rgb = ref_out["rgb_map"].numpy()
+
+    # ---- import the .tar and render through OUR stack ----------------------
+    variables, extras = import_torch_checkpoint(tar_path)
+    assert extras["global_step"] == n_iters
+    for k in ("coarse", "fine", "embed_kp", "embed_view", "embed_bone"):
+        assert k in variables, f"importer dropped {k}"
+    # the annealed tau came through
+    np.testing.assert_allclose(
+        float(variables["embed_kp"]["tau"]), caster.embed_fn.get_tau(), rtol=1e-6
+    )
+
+    ours = render_rays(
+        cfg, variables, val_o, val_d, ctx, perturb=0.0, raw_noise_std=0.0,
+        use_fused=False,
+    )
+    our_rgb = np.asarray(ours["rgb_map"])
+
+    # pixel-level agreement of the two stacks on the SAME trained checkpoint
+    np.testing.assert_allclose(our_rgb, ref_rgb, rtol=5e-4, atol=5e-4)
+
+    # and the headline number: PSNR-vs-GT delta < 0.05 dB
+    def np_psnr(a, b):
+        return float(-10.0 * np.log10(np.mean((a - b) ** 2)))
+
+    psnr_ref = np_psnr(ref_rgb, val_gt)
+    psnr_ours = np_psnr(our_rgb, val_gt)
+    assert abs(psnr_ref - psnr_ours) < 0.05, (
+        f"PSNR mismatch: ref {psnr_ref:.4f} vs ours {psnr_ours:.4f}"
+    )
