@@ -161,12 +161,13 @@ def prepare_params(
     )
 
 
-def encode_channels(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref):
-    """Shared in-kernel encoding: refs -> (e_pts (432,P), e_view (648,P)).
+def encode_intermediates(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref):
+    """In-kernel encoding returning every intermediate the backward pass
+    needs: {e_pts, e_view, XT..ZT, DX..DZ, v, w, inv_v, dn_inv, dn*}.
 
     Channel-major cutoff-gated positional encodings; used by both the
-    forward field kernel and the backward (weight-gradient) kernel, which
-    recomputes the encodings instead of storing them.
+    forward field kernel and the backward kernel, which recomputes the
+    encodings instead of storing them.
     """
     x = pts_ref[0:1, :]
     y = pts_ref[1:2, :]
@@ -187,7 +188,8 @@ def encode_channels(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref):
     DZ = R[:, 6][:, None] * dx + R[:, 7][:, None] * dy + R[:, 8][:, None] * dz
 
     v = jnp.sqrt(XT * XT + YT * YT + ZT * ZT)  # (24, P)
-    w = 1.0 - jax.nn.sigmoid(tau_ref[0, 0] * (v - cut_ref[:, :]))  # (24, P)
+    sig = jax.nn.sigmoid(tau_ref[0, 0] * (v - cut_ref[:, :]))  # (24, P)
+    w = 1.0 - sig
     inv_v = 1.0 / jnp.maximum(v, 1e-12)
     dn_inv = jax.lax.rsqrt(jnp.maximum(DX * DX + DY * DY + DZ * DZ, 1e-24))
 
@@ -211,7 +213,19 @@ def encode_channels(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref):
         for comp in (dnx, dny, dnz):
             vrows.append(jnp.cos(comp * f) * w)
     e_view = jnp.concatenate(vrows, axis=0)  # (648, P)
-    return e_pts, e_view
+    return dict(
+        e_pts=e_pts, e_view=e_view,
+        XT=XT, YT=YT, ZT=ZT, DX=DX, DY=DY, DZ=DZ,
+        v=v, w=w, sig=sig, inv_v=inv_v, dn_inv=dn_inv,
+        dnx=dnx, dny=dny, dnz=dnz,
+        x=x, y=y, z=z, dx=dx, dy=dy, dz=dz,
+    )
+
+
+def encode_channels(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref):
+    """refs -> (e_pts (432,P), e_view (648,P)); see encode_intermediates."""
+    it = encode_intermediates(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref)
+    return it["e_pts"], it["e_view"]
 
 
 # MXU operand dtype; tests may override to float32 for exactness checks
@@ -368,12 +382,15 @@ def fused_run_net(
     interpret: bool = False,
     trainable: bool = False,
     eval_mean_code: bool = False,
+    input_grads: bool = False,
 ) -> jax.Array:
     """Drop-in replacement for raycast._run_net on the supported subset.
 
     Returns raw (N, S, 4). Pads the flattened point set to the tile size.
     trainable=True routes through the custom-VJP forward/backward pair
-    (kernels/field_grad.py) so weight gradients flow.
+    (kernels/field_grad.py) so weight gradients flow; input_grads=True
+    additionally propagates cotangents into pts/dirs/skts (pose-opt
+    training, reference core/pose_opt.py:372-445).
     """
     from posegen_tpu.kernels.field_grad import TRAIN_TILE, make_trainable_field
 
@@ -423,7 +440,7 @@ def fused_run_net(
         )
         f = make_trainable_field(
             depth=cfg.netdepth, skips=skips, interpret=interpret,
-            code_ch=code_ch,
+            code_ch=code_ch, input_grads=input_grads,
         )
         raw_t = f(pts_t, dirs, rot, trn, cut, tau, codes, prepared)
     else:

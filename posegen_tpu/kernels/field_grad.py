@@ -26,9 +26,15 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from jax.experimental.pallas import tpu as pltpu
+
 from posegen_tpu.kernels.field import (
+    KP_CH,
+    N_JOINTS,
+    NF_KP,
+    NF_VIEW,
     FusedFieldParams,
-    encode_channels,
+    encode_intermediates,
     fused_field,
     grouped_specs,
     mm_t,
@@ -83,21 +89,126 @@ def _mm_tn(w, g):
     )
 
 
+def _encode_backward(it, rot, tau, g_e_pts, g_e_view):
+    """Cotangents of the fused encoding back to its inputs.
+
+    it: encode_intermediates dict (kernel channel order). rot: (24, 9).
+    g_e_pts (432, P) / g_e_view (648, P): encoding cotangents.
+    Returns (g_pts (3,P), g_dirs (3,P), g_rot (24,9), g_trn (24,3)) — the
+    input gradients that let pose-opt training (reference core/pose_opt.py:
+    372-445: loss -> compositor -> encodings -> skts -> FK -> pose params)
+    run fused.
+    """
+    NJ = N_JOINTS
+    v, w, sig, inv_v = it["v"], it["w"], it["sig"], it["inv_v"]
+    XT, YT, ZT = it["XT"], it["YT"], it["ZT"]
+    DX, DY, DZ = it["DX"], it["DY"], it["DZ"]
+    dn_inv = it["dn_inv"]
+    dn = (it["dnx"], it["dny"], it["dnz"])
+
+    # ---- kp PE block: rows [v*w | sin(v f)*w, cos(v f)*w per octave] -------
+    G0 = g_e_pts[0:NJ]
+    g_v = G0 * w
+    g_w = G0 * v
+    for f_idx in range(NF_KP):
+        f = 2.0**f_idx
+        s_ = jnp.sin(v * f)
+        c_ = jnp.cos(v * f)
+        Gs = g_e_pts[NJ * (1 + 2 * f_idx) : NJ * (2 + 2 * f_idx)]
+        Gc = g_e_pts[NJ * (2 + 2 * f_idx) : NJ * (3 + 2 * f_idx)]
+        g_v += (Gs * c_ - Gc * s_) * (f * w)
+        g_w += Gs * s_ + Gc * c_
+
+    # ---- reldir rows: XT*inv_v | YT*inv_v | ZT*inv_v ------------------------
+    Gdx = g_e_pts[KP_CH : KP_CH + NJ]
+    Gdy = g_e_pts[KP_CH + NJ : KP_CH + 2 * NJ]
+    Gdz = g_e_pts[KP_CH + 2 * NJ : KP_CH + 3 * NJ]
+    g_XT = Gdx * inv_v
+    g_YT = Gdy * inv_v
+    g_ZT = Gdz * inv_v
+    g_inv = Gdx * XT + Gdy * YT + Gdz * ZT
+    # inv_v = 1/max(v, eps): zero slope in the clamp region
+    g_v += -(g_inv * inv_v * inv_v) * (v > 1e-12)
+
+    # ---- view rows: [dn*w | per f: sin(dn f)*w x3, cos(dn f)*w x3] ----------
+    g_dn = []
+    for c in range(3):
+        H0 = g_e_view[c * NJ : (c + 1) * NJ]
+        g_dn.append(H0 * w)
+        g_w += H0 * dn[c]
+    for f_idx in range(NF_VIEW):
+        f = 2.0**f_idx
+        base = 3 * NJ + f_idx * 6 * NJ
+        for c in range(3):
+            Hs = g_e_view[base + c * NJ : base + (c + 1) * NJ]
+            Hc = g_e_view[base + (3 + c) * NJ : base + (4 + c) * NJ]
+            sq = jnp.sin(dn[c] * f)
+            cq = jnp.cos(dn[c] * f)
+            g_dn[c] += (Hs * cq - Hc * sq) * (f * w)
+            g_w += Hs * sq + Hc * cq
+
+    # ---- gate: w = 1 - sigmoid(tau (v - cut)) -------------------------------
+    g_v += g_w * (-tau * sig * (1.0 - sig))
+    # ---- v = |(XT, YT, ZT)| --------------------------------------------------
+    g_XT += g_v * XT * inv_v
+    g_YT += g_v * YT * inv_v
+    g_ZT += g_v * ZT * inv_v
+    # ---- dn = D * rsqrt(|D|^2) ------------------------------------------------
+    dot = g_dn[0] * DX + g_dn[1] * DY + g_dn[2] * DZ
+    k3 = dn_inv * dn_inv * dn_inv
+    g_DX = g_dn[0] * dn_inv - DX * k3 * dot
+    g_DY = g_dn[1] * dn_inv - DY * k3 * dot
+    g_DZ = g_dn[2] * dn_inv - DZ * k3 * dot
+
+    # ---- local frames: XT_j = R_j[0:3]·p + t_j0 etc. --------------------------
+    R = rot
+    gcol = lambda c0, c1, c2: jnp.sum(
+        R[:, c0][:, None] * g_XT + R[:, c1][:, None] * g_YT + R[:, c2][:, None] * g_ZT,
+        axis=0, keepdims=True,
+    )
+    gcol_d = lambda c0, c1, c2: jnp.sum(
+        R[:, c0][:, None] * g_DX + R[:, c1][:, None] * g_DY + R[:, c2][:, None] * g_DZ,
+        axis=0, keepdims=True,
+    )
+    g_pts = jnp.concatenate([gcol(0, 3, 6), gcol(1, 4, 7), gcol(2, 5, 8)], axis=0)
+    g_dirs = jnp.concatenate([gcol_d(0, 3, 6), gcol_d(1, 4, 7), gcol_d(2, 5, 8)], axis=0)
+
+    x, y, z = it["x"], it["y"], it["z"]
+    dx, dy, dz = it["dx"], it["dy"], it["dz"]
+    col = lambda gq, c: jnp.sum(gq * c, axis=1)[:, None]  # (24, 1)
+    g_rot = jnp.concatenate(
+        [
+            col(g_XT, x) + col(g_DX, dx), col(g_XT, y) + col(g_DX, dy), col(g_XT, z) + col(g_DX, dz),
+            col(g_YT, x) + col(g_DY, dx), col(g_YT, y) + col(g_DY, dy), col(g_YT, z) + col(g_DY, dz),
+            col(g_ZT, x) + col(g_DZ, dx), col(g_ZT, y) + col(g_DZ, dy), col(g_ZT, z) + col(g_DZ, dz),
+        ],
+        axis=1,
+    )  # (24, 9)
+    g_trn = jnp.concatenate(
+        [jnp.sum(g_XT, 1)[:, None], jnp.sum(g_YT, 1)[:, None], jnp.sum(g_ZT, 1)[:, None]],
+        axis=1,
+    )  # (24, 3)
+    return g_pts, g_dirs, g_rot, g_trn
+
+
 def _field_bwd_kernel(
     depth: int,
     skips: Tuple[int, ...],
     code_ch: int,
+    input_grads: bool,
     pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref, code_ref,
     *refs,
 ):
     n_w = 2 * depth + 8
     wrefs = refs[:n_w]
     g_ref = refs[n_w]  # (4, P) output cotangent
-    outs = refs[n_w + 1:]  # gradient refs: weights..., then d_codes
+    # gradient refs: weights..., then [d_codes], then [d_pts, d_dirs, d_rot, d_trn]
+    outs = refs[n_w + 1:]
 
-    e_pts, e_view = encode_channels(
+    it = encode_intermediates(
         pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref, tau_ref
     )
+    e_pts, e_view = it["e_pts"], it["e_view"]
 
     # ---- forward recompute, keeping activations -----------------------------
     pre = []  # pre-ReLU activations of trunk layers
@@ -168,16 +279,44 @@ def _field_bwd_kernel(
     g_h = _mm_tn(wrefs[k + 2][:, :], g_feat) + _mm_tn(wrefs[k][:, :], g_alpha)
 
     # trunk, reversed (skip layers split their cotangent)
+    g_e_pts = None
     for i in reversed(range(depth)):
         if i in skips:
-            # forward did h = concat(e_pts, relu(z)); only the relu part
-            # carries gradient back through this layer
+            # forward did h = concat(e_pts, relu(z)); the e_pts part feeds
+            # the input cotangent, the relu part continues down the trunk
+            if input_grads:
+                part = g_h[: e_pts.shape[0], :]
+                g_e_pts = part if g_e_pts is None else g_e_pts + part
             g_h = g_h[e_pts.shape[0]:, :]
         g_z = jnp.where(pre[i] > 0.0, g_h, 0.0)
         acc(outs[2 * i], _mm_nt(g_z, inputs[i]))
         acc(outs[2 * i + 1], jnp.sum(g_z, axis=1, keepdims=True))
         if i > 0:
             g_h = _mm_tn(wrefs[2 * i][:, :], g_z)
+        elif input_grads:
+            part = _mm_tn(wrefs[0][:, :], g_z)
+            g_e_pts = part if g_e_pts is None else g_e_pts + part
+
+    if input_grads:
+        g_e_view = g_hv_in[256 : 256 + e_view.shape[0], :]
+        g_pts, g_dirs, g_rot, g_trn = _encode_backward(
+            it, rot_ref[0], tau_ref[0, 0], g_e_pts, g_e_view
+        )
+        d_pts_ref, d_dirs_ref, d_rot_ref, d_trn_ref = outs[-4:]
+        d_pts_ref[:, :] = g_pts
+        d_dirs_ref[:, :] = g_dirs
+        # per-group accumulators: init on the group's first tile
+        first_in_group = pl.program_id(1) == 0
+
+        @pl.when(first_in_group)
+        def _():
+            d_rot_ref[0, :, :] = g_rot
+            d_trn_ref[0, :, :] = g_trn
+
+        @pl.when(jnp.logical_not(first_in_group))
+        def _():
+            d_rot_ref[0, :, :] = d_rot_ref[0, :, :] + g_rot
+            d_trn_ref[0, :, :] = d_trn_ref[0, :, :] + g_trn
 
 
 def make_trainable_field(
@@ -186,13 +325,17 @@ def make_trainable_field(
     tile: int = TRAIN_TILE,
     interpret: bool = False,
     code_ch: int = 0,
+    input_grads: bool = False,
 ):
     """-> f(pts_t, dirs_t, rot, trn, cut, tau, codes, params) with custom VJP.
 
-    params: FusedFieldParams of f32 tensors. Rays/skts/buffers get zero
-    cotangents; weights AND per-group framecodes get real gradients (the
-    framecode table outside differentiates through the gather).
-    """
+    params: FusedFieldParams of f32 tensors. Weights AND per-group
+    framecodes always get real gradients (the framecode table outside
+    differentiates through the gather). With input_grads=True the backward
+    kernel additionally emits d_pts_t/d_dirs_t/d_rot/d_trn so pose-opt
+    training (gradients into skts -> FK -> pose params, reference
+    core/pose_opt.py:372-445) runs fused; otherwise those come back zero
+    (rays are data, skts fixed)."""
 
     def fwd_only(pts_t, dirs_t, rot, trn, cut, tau, codes, params):
         return fused_field(
@@ -212,11 +355,14 @@ def make_trainable_field(
     def f_bwd(res, g):
         pts_t, dirs_t, rot, trn, cut, tau, codes, params = res
         ns = pts_t.shape[1]
+        n_groups = rot.shape[0]
         weights = _flatten_params(params, depth)
 
-        kernel = functools.partial(_field_bwd_kernel, depth, skips, code_ch)
+        kernel = functools.partial(
+            _field_bwd_kernel, depth, skips, code_ch, input_grads
+        )
         grid, in_specs, g_spec, full = grouped_specs(
-            ns, rot.shape[0], tile, rot, trn, cut, codes, weights
+            ns, n_groups, tile, rot, trn, cut, codes, weights
         )
         in_specs = in_specs + [g_spec]  # output cotangent tiles like points
         out_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
@@ -224,6 +370,23 @@ def make_trainable_field(
         if code_ch > 0:
             out_shapes.append(jax.ShapeDtypeStruct(codes.shape, jnp.float32))
             out_specs.append(full(codes))
+        if input_grads:
+            tpg = ns // n_groups // tile
+            pt_spec = lambda: pl.BlockSpec(
+                (3, tile), lambda g_, j: (0, g_ * tpg + j), memory_space=pltpu.VMEM
+            )
+            out_shapes += [
+                jax.ShapeDtypeStruct(pts_t.shape, jnp.float32),
+                jax.ShapeDtypeStruct(dirs_t.shape, jnp.float32),
+                jax.ShapeDtypeStruct(rot.shape, jnp.float32),
+                jax.ShapeDtypeStruct(trn.shape, jnp.float32),
+            ]
+            out_specs += [
+                pt_spec(),
+                pt_spec(),
+                pl.BlockSpec((1, 24, 9), lambda g_, j: (g_, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 24, 3), lambda g_, j: (g_, 0, 0), memory_space=pltpu.VMEM),
+            ]
 
         flops_per_pt = 3 * 2 * (
             432 * 256 + 6 * 256 * 256 + 688 * 256 + 256 * 256 + 904 * 128
@@ -243,11 +406,19 @@ def make_trainable_field(
         )(pts_t, dirs_t, rot, trn, cut, tau, codes, *weights, g)
 
         grads = list(grads)
+        zeros = lambda a: jnp.zeros_like(a)
+        if input_grads:
+            d_trn = grads.pop()
+            d_rot = grads.pop()
+            d_dirs = grads.pop()
+            d_pts = grads.pop()
+        else:
+            d_pts, d_dirs = zeros(pts_t), zeros(dirs_t)
+            d_rot, d_trn = zeros(rot), zeros(trn)
         d_codes = grads.pop() if code_ch > 0 else jnp.zeros_like(codes)
         d_params = _unflatten_params(grads, depth)
-        zeros = lambda a: jnp.zeros_like(a)
         return (
-            zeros(pts_t), zeros(dirs_t), zeros(rot), zeros(trn),
+            d_pts, d_dirs, d_rot, d_trn,
             zeros(cut), zeros(tau), d_codes, d_params,
         )
 

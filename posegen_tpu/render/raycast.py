@@ -271,8 +271,9 @@ def _run_net(
         return fused.fused_run_net(
             cfg, net_params, params["embed_kp"], pts, rays_d, ctx,
             interpret=jax.default_backend() == "cpu",
-            trainable=use_fused == "train",
+            trainable=use_fused in ("train", "full"),
             eval_mean_code=eval_mean_code,
+            input_grads=use_fused == "full",
         )
     x_pts, x_views, _ = encode_inputs(cfg, params, pts, rays_d, ctx)
     frame_idx = None

@@ -187,13 +187,14 @@ def make_train_step(
     popt = pose_optimizer(tcfg) if tcfg.opt_pose else None
 
     def _fused_train_mode(params, batch) -> Any:
-        """'train' when the custom-VJP Pallas kernel applies, else False.
+        """'train'/'full' when the custom-VJP Pallas kernel applies, else False.
 
-        Requirements (all static at trace time): TPU backend, supported
-        config, no pose refinement (its gradients flow into skts, which the
-        weight-gradient-only kernel does not propagate), framecodes off, and
-        rays grouping evenly into per-pose blocks whose sample counts are
-        tile multiples.
+        'train' propagates weight (+framecode) gradients only; 'full' (pose
+        refinement on) additionally propagates input cotangents through the
+        fused encoding into skts -> FK -> pose params. Requirements (all
+        static at trace time): TPU backend, supported config, and rays
+        grouping evenly into per-pose blocks whose sample counts are tile
+        multiples.
         """
         from posegen_tpu.kernels.field import supports_fused_config
         from posegen_tpu.kernels.field_grad import TRAIN_TILE
@@ -204,21 +205,23 @@ def make_train_step(
             # jit sharding, so multi-device runs keep the XLA path unless the
             # user forces fused_train=True
             enabled = jax.default_backend() == "tpu" and jax.device_count() == 1
-        if not enabled or tcfg.opt_pose or not supports_fused_config(cfg):
+        if not enabled or not supports_fused_config(cfg):
             return False
         if len(params["coarse"].get("views_linears", [0])) != 1:
             return False
+        mode = "full" if tcfg.opt_pose else "train"
         n = batch["rays_o"].shape[0]
-        g = batch["skts"].shape[0]  # pose groups carried by the batch
+        # pose groups carried by the batch (kp_idx rows when pose-optimizing)
+        g = batch["kp_idx"].shape[0] if tcfg.opt_pose else batch["skts"].shape[0]
         if g == 1:
-            return "train"  # single group: fused_run_net pads to the tile
+            return mode  # single group: fused_run_net pads to the tile
         if n % g != 0:
             return False
         rpi = n // g
         for s in (cfg.N_samples, cfg.N_samples + cfg.N_importance):
             if (rpi * s) % TRAIN_TILE != 0:
                 return False
-        return "train"
+        return mode
 
     def loss_fn(params, pose_params, embeds, batch, key):
         n = batch["rays_o"].shape[0]
@@ -238,7 +241,7 @@ def make_train_step(
             cyls = jnp.repeat(cyls, n // g, axis=0) if cyls.shape[0] == g else cyls
 
         use_fused = _fused_train_mode(params, batch)
-        if use_fused == "train" and g != n:
+        if use_fused in ("train", "full") and g != n:
             ctx = PoseCtx(
                 kps=kps, skts=skts, bones=bones, cyls=cyls,
                 cam_idxs=batch.get("cam_idxs"),

@@ -87,3 +87,94 @@ def test_trainable_fused_value_matches_inference_kernel():
     np.testing.assert_allclose(
         np.asarray(raw_tr), np.asarray(raw_inf), rtol=2e-2, atol=2e-3
     )
+
+
+@pytest.mark.slow
+def test_fused_input_grads_match_xla(f32_matmuls):
+    """d(loss)/d(pts, rays_d, skts) from the input_grads backward kernel ==
+    XLA autodiff (the pose-opt chain, reference core/pose_opt.py:372-445)."""
+    from posegen_tpu.render.raycast import PoseCtx
+
+    cfg, params, ctx, ro, rd = make_problem(CFG, n_rays=8)
+    n, s = 8, 6
+    z = jnp.sort(
+        jax.random.uniform(jax.random.PRNGKey(3), (n, s), minval=0.5, maxval=2.0), -1
+    )
+    pts = ro[:, None] + rd[:, None] * z[..., None]
+    wgt = jax.random.normal(jax.random.PRNGKey(7), (n, s, 4))
+
+    def mk_ctx(skts):
+        return PoseCtx(kps=ctx.kps, skts=skts, bones=ctx.bones, cyls=ctx.cyls)
+
+    def loss_xla(pts, rd, skts):
+        x_pts, x_views, _ = encode_inputs(cfg, params, pts, rd, mk_ctx(skts))
+        raw = nerf_mod.nerf_apply(cfg.nerf_cfg, params["coarse"], x_pts, x_views)
+        return jnp.sum(raw * wgt)
+
+    def loss_fused(pts, rd, skts):
+        raw = fused_run_net(
+            cfg, params["coarse"], params["embed_kp"], pts, rd, mk_ctx(skts),
+            interpret=True, trainable=True, input_grads=True,
+        )
+        return jnp.sum(raw * wgt)
+
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(pts, rd, ctx.skts)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(pts, rd, ctx.skts)
+
+    for name, a, b in zip(("pts", "rays_d", "skts"), gx, gf):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        err = np.abs(b - a).max() / scale
+        assert err < 1e-4, f"{name}: rel err {err}"
+        rel_l2 = float(np.linalg.norm(b - a) / (np.linalg.norm(a) + 1e-12))
+        assert rel_l2 < 1e-5, f"{name}: rel L2 {rel_l2}"
+
+
+@pytest.mark.slow
+def test_fused_input_grads_grouped(f32_matmuls):
+    """Per-group d_rot/d_trn accumulators: 2 pose groups, 64 samples/ray so
+    each group is exactly one TRAIN_TILE; d_skts matches XLA per group."""
+    from posegen_tpu.render.raycast import PoseCtx
+    from posegen_tpu.utils.fixtures import make_pose_ctx, make_rays
+
+    cfg = CFG
+    params = __import__("posegen_tpu.render.raycast", fromlist=["init_raycaster"]).init_raycaster(
+        jax.random.PRNGKey(0), cfg
+    )
+    ctx2 = make_pose_ctx(seed=0, n_poses=2)
+    ro, rd = make_rays(8, seed=1)
+    n, s = 8, 64  # 4 rays/group * 64 samples = 256 = TRAIN_TILE
+    z = jnp.sort(
+        jax.random.uniform(jax.random.PRNGKey(5), (n, s), minval=0.5, maxval=2.0), -1
+    )
+    pts = ro[:, None] + rd[:, None] * z[..., None]
+    wgt = jax.random.normal(jax.random.PRNGKey(11), (n, s, 4))
+
+    def mk_ctx(skts):
+        return PoseCtx(kps=ctx2.kps, skts=skts, bones=ctx2.bones, cyls=ctx2.cyls)
+
+    def loss_xla(skts):
+        # XLA path needs per-ray pose rows
+        rep = n // 2
+        skts_r = jnp.repeat(skts, rep, axis=0)
+        ctx_r = PoseCtx(
+            kps=jnp.repeat(ctx2.kps, rep, axis=0),
+            skts=skts_r,
+            bones=jnp.repeat(ctx2.bones, rep, axis=0),
+            cyls=ctx2.cyls,
+        )
+        x_pts, x_views, _ = encode_inputs(cfg, params, pts, rd, ctx_r)
+        raw = nerf_mod.nerf_apply(cfg.nerf_cfg, params["coarse"], x_pts, x_views)
+        return jnp.sum(raw * wgt)
+
+    def loss_fused(skts):
+        raw = fused_run_net(
+            cfg, params["coarse"], params["embed_kp"], pts, rd, mk_ctx(skts),
+            interpret=True, trainable=True, input_grads=True,
+        )
+        return jnp.sum(raw * wgt)
+
+    gx = np.asarray(jax.grad(loss_xla)(ctx2.skts))
+    gf = np.asarray(jax.grad(loss_fused)(ctx2.skts))
+    scale = max(np.abs(gx).max(), 1e-3)
+    assert np.abs(gf - gx).max() / scale < 1e-4

@@ -83,3 +83,74 @@ def test_fused_train_mode_gating(rng):
     step = make_train_step(CFG, tcfg)
     state, stats = step(state, bad, jax.random.PRNGKey(0))
     assert np.isfinite(float(stats["total_loss"]))
+
+
+@pytest.mark.slow
+def test_fused_pose_opt_train_step_matches_xla(rng, monkeypatch):
+    """Pose-opt training on the fused 'full' path: the kernel engages (no
+    silent XLA fallback) and pose-parameter gradients match the XLA path."""
+    import posegen_tpu.kernels.field as field
+    from posegen_tpu.pose.opt import PoseOptConfig, init_pose_params
+    from posegen_tpu.skeleton.skeleton import SMPL_REST_POSE
+
+    orig = field.MM_DTYPE
+    field.MM_DTYPE = jnp.float32  # exactness mode (see test_fused_grad)
+    calls = {"n": 0}
+    orig_fn = field.fused_run_net
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig_fn(*a, **k)
+
+    monkeypatch.setattr(field, "fused_run_net", spy)
+    try:
+        n_images, rpi = 2, 16
+        batch = _grouped_batch(rng, n_images, rpi)
+        for k in ("kp3d", "skts", "bones"):
+            del batch[k]
+        batch["kp_idx"] = jnp.asarray([0, 1], jnp.int32)
+
+        n_frames = 2
+        bones0 = np.stack(
+            [np.asarray(make_pose_ctx(seed=i).bones[0]) for i in range(n_frames)]
+        )
+        kp0 = np.stack(
+            [np.asarray(make_pose_ctx(seed=i).kps[0]) for i in range(n_frames)]
+        )
+        pcfg = PoseOptConfig(use_rot6d=True)
+        pose_params, anchors = init_pose_params(pcfg, bones0, kp0)
+
+        variables = init_raycaster(jax.random.PRNGKey(0), CFG)
+        rest = jnp.asarray(SMPL_REST_POSE)
+        key = jax.random.PRNGKey(5)
+
+        outs = {}
+        for name, fused_flag in (("xla", False), ("fused", True)):
+            tcfg = TrainConfig(
+                opt_pose=True, opt_pose_step=1, fused_train=fused_flag,
+                use_temp_loss=True,
+            )
+            state = create_train_state(variables, tcfg, pose_params, anchors)
+            step = make_train_step(
+                CFG, tcfg, pcfg, rest_pose=rest, n_frames=n_frames
+            )
+            before = calls["n"]
+            s2, stats = step(state, batch, key)
+            outs[name] = (s2, stats, calls["n"] - before)
+
+        assert outs["fused"][2] > 0, "fused kernel did not engage for pose-opt"
+        sx, stats_x, _ = outs["xla"]
+        sf, stats_f, _ = outs["fused"]
+        np.testing.assert_allclose(
+            float(stats_f["total_loss"]), float(stats_x["total_loss"]), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(stats_f["pose_grad_norm"]), float(stats_x["pose_grad_norm"]),
+            rtol=1e-4,
+        )
+        for k in sx.pose_params:
+            a = np.asarray(sx.pose_params[k])
+            b = np.asarray(sf.pose_params[k])
+            assert np.abs(a - b).max() < 5e-5, f"pose_params[{k}]"
+    finally:
+        field.MM_DTYPE = orig
