@@ -358,6 +358,7 @@ def render_rays(
     z_all, z_samples, sorted_idxs = samp.isample_from_lineseg(
         z_vals, out_c["weights"], cfg.N_importance, det=(perturb == 0.0),
         is_only=cfg.single_net, key=keys[2], det_noise=dn.get("importance"),
+        need_idxs=cfg.single_net,  # only the raw merge consumes the permutation
     )
 
     fine_params = params.get("fine", params["coarse"])
