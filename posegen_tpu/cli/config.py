@@ -91,76 +91,264 @@ def txt_to_argstring(path: str, ignore: Sequence[str] = ("config",)) -> List[str
 
 
 def nerf_config_parser() -> argparse.ArgumentParser:
-    """The training CLI's flag set (reference run_nerf.py:186-490, trimmed to
-    the flags the TPU rebuild implements; names kept identical)."""
+    """The FULL training flag surface (reference run_nerf.py:186-490, all 131
+    flags, names and defaults kept identical) plus TPU-rebuild extras
+    (data_root/seed/n_devices). Flags whose non-default values select
+    reference behaviors the rebuild does not implement are still parsed —
+    `validate_args` rejects them loudly instead of silently ignoring them.
+    """
     p = argparse.ArgumentParser("posegen_tpu.run_nerf", add_help=True)
+    arg = p.add_argument
     # experiment
-    p.add_argument("--expname", type=str, default="exp")
-    p.add_argument("--basedir", type=str, default="./logs")
-    p.add_argument("--seed", type=int, default=0)
-    # data
-    p.add_argument("--dataset_type", type=str, default="synthetic")
-    p.add_argument("--subject", type=str, default="demo")
-    p.add_argument("--data_root", type=str, default="data")
-    p.add_argument("--N_rand", type=int, default=3072)
-    p.add_argument("--N_sample_images", type=int, default=64)
-    p.add_argument("--patch_size", type=int, default=1)
-    p.add_argument("--mask_image", action="store_true")
-    p.add_argument("--white_bkgd", action="store_true")
-    p.add_argument("--load_refined", type=str, default=None)
-    p.add_argument("--num_workers", type=int, default=2)
-    # model
-    p.add_argument("--netdepth", type=int, default=8)
-    p.add_argument("--netwidth", type=int, default=256)
-    p.add_argument("--multires", type=int, default=7)
-    p.add_argument("--multires_views", type=int, default=4)
-    p.add_argument("--multires_bones", type=int, default=0)
-    p.add_argument("--use_cutoff", action="store_true")
-    p.add_argument("--cutoff_viewdir", action="store_true")
-    p.add_argument("--cutoff_inputs", action="store_true")
-    p.add_argument("--cutoff_mm", type=float, default=500.0)
-    p.add_argument("--opt_framecode", action="store_true")
-    p.add_argument("--framecode_size", type=int, default=16)
-    p.add_argument("--kp_dist_type", type=str, default="reldist")
-    p.add_argument("--view_type", type=str, default="relray")
-    p.add_argument("--bone_type", type=str, default="reldir")
-    p.add_argument("--density_type", type=str, default="relu")
-    # rendering
-    p.add_argument("--N_samples", type=int, default=64)
-    p.add_argument("--N_importance", type=int, default=16)
-    p.add_argument("--single_net", action="store_true")
-    p.add_argument("--perturb", type=float, default=1.0)
-    p.add_argument("--raw_noise_std", type=float, default=0.0)
-    p.add_argument("--chunk", type=int, default=4096)
-    # training
-    p.add_argument("--n_iters", type=int, default=150000)
-    p.add_argument("--lrate", type=float, default=5e-4)
-    p.add_argument("--lrate_decay", type=int, default=500)
-    p.add_argument("--loss_fn", type=str, default="MSE")
-    p.add_argument("--use_temp_loss", action="store_true")
-    p.add_argument("--temp_coef", type=float, default=0.05)
+    arg("--expname", type=str, default="exp")
+    arg("--basedir", type=str, default="./logs")
+    arg("--datadir", type=str, default=None, help="alias of --data_root")
+    arg("--seed", type=int, default=0)
+    # network architecture
+    arg("--netdepth", type=int, default=8)
+    arg("--netwidth", type=int, default=256)
+    arg("--netdepth_fine", type=int, default=8)
+    arg("--netwidth_fine", type=int, default=256)
+    arg("--single_net", action="store_true")
+    arg("--nerf_type", type=str, default="nerf")
+    arg("--use_viewdirs", action="store_true")
+    arg("--density_type", type=str, default="relu")
+    arg("--density_scale", type=float, default=1.0)
+    arg("--softplus_shift", type=float, default=1.0)
+    arg("--use_uncertainty", action="store_true")
+    arg("--fix_layer", type=int, default=0)
+    # positional encodings
+    arg("--i_embed", type=int, default=0)
+    arg("--multires", type=int, default=10)
+    arg("--multires_pts", type=int, default=5)
+    arg("--multires_views", type=int, default=4)
+    arg("--multires_bones", type=int, default=0)
+    # cutoff embedder
+    arg("--use_cutoff", action="store_true")
+    arg("--normalize_cutoff", action="store_true")
+    arg("--cutoff_mm", type=float, default=500.0)
+    arg("--cutoff_inputs", action="store_true")
+    arg("--cut_to_dist", action="store_true")
+    arg("--cutoff_shift", action="store_true")
+    arg("--cutoff_viewdir", action="store_true")
+    arg("--opt_cutoff", action="store_true")
+    arg("--cutoff_step", type=int, default=250)
+    arg("--cutoff_rate", type=float, default=10.0)
+    arg("--cutoff_bones", action="store_true")
+    arg("--cutoff_ancestors", type=int, default=5)
+    arg("--freq_schedule", action="store_true")
+    arg("--freq_schedule_step", type=int, default=5)
+    arg("--init_freq", type=float, default=0.0)
+    # conditioning encoders
+    arg("--kp_dist_type", type=str, default="reldist")
+    arg("--view_type", type=str, default="relray")
+    arg("--bone_type", type=str, default="reldir")
+    arg("--pts_tr_type", type=str, default="local")
+    # per-frame codes
+    arg("--opt_framecode", action="store_true")
+    arg("--n_framecodes", type=int, default=None)
+    arg("--framecode_size", type=int, default=16)
+    arg("--opt_posecode", action="store_true")
+    # sampling / rendering
+    arg("--N_samples", type=int, default=64)
+    arg("--N_importance", type=int, default=0)
+    arg("--perturb", type=float, default=1.0)
+    arg("--P_nms", type=float, default=0.0)
+    arg("--lindisp", action="store_true")
+    arg("--raw_noise_std", type=float, default=0.0)
+    arg("--ray_noise_std", type=float, default=0.0)
+    arg("--render_factor", type=int, default=0)
+    arg("--save_image", action="store_true")
+    arg("--precrop_iters", type=int, default=0)
+    arg("--precrop_frac", type=float, default=0.5)
+    arg("--chunk", type=int, default=1024 * 32)
+    arg("--netchunk", type=int, default=1024 * 64)
+    # optimization
+    arg("--N_rand", type=int, default=32 * 32 * 4)
+    arg("--lrate", type=float, default=5e-4)
+    arg("--lrate_decay", type=int, default=250)
+    arg("--lrate_decay_rate", type=float, default=0.1)
+    arg("--decay_unit", type=int, default=1000)
+    arg("--weight_decay", type=float, default=None)
+    arg("--coarse_weight", type=float, default=1.0)
+    arg("--n_iters", type=int, default=200000)
+    arg("--loss_fn", type=str, default="MSE")
+    arg("--loss_beta", type=float, default=0.1)
+    arg("--reg_fn", type=str, default=None)
+    arg("--reg_coef", type=float, default=0.1)
+    arg("--use_yuv", action="store_true")
+    arg("--use_temp_loss", action="store_true")
+    arg("--temp_coef", type=float, default=0.05)
+    arg("--no_reload", action="store_true")
+    arg("--ft_path", type=str, default=None)
+    arg("--finetune", action="store_true")
     # pose optimization
-    p.add_argument("--opt_pose", action="store_true")
-    p.add_argument("--opt_rot6d", action="store_true")
-    p.add_argument("--opt_pose_lrate", type=float, default=5e-4)
-    p.add_argument("--opt_pose_lrate_decay", type=int, default=2)
-    p.add_argument("--opt_pose_step", type=int, default=20)
-    p.add_argument("--opt_pose_coef", type=float, default=2.0)
-    p.add_argument("--opt_pose_tol", type=float, default=0.0)
+    arg("--opt_pose", action="store_true")
+    arg("--opt_rot6d", action="store_true")
+    arg("--init_poseopt", type=str, default=None)
+    arg("--no_poseopt_reload", action="store_true")
+    arg("--opt_pose_stop", type=int, default=None)
+    arg("--opt_pose_coef", type=float, default=0.0)
+    arg("--opt_pose_tol", type=float, default=0.0)
+    arg("--opt_pose_type", type=str, default="B")
+    arg("--opt_pose_step", type=int, default=1)
+    arg("--opt_pose_lrate", type=float, default=5e-4)
+    arg("--opt_pose_lrate_decay", type=int, default=250)
+    arg("--opt_pose_decay_rate", type=float, default=1.0)
+    arg("--opt_pose_warmup", type=int, default=0)
+    arg("--opt_pose_decay_unit", type=int, default=400)
+    arg("--opt_pose_cache", action="store_true")
+    arg("--opt_pose_joint", action="store_true")
+    arg("--testopt", action="store_true")
+    arg("--use_ckpt_anchor", action="store_true")
+    # background / LBS networks (reference experimental branches)
+    arg("--use_bgnet", action="store_true")
+    arg("--bgnet_stop", type=int, default=500000)
+    arg("--bgnet_reg", type=float, default=0.01)
+    arg("--use_bgfill", action="store_true")
+    arg("--lbsnet_type", type=str, default="default")
+    arg("--use_lbsnet", action="store_true")
+    arg("--n_lbs", type=int, default=1)
+    arg("--multires_lbs", type=int, default=10)
+    arg("--multires_lbsviews", type=int, default=4)
+    # data
+    arg("--dataset_type", type=str, nargs="+", default=["synthetic"])
+    arg("--subject", type=str, nargs="+", default=["demo"])
+    arg("--data_root", type=str, default="data")
+    arg("--n_subjects", type=int, default=2)
+    arg("--camera", type=int, default=None)
+    arg("--use_val", action="store_true")
+    arg("--white_bkgd", action="store_true")
+    arg("--ext_scale", type=float, default=0.001)
+    arg("--use_background", action="store_true")
+    arg("--fg_ratio", type=float, default=None)
+    arg("--train_skip", type=int, default=1)
+    arg("--view_skip", type=int, default=1)
+    arg("--N_cams", type=int, default=None)
+    arg("--multiview", action="store_true")
+    arg("--training_res", type=float, default=1.0)
+    arg("--val_seq", nargs="+", type=int, default=[6, 18])
+    arg("--rand_train_kps", type=str, default=None)
+    arg("--N_sample_images", type=int, default=8)
+    arg("--image_batching", action="store_true")
+    arg("--mask_image", action="store_true")
+    arg("--patch_size", type=int, default=1)
+    arg("--load_refined", type=str, default=None,
+        help="path to a refined-pose checkpoint (the reference uses a bool + "
+             "hard-coded path; here the path is explicit)")
+    arg("--num_workers", type=int, default=16)
     # logging / checkpoints
-    p.add_argument("--i_print", type=int, default=100)
-    p.add_argument("--i_weights", type=int, default=10000)
-    p.add_argument("--i_testset", type=int, default=10000)
-    p.add_argument("--no_reload", action="store_true")
-    p.add_argument("--ft_path", type=str, default=None)
-    # distributed
-    p.add_argument("--n_devices", type=int, default=0, help="0 = all")
+    arg("--i_print", type=int, default=100)
+    arg("--i_weights", type=int, default=10000)
+    arg("--i_pose_weights", type=int, default=2000)
+    arg("--i_testset", type=int, default=50000)
+    arg("--i_video", type=int, default=10000)
+    arg("--debug", action="store_true")
+    # TPU-rebuild extras
+    arg("--n_devices", type=int, default=0, help="0 = all")
     return p
+
+
+# Flags whose NON-DEFAULT values select reference behaviors this rebuild does
+# not implement. They parse (so reference args.txt round-trips), but
+# validate_args raises — never a silent semantic drop (the reference failure
+# mode this guards against: a config with e.g. use_bgnet=True "working" while
+# rendering something else entirely).
+UNSUPPORTED_NONDEFAULT = {
+    "nerf_type": "nerf",       # graph/DNeRF variants not rebuilt
+    "use_uncertainty": False,  # uncertainty density head
+    "fix_layer": 0,            # partial layer freezing
+    "i_embed": 0,              # alternative embedders
+    "use_yuv": False,          # YUV-space loss
+    "precrop_iters": 0,        # center-crop warmup
+    "opt_posecode": False,     # per-pose codes
+    "opt_pose_type": "B",      # alternative pose-opt objectives
+    "opt_cutoff": False,       # learned cutoff distances
+    "use_ckpt_anchor": False,  # anchors from checkpoint
+    "use_bgnet": False,        # background network
+    "use_bgfill": False,       # background fill
+    "use_lbsnet": False,       # LBS blending network
+    "pts_tr_type": "local",    # alternative point transforms
+    "camera": None,            # single-camera filtering
+    "rand_train_kps": None,    # random kp subset selection
+    "multiview": False,        # multiview kp sharing in the CLI
+}
+
+# Flags that parse and may diverge from their reference default without
+# changing this rebuild's output semantics (dissolved memory tiling, loader
+# internals, output-artifact cadence). Changing them never corrupts a run.
+INERT_FLAGS = (
+    "chunk", "netchunk", "num_workers", "render_factor", "save_image",
+    "i_video", "debug", "use_val", "n_subjects", "ext_scale",
+    "use_background", "image_batching", "multires_pts",
+    "bgnet_stop", "bgnet_reg", "lbsnet_type", "n_lbs", "multires_lbs",
+    "multires_lbsviews", "loss_beta",
+)
+
+# Flags honored approximately: accepted with a loud warning describing the
+# divergence (data-selection knobs the H5 loader resolves differently).
+WARN_DIVERGENT = {
+    "val_seq": "validation views are evenly spaced over the dataset, not "
+               "taken from --val_seq",
+    "train_skip": "frame skipping is applied at H5 processing time, not by "
+                  "the loader",
+    "view_skip": "view skipping is applied at H5 processing time, not by "
+                 "the loader",
+    "N_cams": "camera-count limiting is applied at H5 processing time",
+    "training_res": "image resizing is applied at H5 processing time",
+    "cutoff_ancestors": "bone cutoff gates all joints per-joint, without an "
+                        "ancestor limit",
+    "opt_pose_joint": "NeRF and pose always train jointly (the flip-flop "
+                      "scheduler is available as a library: pose/flipflop.py)",
+    "no_poseopt_reload": "pose state restores together with the full "
+                         "checkpoint",
+}
+
+
+def validate_args(args: argparse.Namespace, strict: bool = True) -> List[str]:
+    """Reject unsupported non-default flags; warn on approximate ones.
+
+    Returns the warning list (also printed). Raises SystemExit when an
+    unsupported behavior was requested and strict is True.
+    """
+    errors = []
+    for key, default in UNSUPPORTED_NONDEFAULT.items():
+        val = getattr(args, key, default)
+        if val != default:
+            errors.append(
+                f"--{key}={val!r}: this reference behavior is not implemented "
+                f"in the TPU rebuild (supported value: {default!r})"
+            )
+    warnings: List[str] = []
+    defaults = nerf_config_parser().parse_args([])
+    for key, msg in WARN_DIVERGENT.items():
+        if getattr(args, key, None) != getattr(defaults, key, None):
+            warnings.append(f"--{key}: {msg}")
+    if args.reg_fn not in (None, "BCE"):
+        errors.append(f"--reg_fn={args.reg_fn!r}: only BCE (or none) is implemented")
+    for w in warnings:
+        print(f"[config warning] {w}")
+    if errors and strict:
+        raise SystemExit(
+            "unsupported config flags (refusing to run with silently changed "
+            "semantics):\n  " + "\n  ".join(errors)
+        )
+    return warnings
+
+
+def _scalar(v):
+    """dataset_type/subject parse as nargs='+' lists (reference convention);
+    most of the stack wants the first entry."""
+    if isinstance(v, (list, tuple)):
+        return v[0]
+    return v
 
 
 def args_to_raycast_config(args, n_framecodes: int = 0):
     from posegen_tpu.render.raycast import RaycastConfig
 
+    if getattr(args, "n_framecodes", None):
+        n_framecodes = args.n_framecodes  # explicit override (reference flag)
     return RaycastConfig(
         kp_dist_type=args.kp_dist_type,
         view_type=args.view_type,
@@ -168,20 +356,33 @@ def args_to_raycast_config(args, n_framecodes: int = 0):
         multires=args.multires,
         multires_views=args.multires_views,
         multires_bones=args.multires_bones,
+        use_viewdirs=args.use_viewdirs,
         use_cutoff=args.use_cutoff,
         cutoff_viewdir=args.cutoff_viewdir,
+        cutoff_bones=args.cutoff_bones,
         cutoff_inputs=args.cutoff_inputs,
+        cut_to_dist=args.cut_to_dist,
+        cutoff_shift=args.cutoff_shift,
+        normalize_cutoff=args.normalize_cutoff,
+        freq_schedule=args.freq_schedule,
+        init_freq=args.init_freq,
         opt_framecode=args.opt_framecode,
         framecode_ch=args.framecode_size,
         n_framecodes=n_framecodes,
         netdepth=args.netdepth,
         netwidth=args.netwidth,
+        netdepth_fine=args.netdepth_fine,
+        netwidth_fine=args.netwidth_fine,
         N_samples=args.N_samples,
         N_importance=args.N_importance,
         single_net=args.single_net,
         perturb=args.perturb,
         raw_noise_std=args.raw_noise_std,
+        ray_noise_std=args.ray_noise_std,
+        lindisp=args.lindisp,
         density_type=args.density_type,
+        density_scale=args.density_scale,
+        softplus_shift=args.softplus_shift,
     )
 
 
@@ -191,28 +392,53 @@ def args_to_train_config(args):
     return TrainConfig(
         lrate=args.lrate,
         lrate_decay=args.lrate_decay,
+        lrate_decay_rate=args.lrate_decay_rate,
+        decay_unit=args.decay_unit,
+        weight_decay=args.weight_decay,
         loss_fn=args.loss_fn,
+        loss_beta=args.loss_beta,
+        coarse_weight=args.coarse_weight,
+        use_acc_loss=args.reg_fn == "BCE",
+        acc_loss_weight=args.reg_coef,
+        testopt=args.testopt,
         rays_per_image=max(args.N_rand // max(args.N_sample_images, 1), 1),
         opt_pose=args.opt_pose,
         opt_pose_lrate=args.opt_pose_lrate,
         opt_pose_lrate_decay=args.opt_pose_lrate_decay,
+        opt_pose_decay_rate=args.opt_pose_decay_rate,
+        opt_pose_decay_unit=args.opt_pose_decay_unit,
         opt_pose_step=args.opt_pose_step,
         opt_pose_coef=args.opt_pose_coef,
+        opt_pose_warmup=args.opt_pose_warmup,
+        opt_pose_stop=args.opt_pose_stop,
+        opt_pose_cache=args.opt_pose_cache,
         use_temp_loss=args.use_temp_loss,
         temp_coef=args.temp_coef,
+        cutoff_step=args.cutoff_step,
+        cutoff_rate=args.cutoff_rate,
+        freq_schedule_step=args.freq_schedule_step,
     )
 
 
 def args_to_data_config(args):
     from posegen_tpu.data.catalog import DataConfig
 
+    subjects = args.subject if isinstance(args.subject, (list, tuple)) else [args.subject]
+    rays_per_image = max(args.N_rand // max(args.N_sample_images, 1), 1)
+    # out-of-mask sampling budget: --P_nms fraction, or 1 - fg_ratio
+    # (reference dataset.py:324-344 "nms" samples / --fg_ratio floor)
+    box_frac = args.P_nms or 0.0
+    if args.fg_ratio is not None:
+        box_frac = max(box_frac, 1.0 - args.fg_ratio)
     return DataConfig(
-        dataset=args.dataset_type,
-        subject=args.subject,
-        data_root=args.data_root,
+        dataset=_scalar(args.dataset_type),
+        subject=subjects[0],
+        multi_subjects=subjects if len(subjects) > 1 else None,
+        data_root=args.datadir or args.data_root,
         n_rand=args.N_rand,
         n_sample_images=args.N_sample_images,
         patch_size=args.patch_size,
+        n_box_rays=int(round(box_frac * rays_per_image)),
         mask_image=args.mask_image,
         white_bkgd=args.white_bkgd,
         load_refined=args.load_refined,

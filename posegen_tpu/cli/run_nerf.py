@@ -24,15 +24,26 @@ from posegen_tpu.cli.config import (
     dump_args,
     nerf_config_parser,
     parse_with_config,
+    validate_args,
 )
 
 
-def evaluate_testset(cfg, state, render_data, chunk: int = 4096):
+def evaluate_testset(cfg, state, render_data, chunk: int = 4096, mesh=None):
     """Render held-out views and compute PSNR/SSIM
-    (reference render_testset + evaluate_metric, run_nerf.py:557-604)."""
+    (reference render_testset + evaluate_metric, run_nerf.py:557-604).
+
+    mesh: optional device mesh — val rays are then sharded across chips via
+    the shard_map fused render (each device renders chunk/n_devices rays)."""
     from posegen_tpu.evals.image import evaluate_metric
     from posegen_tpu.render.image import render_image
     from posegen_tpu.render.raycast import PoseCtx
+
+    render_fn = None
+    if mesh is not None and mesh.size > 1:
+        from posegen_tpu.parallel.mesh import make_shardmap_render
+
+        chunk = chunk - (chunk % mesh.size) or mesh.size
+        render_fn = make_shardmap_render(cfg, mesh)
 
     params = {**state.params, **state.embeds}
     H, W, _ = render_data["hwf"]
@@ -49,7 +60,8 @@ def evaluate_testset(cfg, state, render_data, chunk: int = 4096):
         )
         focal = float(np.ravel(render_data["focals"])[min(i, np.ravel(render_data["focals"]).size - 1)])
         out = render_image(
-            cfg, params, H, W, focal, render_data["c2ws"][i], ctx, chunk=chunk
+            cfg, params, H, W, focal, render_data["c2ws"][i], ctx, chunk=chunk,
+            render_fn=render_fn,
         )
         rgbs.append(out["rgb"])
         gts.append(render_data["imgs"][i] * render_data["masks"][i])
@@ -59,6 +71,7 @@ def evaluate_testset(cfg, state, render_data, chunk: int = 4096):
 
 def train(argv: Optional[Sequence[str]] = None) -> str:
     args = parse_with_config(nerf_config_parser(), argv)
+    validate_args(args)
     log_dir = os.path.join(args.basedir, args.expname)
     dump_args(log_dir, args)
 
@@ -85,6 +98,13 @@ def train(argv: Optional[Sequence[str]] = None) -> str:
     if args.opt_pose:
         pcfg = PoseOptConfig(use_rot6d=args.opt_rot6d, opt_pose_tol=args.opt_pose_tol)
         pose_params, anchors = init_pose_params(pcfg, attrs["bones"], attrs["kp3d"])
+        if args.init_poseopt:
+            # initialize the poseopt layer from a specific checkpoint
+            # (reference --init_poseopt, pose_opt.py:212)
+            from posegen_tpu.train.checkpoints import load_pose_params
+
+            pose_params = load_pose_params(args.init_poseopt)
+            print(f"initialized pose params from {args.init_poseopt}")
     state = create_train_state(variables, tcfg, pose_params, anchors)
 
     # auto-resume (reference raycasters.py:124-142)
@@ -93,25 +113,46 @@ def train(argv: Optional[Sequence[str]] = None) -> str:
         ckpt = args.ft_path or latest_checkpoint(log_dir)
         if ckpt:
             state = load_checkpoint(ckpt, state)
-            start = int(state.step)
+            if args.finetune:
+                # fine-tune: weights only — fresh optimizer + step counter
+                # (reference --finetune, raycasters.py:140-141)
+                fresh = create_train_state(
+                    {**state.params, **state.embeds}, tcfg,
+                    state.pose_params, state.pose_anchors,
+                )
+                state = fresh
+            else:
+                start = int(state.step)
             print(f"resumed from {ckpt} at step {start}")
 
-    step_fn = make_train_step(
-        cfg, tcfg, pcfg,
-        rest_pose=jnp.asarray(attrs["rest_pose"]),
-        n_frames=attrs["n_kps"],
-    )
+    rest_pose = jnp.asarray(attrs["rest_pose"])
     if args.n_devices != 1 and jax.device_count() > 1:
+        # Multi-chip: the full train step runs per-device under shard_map
+        # (fused Pallas kernels per chip, pmean over ICI), with whole image
+        # groups sharded alongside their rays. Replaces reference
+        # nn.DataParallel (core/raycasters.py:157).
         from posegen_tpu.parallel.mesh import (
-            make_mesh, make_parallel_train_step, replicate, shard_batch,
+            make_mesh, make_shardmap_train_step, replicate, shard_batch,
         )
 
         mesh = make_mesh(args.n_devices or None)
+        if args.N_sample_images % mesh.size != 0:
+            raise SystemExit(
+                f"--N_sample_images ({args.N_sample_images}) must be a "
+                f"multiple of the device count ({mesh.size}) so each chip "
+                f"gets whole image groups"
+            )
         state = replicate(state, mesh)
-        pstep = make_parallel_train_step(step_fn, mesh)
+        pstep = make_shardmap_train_step(
+            cfg, tcfg, pcfg, mesh=mesh,
+            rest_pose=rest_pose, n_frames=attrs["n_kps"],
+        )
         prep = lambda b: shard_batch(b, mesh)
     else:
         mesh = None
+        step_fn = make_train_step(
+            cfg, tcfg, pcfg, rest_pose=rest_pose, n_frames=attrs["n_kps"],
+        )
         pstep = jax.jit(step_fn, donate_argnums=(0,))
         prep = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
 
@@ -146,8 +187,15 @@ def train(argv: Optional[Sequence[str]] = None) -> str:
             path = save_checkpoint(log_dir, state, step=i + 1)
             print(f"saved {path}")
 
+        if args.opt_pose and (i + 1) % args.i_pose_weights == 0:
+            from posegen_tpu.train.checkpoints import save_pose_checkpoint
+
+            save_pose_checkpoint(log_dir, state, step=i + 1)
+
         if (i + 1) % args.i_testset == 0:
-            metrics, rgbs = evaluate_testset(cfg, state, render_data, args.chunk)
+            metrics, rgbs = evaluate_testset(
+                cfg, state, render_data, args.chunk, mesh=mesh
+            )
             print(f"iter {i + 1} val: {metrics}")
             if writer:
                 writer.add_scalar("Val/PSNR", metrics["psnr"], i + 1)

@@ -296,6 +296,7 @@ class H5RayDataset:
             "skts": self.skts[self.kp_idxs[idxs]],
             "cyls": self.cyls[self.kp_idxs[idxs]],
             "cam_idxs": self.cam_idxs[idxs],
+            "kp_idxs": self.kp_idxs[idxs],
             "hwf": (self.H, self.W, self.focals[idxs[0]] if self.focals.ndim else float(self.focals)),
         }
         if self.has_bkgd:

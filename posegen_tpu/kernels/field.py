@@ -78,6 +78,8 @@ def supports_fused_config(cfg) -> bool:
         and not cfg.cutoff_shift
         and not cfg.normalize_cutoff
         and cfg.netwidth == 256
+        and (cfg.netwidth_fine or cfg.netwidth) == cfg.netwidth
+        and (cfg.netdepth_fine or cfg.netdepth) == cfg.netdepth
     )
 
 

@@ -139,9 +139,14 @@ def pose_params_to_pose_data(
     kps, skts, l2ws, _ = pose_to_kinematic(
         params["bones"], params["pelvis"], rest_pose, skel
     )
+    bones = params["bones"]
+    if bones.shape[-1] == 6:  # rot6d params -> axis-angle bones
+        from posegen_tpu.skeleton.rotations import rot6d_to_rot, rot_to_axisang
+
+        bones = rot_to_axisang(rot6d_to_rot(bones))
     return {
         "kp3d": np.asarray(kps),
-        "bones": np.asarray(params["bones"]),
+        "bones": np.asarray(bones),
         "skts": np.asarray(skts),
         "l2ws": np.asarray(l2ws),
     }

@@ -71,6 +71,8 @@ class RaycastConfig:
     n_framecodes: int = 0
     netdepth: int = 8
     netwidth: int = 256
+    netdepth_fine: Optional[int] = None  # None = match netdepth
+    netwidth_fine: Optional[int] = None  # None = match netwidth
     N_samples: int = 64
     N_importance: int = 16
     single_net: bool = False
@@ -171,7 +173,12 @@ def init_raycaster(
     nerf_cfg = cfg.nerf_cfg
     params: Dict[str, Any] = {"coarse": init_nerf(k_coarse, nerf_cfg)}
     if cfg.N_importance > 0 and not cfg.single_net:
-        params["fine"] = init_nerf(k_fine, nerf_cfg)
+        fine_cfg = dataclasses.replace(
+            nerf_cfg,
+            depth=cfg.netdepth_fine or cfg.netdepth,
+            width=cfg.netwidth_fine or cfg.netwidth,
+        )
+        params["fine"] = init_nerf(k_fine, fine_cfg)
 
     cutoff_dist = jnp.full((skel.n_joints,), cutoff_mm * ext_scale, dtype=jnp.float32)
     # default uses a uniform cutoff_mm like reference create_raycaster

@@ -194,6 +194,26 @@ def import_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     return variables, extras
 
 
+def load_pose_params(path: str) -> Dict[str, jnp.ndarray]:
+    """Pose params from a pose/full checkpoint — native .npz or torch .tar
+    (reference --init_poseopt / load_poseopt_from_state_dict,
+    pose_opt.py:212)."""
+    if path.endswith(".tar"):
+        _, extras = import_torch_checkpoint(path)
+        if "pose_params" not in extras:
+            raise KeyError(f"{path} carries no poseopt state")
+        return extras["pose_params"]
+    flat = dict(np.load(path))
+    out = {
+        k.split("//", 1)[1]: jnp.asarray(v)
+        for k, v in flat.items()
+        if k.startswith("pose_params//")
+    }
+    if not out:
+        raise KeyError(f"{path} carries no pose_params")
+    return out
+
+
 def save_pose_checkpoint(log_dir: str, state: Any, step: Optional[int] = None) -> str:
     """Pose-only checkpoint (reference save_popt, trainer.py:510-518:
     poseopt layer + anchors saved separately every i_pose_weights)."""

@@ -35,11 +35,13 @@ def acc2bce(acc: jax.Array, fg: jax.Array, eps: float = 1e-7) -> jax.Array:
     return -jnp.mean(fg * jnp.log(a) + (1.0 - fg) * jnp.log(1.0 - a))
 
 
-def rgb_loss(loss_fn: str, pred: jax.Array, target: jax.Array) -> jax.Array:
+def rgb_loss(
+    loss_fn: str, pred: jax.Array, target: jax.Array, beta: float = 0.1
+) -> jax.Array:
     if loss_fn == "MSE":
         return img2mse(pred, target)
     if loss_fn == "L1":
         return img2l1(pred, target)
     if loss_fn == "Huber":
-        return img2huber(pred, target)
+        return img2huber(pred, target, delta=beta)
     raise NotImplementedError(f"loss_fn {loss_fn!r}")

@@ -35,18 +35,27 @@ class TrainConfig:
     """Static training hyper-parameters (reference run_nerf.py flags)."""
 
     lrate: float = 5e-4
-    lrate_decay: int = 500  # in thousands of steps (reference convention)
+    lrate_decay: int = 500  # in `decay_unit` steps (reference convention)
+    lrate_decay_rate: float = 0.1
+    decay_unit: int = 1000
+    weight_decay: Optional[float] = None  # L2-to-grad, torch Adam semantics
     loss_fn: str = "MSE"
+    loss_beta: float = 0.1  # huber delta (reference --loss_beta)
     use_coarse_loss: bool = True
+    coarse_weight: float = 1.0
     use_acc_loss: bool = False
     acc_loss_weight: float = 0.01
+    testopt: bool = False  # test-time pose opt: freeze the NeRF nets
     # pose optimization
     opt_pose: bool = False
     opt_pose_lrate: float = 5e-4
     opt_pose_lrate_decay: int = 2
+    opt_pose_decay_rate: float = 1.0
+    opt_pose_decay_unit: int = 400
     opt_pose_step: int = 20
     opt_pose_coef: float = 2.0
     opt_pose_warmup: int = 0
+    opt_pose_stop: Optional[int] = None
     use_temp_loss: bool = False
     temp_coef: float = 0.05
     opt_pose_cache: bool = False
@@ -78,20 +87,29 @@ def _split_variables(variables: Dict[str, Any]) -> Tuple[Dict, Dict]:
 
 def nerf_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     """Adam with the reference's exponential decay
-    (new_lrate = lrate * 0.1**(step / (decay*1000)), trainer.py:175-192)."""
+    (new_lrate = lrate * rate**(step / (decay*decay_unit)),
+    trainer.py:175-192). testopt freezes the NeRF entirely
+    (reference --testopt: test-time pose optimization, no NeRF update)."""
+    if tcfg.testopt:
+        return optax.set_to_zero()
     sched = optax.exponential_decay(
         init_value=tcfg.lrate,
-        transition_steps=tcfg.lrate_decay * 1000,
-        decay_rate=0.1,
+        transition_steps=tcfg.lrate_decay * tcfg.decay_unit,
+        decay_rate=tcfg.lrate_decay_rate,
     )
-    return optax.adam(learning_rate=sched, b1=0.9, b2=0.999)
+    opt = optax.adam(learning_rate=sched, b1=0.9, b2=0.999)
+    if tcfg.weight_decay:
+        # torch Adam weight_decay semantics: L2 term added to the gradient
+        # before the moment updates (reference raycasters.py:116)
+        opt = optax.chain(optax.add_decayed_weights(tcfg.weight_decay), opt)
+    return opt
 
 
 def pose_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     sched = optax.exponential_decay(
         init_value=tcfg.opt_pose_lrate,
-        transition_steps=tcfg.opt_pose_lrate_decay * 1000,
-        decay_rate=0.1,
+        transition_steps=max(tcfg.opt_pose_lrate_decay * tcfg.opt_pose_decay_unit, 1),
+        decay_rate=tcfg.opt_pose_decay_rate,
     )
     opt = optax.adam(learning_rate=sched)
     if tcfg.opt_pose_step > 1:
@@ -151,14 +169,14 @@ def compute_losses(
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Photometric + coarse + acc losses (reference trainer.py:321-383)."""
     target = batch["target_s"]
-    loss = L.rgb_loss(tcfg.loss_fn, ret["rgb_map"], target)
+    loss = L.rgb_loss(tcfg.loss_fn, ret["rgb_map"], target, beta=tcfg.loss_beta)
     mse = L.img2mse(ret["rgb_map"], target)
     stats = {"rgb_loss": loss, "psnr": L.mse2psnr(mse)}
     total = loss
-    if tcfg.use_coarse_loss and "rgb0" in ret:
-        loss0 = L.rgb_loss(tcfg.loss_fn, ret["rgb0"], target)
+    if tcfg.use_coarse_loss and tcfg.coarse_weight > 0 and "rgb0" in ret:
+        loss0 = L.rgb_loss(tcfg.loss_fn, ret["rgb0"], target, beta=tcfg.loss_beta)
         stats["rgb0_loss"] = loss0
-        total = total + loss0
+        total = total + tcfg.coarse_weight * loss0
     if tcfg.use_acc_loss and "fgs" in batch:
         acc_l = L.acc2bce(ret["acc_map"], batch["fgs"][..., 0])
         if "acc0" in ret:
@@ -176,12 +194,20 @@ def make_train_step(
     rest_pose=None,
     kp_map=None,
     n_frames: int = 0,
+    axis_name: Optional[str] = None,
 ):
     """Build the jittable train step.
 
     batch keys: rays_o, rays_d (N,3); target_s (N,3); cyls (N,5) or (1,5);
     kp3d/skts/bones when not pose-optimizing; kp_idx (N,) when pose-optimizing;
     cam_idxs (N,1) when framecodes are on; fgs (N,1) optional.
+
+    axis_name: when the step runs per-device inside `shard_map` (see
+    parallel/mesh.make_shardmap_train_step), the mesh axis to pmean grads and
+    stats over. With replicated params/optimizer state, the post-pmean update
+    is identical on every device, so the output state stays replicated —
+    data parallelism without gathering rays (the TPU-native replacement for
+    reference nn.DataParallel, core/raycasters.py:157).
     """
     opt = nerf_optimizer(tcfg)
     popt = pose_optimizer(tcfg) if tcfg.opt_pose else None
@@ -201,10 +227,13 @@ def make_train_step(
 
         enabled = tcfg.fused_train
         if enabled is None:
-            # auto only single-chip: XLA does not partition pallas_call under
-            # jit sharding, so multi-device runs keep the XLA path unless the
-            # user forces fused_train=True
-            enabled = jax.default_backend() == "tpu" and jax.device_count() == 1
+            # auto: single-chip jit, or per-device code under shard_map
+            # (axis_name set). XLA does not partition pallas_call under plain
+            # jit sharding, so plain multi-device jit keeps the XLA path
+            # unless the user forces fused_train=True.
+            enabled = jax.default_backend() == "tpu" and (
+                jax.device_count() == 1 or axis_name is not None
+            )
         if not enabled or not supports_fused_config(cfg):
             return False
         if len(params["coarse"].get("views_linears", [0])) != 1:
@@ -290,12 +319,16 @@ def make_train_step(
         trainer.py:194-205)."""
         return optax.global_norm(g)
 
+    def _reduce(tree):
+        return jax.lax.pmean(tree, axis_name) if axis_name else tree
+
     def train_step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
         embeds = _updated_embeds(cfg, tcfg, state.embeds, state.step)
         if tcfg.opt_pose and state.pose_params is not None:
             (_, stats), (g_nerf, g_pose) = jax.value_and_grad(
                 loss_with_anchor, argnums=(0, 1), has_aux=True
             )(state.params, state.pose_params, embeds, state.pose_anchors, batch, key)
+            g_nerf, g_pose, stats = _reduce(g_nerf), _reduce(g_pose), _reduce(stats)
             stats["grad_norm"] = _gradnorm(g_nerf)
             stats["pose_grad_norm"] = _gradnorm(g_pose)
             updates, opt_state = opt.update(g_nerf, state.opt_state, state.params)
@@ -303,6 +336,15 @@ def make_train_step(
             p_updates, pose_opt_state = popt.update(
                 g_pose, state.pose_opt_state, state.pose_params
             )
+            # warmup / stop windows (reference --opt_pose_warmup /
+            # --opt_pose_stop): mask the update in-graph, keep one jit
+            active = jnp.asarray(True)
+            if tcfg.opt_pose_warmup > 0:
+                active = active & (state.step >= tcfg.opt_pose_warmup)
+            if tcfg.opt_pose_stop is not None:
+                active = active & (state.step < tcfg.opt_pose_stop)
+            gate = active.astype(jnp.float32)
+            p_updates = jax.tree_util.tree_map(lambda u: u * gate, p_updates)
             pose_params = optax.apply_updates(state.pose_params, p_updates)
             new_state = state._replace(
                 step=state.step + 1,
@@ -317,6 +359,7 @@ def make_train_step(
                 lambda p: loss_with_anchor(p, None, embeds, None, batch, key),
                 has_aux=True,
             )(state.params)
+            g_nerf, stats = _reduce(g_nerf), _reduce(stats)
             stats["grad_norm"] = _gradnorm(g_nerf)
             updates, opt_state = opt.update(g_nerf, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)

