@@ -40,14 +40,51 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, s)
 
 
+def batch_pspecs(
+    batch: Dict[str, Any], n_devices: int, axis: str = "data", n_rays: Optional[int] = None
+) -> Dict[str, P]:
+    """PartitionSpec per batch leaf for data-parallel training.
+
+    Layout contract (RayBatchLoader, data/h5dataset.py): per-ray leaves have
+    leading dim N (rays contiguous per image group); per-image-group pose
+    rows (skts/kp3d/bones/cyls/...) have leading dim G with N % G == 0;
+    replicated leaves have leading dim 1 (or are scalars).
+
+    Both N-leaves and G-leaves shard along dim 0 — each chip gets whole image
+    groups together with exactly their rays (group-per-chip). Non-divisible
+    G or N is a loud error, never a silent replicate: replicating a G-dim
+    leaf while sharding the rays would hand each chip the wrong pose rows.
+    """
+    if n_rays is None:
+        n_rays = int(batch["rays_o"].shape[0])
+    if n_rays % n_devices != 0:
+        raise ValueError(
+            f"ray batch ({n_rays}) must divide evenly over {n_devices} devices"
+        )
+    specs: Dict[str, P] = {}
+    for k, v in batch.items():
+        dim0 = v.shape[0] if getattr(v, "ndim", 0) >= 1 else None
+        if dim0 is None or dim0 == 1:
+            specs[k] = P()
+        elif dim0 == n_rays or dim0 % n_devices == 0:
+            specs[k] = P(axis)
+        else:
+            raise ValueError(
+                f"batch leaf {k!r} has leading dim {dim0}, which neither "
+                f"matches the ray count ({n_rays}) nor divides over "
+                f"{n_devices} devices — pad the image-group count to a "
+                f"multiple of the mesh size"
+            )
+    return specs
+
+
 def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh, axis: str = "data") -> Dict:
-    """Shard every batch leaf along dim 0 (replicating leaves with leading 1)."""
-    def _put(x):
-        x = jnp.asarray(x)
-        if x.ndim >= 1 and x.shape[0] > 1 and x.shape[0] % mesh.size == 0:
-            return jax.device_put(x, NamedSharding(mesh, P(axis)))
-        return jax.device_put(x, NamedSharding(mesh, P()))
-    return jax.tree_util.tree_map(_put, batch)
+    """device_put every batch leaf with its `batch_pspecs` layout."""
+    specs = batch_pspecs(batch, mesh.size, axis)
+    return {
+        k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, specs[k]))
+        for k, v in batch.items()
+    }
 
 
 def make_parallel_train_step(train_step, mesh: Mesh, axis: str = "data"):
@@ -121,61 +158,59 @@ def make_shardmap_render(cfg, mesh: Mesh, axis: str = "data", use_fused=None):
     return jax.jit(sharded)
 
 
-def make_shardmap_train_step(cfg, tcfg, mesh: Mesh, axis: str = "data"):
-    """Data-parallel training with the fused Pallas kernels on every chip.
+def make_shardmap_train_step(
+    cfg,
+    tcfg,
+    pcfg=None,
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+    rest_pose=None,
+    kp_map=None,
+    n_frames: int = 0,
+    fold_key_per_device: bool = True,
+):
+    """Data-parallel training over the mesh with the FULL train step —
+    pose-opt, framecodes, embedder schedules, both optimizers — and the
+    fused Pallas kernels on every chip (when the config qualifies).
 
-    jit's partitioner cannot split pallas_call, so the loss/grad runs inside
-    shard_map: each device evaluates its ray shard through the custom-VJP
-    kernels and psums gradients + metrics over ICI; the (replicated) optax
-    update then runs in the enclosing jit. Batches must shard evenly and the
-    pose context must be replicated (single pose group per shard; the
-    grouped layout generalizes by sharding whole image groups per chip).
+    jit's partitioner cannot split pallas_call, so the whole step runs inside
+    shard_map: each device renders its contiguous ray shard (with its image
+    groups — see `batch_pspecs`) through the custom-VJP kernels, pmeans
+    gradients + stats over ICI, and applies the optax update to its
+    (replicated) copy of the state. Post-pmean inputs are identical on every
+    device, so the updated state comes out replicated — no gather, no
+    parameter traffic. This is the DataParallel replacement shipped by the
+    run_nerf CLI's multi-device branch (reference core/raycasters.py:157).
+
+    Returns a jitted `step(state, batch, key) -> (state, stats)` with the
+    same signature as the single-device `make_train_step` product.
+
+    fold_key_per_device: fold the device index into the PRNG key so each
+    chip draws independent stratified-sampling/noise draws. Disable to make
+    a perturb=0 run exactly reproducible against the single-device step.
     """
-    from posegen_tpu.render.raycast import PoseCtx, render_rays
-    from posegen_tpu.train import losses as L
-    from posegen_tpu.train.trainer import nerf_optimizer
+    from posegen_tpu.train.trainer import make_train_step
 
-    shard_map = jax.shard_map
-    opt = nerf_optimizer(tcfg)
+    base = make_train_step(
+        cfg, tcfg, pcfg,
+        rest_pose=rest_pose, kp_map=kp_map, n_frames=n_frames, axis_name=axis,
+    )
 
-    def loss_fn(params, embeds, batch, key):
-        ctx = PoseCtx(
-            kps=batch["kp3d"], skts=batch["skts"], bones=batch["bones"],
-            cyls=batch["cyls"], cam_idxs=batch.get("cam_idxs"),
-        )
-        ret = render_rays(
-            cfg, {**params, **embeds}, batch["rays_o"], batch["rays_d"], ctx,
-            key=key, use_fused="train",
-        )
-        loss = L.rgb_loss(tcfg.loss_fn, ret["rgb_map"], batch["target_s"])
-        if "rgb0" in ret:
-            loss = loss + L.rgb_loss(tcfg.loss_fn, ret["rgb0"], batch["target_s"])
-        return loss
+    def per_device(state, batch, key):
+        if fold_key_per_device:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return base(state, batch, key)
 
-    def per_device_grads(params, embeds, batch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, embeds, batch, key)
-        grads = jax.lax.pmean(grads, axis)
-        loss = jax.lax.pmean(loss, axis)
-        return loss, grads
-
-    def step(params, embeds, opt_state, batch, key):
-        n = batch["rays_o"].shape[0]
-        # shard per-ray leaves; replicate per-image pose rows / scalars
-        batch_specs = {
-            k: P(axis) if (hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == n)
-            else P()
-            for k, v in batch.items()
-        }
-        sharded_grads = shard_map(
-            per_device_grads,
+    def step(state, batch, key):
+        specs = batch_pspecs(batch, mesh.size, axis)
+        f = jax.shard_map(
+            per_device,
             mesh=mesh,
-            in_specs=(P(), P(), batch_specs, P()),
+            in_specs=(P(), specs, P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        loss, grads = sharded_grads(params, embeds, batch, key)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return f(state, batch, key)
 
-    return opt, jax.jit(step)
+    return jax.jit(step, donate_argnums=(0,))

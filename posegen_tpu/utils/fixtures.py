@@ -76,10 +76,17 @@ def make_train_batch(
     seed: int = 0,
     opt_pose: bool = False,
     n_frames: int = 4,
+    n_groups: int = 1,
 ) -> Dict[str, jax.Array]:
-    """A synthetic training batch matching make_train_step's expectations."""
+    """A synthetic training batch matching make_train_step's expectations.
+
+    n_groups > 1 produces the RayBatchLoader grouped layout: pose rows
+    (kp3d/skts/bones/cyls) carried per image group (G rows), rays contiguous
+    per group (n_rays % n_groups == 0).
+    """
+    assert n_rays % n_groups == 0
     rng = np.random.default_rng(seed + 7)
-    ctx = make_pose_ctx(seed)
+    ctx = make_pose_ctx(seed, n_poses=n_groups)
     rays_o, rays_d = make_rays(n_rays, seed + 1)
     batch = {
         "rays_o": rays_o,
@@ -89,9 +96,9 @@ def make_train_batch(
         "fgs": jnp.asarray(rng.integers(0, 2, (n_rays, 1)).astype(np.float32)),
     }
     if opt_pose:
-        batch["kp_idx"] = jnp.asarray(
-            rng.integers(0, n_frames, (n_rays,)).astype(np.int32)
-        )
+        rpi = n_rays // n_groups
+        frames = rng.integers(0, n_frames, (n_groups,)).astype(np.int32)
+        batch["kp_idx"] = jnp.asarray(np.repeat(frames, rpi))
     else:
         batch["kp3d"] = ctx.kps
         batch["skts"] = ctx.skts
