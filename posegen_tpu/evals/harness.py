@@ -94,6 +94,135 @@ def pw3d_dataset(annot_dir: str, img_dir: str, res: int = 224) -> PoseEvalDatase
     return PoseEvalDataset(files, img_dir, res=res)
 
 
+# joint-set maps for the extended eval sets
+# SKI labels.h5 '3D' (17-joint capture order) -> the 14 evaluated joints
+# (reference render_3dpw_testset.py:1980: ski_dataset.__getitem__)
+SKI_TO_J14 = [4, 1, 5, 2, 6, 3, 8, 10, 11, 14, 12, 15, 13, 16]
+# predicted H36M-regressed joints -> the same 14 (reference :2604 EVAL_JOINTS)
+SKI_PRED_J14 = [1, 4, 2, 5, 3, 6, 8, 10, 11, 14, 12, 15, 13, 16]
+# SPIN 24-joint GT superset -> 17 joints (reference constants.py:150)
+J24_TO_J17 = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 18, 14, 16, 17]
+# H36M regressor order -> J17 (reference constants.py:79)
+H36M_TO_J17 = [6, 5, 4, 1, 2, 3, 16, 15, 14, 11, 12, 13, 8, 10, 0, 7, 9]
+
+
+def _resize_normalize(img: np.ndarray, res: int) -> np.ndarray:
+    import cv2
+
+    img = cv2.resize(img, (res, res), interpolation=cv2.INTER_AREA)
+    return normalize_for_spin(img)
+
+
+class SkiDataset:
+    """SKI-Pose test set in its REAL schema: labels.h5 with seq/cam/frame
+    index columns + '2D'/'3D' arrays, images under
+    seq_{:03d}/cam_{:02d}/image_{:06d}.png (reference ski_dataset,
+    render_3dpw_testset.py:1963-2000)."""
+
+    def __init__(self, root: str, split: str = "test", res: int = 224):
+        import h5py
+
+        self.root = os.path.join(root, split)
+        self.res = res
+        with h5py.File(os.path.join(self.root, "labels.h5"), "r") as f:
+            self.seq = np.asarray(f["seq"], np.int64)
+            self.cam = np.asarray(f["cam"], np.int64)
+            self.frame = np.asarray(f["frame"], np.int64)
+            self.pose3d = np.asarray(f["3D"], np.float32)
+            self.pose2d = np.asarray(f["2D"], np.float32)
+
+    def __len__(self) -> int:
+        return len(self.seq)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        import imageio.v2 as imageio
+
+        path = os.path.join(
+            self.root,
+            f"seq_{self.seq[i]:03d}",
+            f"cam_{self.cam[i]:02d}",
+            f"image_{self.frame[i]:06d}.png",
+        )
+        img = imageio.imread(path)[..., :3]
+        gt = self.pose3d[i].reshape(-1, 3)[SKI_TO_J14]
+        return {"image": _resize_normalize(img, self.res), "pose_3d": gt}
+
+    def batches(self, batch_size: int = 32) -> Iterator[Dict[str, np.ndarray]]:
+        for s in range(0, len(self), batch_size):
+            items = [self[i] for i in range(s, min(s + batch_size, len(self)))]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class Hp3dDataset:
+    """MPI-INF-3DHP eval set in the SPIN dataset-extras npz schema:
+    imgname/center/scale/S (24-joint GT with confidence) (reference
+    BaseDataset, render_3dpw_testset.py:2087-2170 + evaluate_3dhp :2772)."""
+
+    def __init__(self, annot_npz: str, img_dir: str, res: int = 224):
+        self.img_dir = img_dir
+        self.res = res
+        d = np.load(annot_npz, allow_pickle=True)
+        self.imgname = [str(x) for x in d["imgname"]]
+        self.center = np.asarray(d["center"], np.float32)
+        self.scale = np.asarray(d["scale"], np.float32)
+        self.S = np.asarray(d["S"], np.float32)  # (N, 24, 4) xyz + conf
+
+    def __len__(self) -> int:
+        return len(self.imgname)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        import imageio.v2 as imageio
+
+        img = imageio.imread(os.path.join(self.img_dir, self.imgname[i]))[..., :3]
+        c = crop(img, self.center[i], self.scale[i], (self.res, self.res))
+        gt17 = self.S[i][J24_TO_J17, :3]  # (17, 3)
+        return {"image": normalize_for_spin(c), "pose_3d": gt17}
+
+    def batches(self, batch_size: int = 32) -> Iterator[Dict[str, np.ndarray]]:
+        for s in range(0, len(self), batch_size):
+            items = [self[i] for i in range(s, min(s + batch_size, len(self)))]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class AgoraDataset:
+    """AGORA test images + HRNet 2D detections pickle (list of dicts with
+    'image_name' and '2dpose') — reference agora_dataset,
+    render_3dpw_testset.py:1917-1961. AGORA has no public test GT; the
+    evaluator exports per-person prediction pkls for the submission server
+    (reference evaluate_agora :2920-3016)."""
+
+    def __init__(self, image_dir: str, pose_pkl: str, res: int = 224, pad: int = 50):
+        import pickle
+
+        self.image_dir = image_dir
+        self.res = res
+        self.pad = pad
+        with open(pose_pkl, "rb") as f:
+            self.pose = pickle.load(f)
+
+    def __len__(self) -> int:
+        return len(self.pose)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        import imageio.v2 as imageio
+
+        entry = self.pose[i]
+        img = imageio.imread(
+            os.path.join(self.image_dir, entry["image_name"])
+        )[..., :3]
+        pose2d = np.asarray(entry["2dpose"], np.float32).reshape(-1, 2)
+        # keypoint-driven square crop (reference process_image's bbox route)
+        c = 0.5 * (pose2d.min(0) + pose2d.max(0))
+        half = 0.5 * (pose2d.max(0) - pose2d.min(0)).max() + self.pad
+        scale = 2.0 * half / 200.0
+        cimg = crop(img, c, scale, (self.res, self.res))
+        return {
+            "image": normalize_for_spin(cimg),
+            "pose2d": pose2d,
+            "image_name": entry["image_name"],
+        }
+
+
 class SpinEvaluator:
     """MPJPE / PA-MPJPE / PCK / mesh errors for an HMR model
     (reference evaluate.test, run_gan.py:1586-1634).
@@ -174,6 +303,102 @@ class SpinEvaluator:
 
         return {"mpjpe": mpjpe, "pa_mpjpe": pa_mpjpe, "pa_err": pa_err,
                 "pme": pme, "ume": ume}
+
+    def _joint_metrics(self, hmr_params, hmr_state, images, gt_joints, pred_select):
+        """Joints-vs-joints eval for sets with 3D-joint GT (SKI/3DHP):
+        pred joints regressed from the predicted mesh, pelvis-centered by
+        H36M joint 0, reordered by `pred_select` (reference evaluate_ski
+        :2590-2612 / evaluate_3dhp :2840-2870)."""
+        pred_rotmat, pred_betas, _, _ = hmr_apply(hmr_params, hmr_state, images)
+        pred = self.smpl_neutral(
+            betas=pred_betas, body_pose=pred_rotmat[:, 1:],
+            global_orient=pred_rotmat[:, :1], pose2rot=False,
+        )
+        j = jnp.einsum("jv,bvc->bjc", self.J_reg, pred["vertices"])
+        pelvis = j[:, :1]
+        pred_j = j[:, jnp.asarray(pred_select)] - pelvis
+        err = jnp.sqrt(jnp.sum((pred_j - gt_joints) ** 2, -1) + 1e-12)
+        aligned = procrustes_align(pred_j, gt_joints)
+        pa_err = jnp.sqrt(jnp.sum((aligned - gt_joints) ** 2, -1) + 1e-12)
+        return {"mpjpe": jnp.mean(err, -1), "pa_mpjpe": jnp.mean(pa_err, -1),
+                "pa_err": pa_err}
+
+    def inference_joints(
+        self, batches, pred_select: Sequence[int], pck_thresh: float = 0.15
+    ) -> Dict[str, float]:
+        """Evaluate on a joints-GT set (SkiDataset: pred_select=SKI_PRED_J14;
+        Hp3dDataset: pred_select=H36M_TO_J17)."""
+        step = jax.jit(
+            lambda p, s, im, gt: self._joint_metrics(p, s, im, gt, tuple(pred_select))
+        )
+        acc: Dict[str, List[np.ndarray]] = {}
+        for b in batches:
+            out = step(
+                self.hmr_params, self.hmr_state,
+                jnp.asarray(b["image"]), jnp.asarray(b["pose_3d"]),
+            )
+            for k, v in out.items():
+                acc.setdefault(k, []).append(np.asarray(v))
+        err_all = np.concatenate(acc["pa_err"]).reshape(-1)
+        results = {
+            "mpjpe": float(np.mean(np.concatenate(acc["mpjpe"]))) * 1000.0,
+            "pa_mpjpe": float(np.mean(np.concatenate(acc["pa_mpjpe"]))) * 1000.0,
+            "pck": float(np.mean(err_all < pck_thresh)),
+        }
+        print("== Final Results ==")
+        for k, v in results.items():
+            print(f"{k}: {v:.4f}")
+        return results
+
+    def export_agora_predictions(self, dataset: "AgoraDataset", out_dir: str) -> int:
+        """AGORA submission-server export: one pkl per detected person with
+        'joints' (2D, scale-aligned to the HRNet detection), 'verts', and
+        'allSmplJoints3d' (reference evaluate_agora,
+        render_3dpw_testset.py:2955-3016)."""
+        import pickle
+
+        from posegen_tpu.skeleton.kinematics import smpl_l2ws_from_rots
+
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for i in range(len(dataset)):
+            item = dataset[i]
+            images = jnp.asarray(item["image"][None])
+            pred_rotmat, pred_betas, _, _ = hmr_apply(
+                self.hmr_params, self.hmr_state, images
+            )
+            pred = self.smpl_neutral(
+                betas=pred_betas, body_pose=pred_rotmat[:, 1:],
+                global_orient=pred_rotmat[:, :1], pose2rot=False,
+            )
+            pose3d = np.asarray(
+                smpl_l2ws_from_rots(pred_rotmat, scale=0.4)
+            )[0, :, :3, -1]
+
+            pose2d = item["pose2d"]
+            root = 0.5 * (pose2d[11] + pose2d[12])
+            pred2d = pose3d[:, :2] - pose3d[:1, :2]
+            det = pose2d - root
+            scale = np.linalg.norm(det) / max(np.linalg.norm(pred2d), 1e-8)
+            pred2d = pred2d * scale + root
+
+            out = {
+                "joints": pred2d.astype(np.float32),
+                "verts": np.asarray(pred["vertices"][0], np.float32),
+                "allSmplJoints3d": pose3d.astype(np.float32),
+            }
+            base = os.path.splitext(item["image_name"])[0]
+            count = 0
+            while os.path.exists(
+                os.path.join(out_dir, f"{base}_personId_{count}.pkl")
+            ):
+                count += 1
+            with open(
+                os.path.join(out_dir, f"{base}_personId_{count}.pkl"), "wb"
+            ) as f:
+                pickle.dump(out, f, pickle.HIGHEST_PROTOCOL)
+            n += 1
+        return n
 
     def inference(self, batches) -> Dict[str, float]:
         """Run the full set; prints Final Results like run_gan.py:1572-1581."""
