@@ -57,6 +57,19 @@ def masks_from_background(
     return out
 
 
+def deeplab_segmenter(
+    weights_path: Optional[str] = None,
+    person_class: int = 15,
+) -> Callable[[np.ndarray], np.ndarray]:
+    """Bundled person segmenter: the JAX-native DeepLab-v3
+    (data/segmenter.py — the analog of the reference's TF DeepLab,
+    core/process_mask.py), loading torchvision deeplabv3_resnet50 weights
+    from a local .pth."""
+    from posegen_tpu.data.segmenter import deeplab_person_segmenter
+
+    return deeplab_person_segmenter(weights_path, person_class=person_class)
+
+
 def extract_person_masks(
     imgs: np.ndarray,
     bkgd: Optional[np.ndarray] = None,

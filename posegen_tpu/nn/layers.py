@@ -100,11 +100,13 @@ def conv2d(
     x: jax.Array,
     stride: int = 1,
     padding="SAME",
+    dilation: int = 1,
 ) -> jax.Array:
     y = jax.lax.conv_general_dilated(
         x, p["w"],
         window_strides=(stride, stride),
         padding=padding,
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     if "b" in p:

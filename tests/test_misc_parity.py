@@ -66,3 +66,79 @@ def test_masks_from_background(rng):
     seg = lambda im: (im.sum(-1) > 600).astype(np.uint8)
     m2 = extract_person_masks(img[None], segmenter=seg)
     assert m2[0, 20, 25, 0] == 1
+
+
+def test_deeplab_segmenter_shape():
+    """The bundled JAX DeepLab-v3 person segmenter (weightless test build)
+    produces a binary (H, W) mask and wires into extract_person_masks."""
+    import numpy as np
+
+    from posegen_tpu.data.masks import deeplab_segmenter, extract_person_masks
+
+    seg = deeplab_segmenter(weights_path=None)
+    img = np.random.default_rng(0).integers(0, 255, (33, 41, 3), dtype=np.uint8)
+    m = seg(img)
+    assert m.shape == (33, 41) and m.dtype == np.uint8
+    masks = extract_person_masks(img[None], segmenter=seg)
+    assert masks.shape == (1, 33, 41, 1)
+    assert set(np.unique(masks)).issubset({0, 1})
+
+
+def test_deeplab_torch_import_roundtrip():
+    """A synthesized torchvision-layout deeplabv3_resnet50 state_dict imports
+    into our pytree with matching shapes and runs forward."""
+    import jax
+    import numpy as np
+
+    from posegen_tpu.data.segmenter import (
+        deeplab_logits, import_torch_deeplab, init_deeplab,
+    )
+
+    ref_p, ref_s = init_deeplab(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+
+    sd = {}
+    def put_conv(name, p, bias=False):
+        k, _, ci, co = np.shape(p["w"])
+        sd[f"{name}.weight"] = rng.standard_normal((co, ci, k, k)).astype(np.float32) * 0.05
+        if bias:
+            sd[f"{name}.bias"] = np.zeros(co, np.float32)
+    def put_bn(name, dim):
+        sd[f"{name}.weight"] = np.ones(dim, np.float32)
+        sd[f"{name}.bias"] = np.zeros(dim, np.float32)
+        sd[f"{name}.running_mean"] = np.zeros(dim, np.float32)
+        sd[f"{name}.running_var"] = np.ones(dim, np.float32)
+
+    put_conv("backbone.conv1", ref_p["conv1"]); put_bn("backbone.bn1", 64)
+    from posegen_tpu.data.segmenter import RESNET50_LAYERS
+    for li, blocks in enumerate(RESNET50_LAYERS):
+        for b in range(blocks):
+            base = f"backbone.layer{li + 1}.{b}"
+            blk = ref_p[f"layer{li + 1}"][b]
+            for ci in (1, 2, 3):
+                put_conv(f"{base}.conv{ci}", blk[f"conv{ci}"])
+                put_bn(f"{base}.bn{ci}", blk[f"bn{ci}"]["scale"].shape[0])
+            if "downsample" in blk:
+                put_conv(f"{base}.downsample.0", blk["downsample"])
+                put_bn(f"{base}.downsample.1", blk["down_bn"]["scale"].shape[0])
+    for i in range(4):
+        put_conv(f"classifier.0.convs.{i}.0", ref_p["aspp"][f"conv{i}"])
+        put_bn(f"classifier.0.convs.{i}.1", 256)
+    put_conv("classifier.0.convs.4.1", ref_p["aspp"]["pool_conv"])
+    put_bn("classifier.0.convs.4.2", 256)
+    put_conv("classifier.0.project.0", ref_p["aspp"]["project"])
+    put_bn("classifier.0.project.1", 256)
+    put_conv("classifier.1", ref_p["head_conv"])
+    put_bn("classifier.2", 256)
+    put_conv("classifier.4", ref_p["classifier"], bias=True)
+
+    params, state = import_torch_deeplab(sd)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(ref_p)[0],
+    ):
+        assert np.shape(a) == np.shape(b), pa
+    x = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    out = deeplab_logits(params, state, x)
+    assert out.shape == (1, 32, 32, 21)
+    assert bool(np.isfinite(np.asarray(out)).all())
