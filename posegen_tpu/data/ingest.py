@@ -195,7 +195,9 @@ def ingest_surreal(
     kp_3d = kp_3d @ SURREAL_ROT_GLOB.T
     block = pose_block_from_bones(
         bones,
-        pelvis=kp_3d[:, 0],
+        kp3d_override=kp_3d,  # SURREAL ships ground-truth joints3D:
+        # l2w translations come from the data, FK provides rotations only
+        # (reference skt_from_smpl(kp_3d=...), load_surreal.py:243)
         scale=ext_scale,
         ext_scale=ext_scale / SURREAL_DATASET_EXT_SCALE,
         head="-y",

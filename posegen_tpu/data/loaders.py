@@ -42,6 +42,7 @@ def pose_block_from_bones(
     bones: np.ndarray,
     rest_pose: Optional[np.ndarray] = None,
     pelvis: Optional[np.ndarray] = None,
+    kp3d_override: Optional[np.ndarray] = None,
     scale: float = 1.0,
     ext_scale: float = 0.001,
     head: str = "-y",
@@ -51,6 +52,10 @@ def pose_block_from_bones(
 
     root_rot: optional (3, 3) world rotation applied to the root bone (the
     SURREAL coordinate fix, load_surreal.py:103-111).
+    kp3d_override: (N, J, 3) dataset-provided joint locations that REPLACE
+    every l2w translation — FK contributes rotations only (the reference
+    skt_from_smpl(kp_3d=...) path, skeleton_utils.py:323-332, used by the
+    SURREAL processor whose metadata carries ground-truth joints3D).
     """
     import jax.numpy as jnp
 
@@ -69,7 +74,9 @@ def pose_block_from_bones(
 
     rest = (rest_pose if rest_pose is not None else SMPL_REST_POSE).astype(np.float32)
     l2ws = np.array(smpl_l2ws(jnp.asarray(bones), rest_pose=jnp.asarray(rest), scale=scale))
-    if pelvis is not None:
+    if kp3d_override is not None:
+        l2ws[:, :, :3, 3] = np.asarray(kp3d_override, np.float32)
+    elif pelvis is not None:
         l2ws[:, :, :3, 3] += np.asarray(pelvis, np.float32)[:, None]
     kp3d = l2ws[:, :, :3, 3].copy()
     skts = np.asarray(invert_rigid(jnp.asarray(l2ws))).astype(np.float32)
@@ -137,17 +144,26 @@ def process_surreal(
     ext_scale: float = 0.001,
 ) -> str:
     """SURREAL (reference process_surreal_data, load_surreal.py:98-300):
-    dataset-provided poses, z-up world (head='z'), root-bone rotation fix."""
+    dataset-provided poses AND ground-truth joints3D (which replace the FK
+    translations — skt_from_smpl(kp_3d=...)), world rotated by rot_glob,
+    root-bone rotation fix, '-y' head axis. Numerics cross-validated against
+    the actual reference processor in tests/test_ingest.py."""
+    full_scale = ext_scale * (0.25 / 0.00035)
+    rot_glob = np.array(
+        [[1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0]], np.float32
+    )
+    kp3d = np.asarray(joints3d, np.float32) * full_scale @ rot_glob.T
     block = pose_block_from_bones(
         bones,
-        pelvis=joints3d[:, 0] * ext_scale * (0.25 / 0.00035),
+        kp3d_override=kp3d,
+        scale=full_scale,
         ext_scale=ext_scale,
-        head="z",
+        head="-y",
         root_rot=SURREAL_ROT_ROOTBONE,
     )
     return _assemble(
         h5_path, imgs, masks, block, c2ws, focals, kp_idxs, cam_idxs,
-        bkgds=bkgds, bkgd_idxs=bkgd_idxs, ext_scale=ext_scale,
+        bkgds=bkgds, bkgd_idxs=bkgd_idxs, ext_scale=full_scale,
     )
 
 

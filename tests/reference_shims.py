@@ -149,4 +149,7 @@ def install() -> None:
         sys.modules["plotly"] = plotly
         sys.modules["plotly.graph_objects"] = go
 
+    # the vendored smplx package root must precede /root/reference, else
+    # `import smplx` resolves to the bare /root/reference/smplx namespace dir
     sys.path.insert(0, "/root/reference")
+    sys.path.insert(0, "/root/reference/smplx")

@@ -47,15 +47,13 @@ def _look_at(eye, center=np.zeros(3)):
     return c2w
 
 
-def test_ingest_surreal(tmp_path):
+def _make_surreal_raw(root, rng, H=32, W=32, n_kp=3, n_cams=2):
+    """Synthesize a raw SURREAL-style render dump in the REAL layout
+    (seq dirs + metadata.pkl + *segm.mat + imageSequences pngs)."""
     from scipy.io import savemat
 
-    rng = np.random.default_rng(0)
-    H = W = 32
-    n_kp, n_cams = 3, 2  # poses per seq, cameras per seq
-
     for si, seq in enumerate(["run_01", "walk_02"]):
-        d = tmp_path / "raw" / seq
+        d = root / seq
         sub = d / "0-1"
         (sub / "imageSequences").mkdir(parents=True)
         cams = np.stack([
@@ -80,6 +78,14 @@ def test_ingest_surreal(tmp_path):
         for i in range(n_cams * n_kp):
             img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
             cv2.imwrite(str(sub / "imageSequences" / f"{i:04d}.png"), img)
+    return n_kp, n_cams
+
+
+def test_ingest_surreal(tmp_path):
+    rng = np.random.default_rng(0)
+    H = W = 32
+    (tmp_path / "raw").mkdir()
+    n_kp, n_cams = _make_surreal_raw(tmp_path / "raw", rng, H, W)
 
     out = str(tmp_path / "surreal.h5")
     ingest_main(["surreal", str(tmp_path / "raw"), out])
@@ -193,3 +199,52 @@ def test_ingest_zju(tmp_path):
         smpl_model=model, training_views=views,
     )
     _check_h5(out, n_imgs=n_frames * 2, n_kps=n_frames, H=H, W=W)
+
+
+@pytest.mark.slow
+def test_ingest_surreal_matches_reference(tmp_path):
+    """Golden cross-validation: our SURREAL archive walker produces the SAME
+    H5 contents as the actual reference processor (core/load_surreal.py
+    process_surreal_data, run on torch CPU via the import shims) on one
+    synthesized raw tree."""
+    import sys
+
+    import h5py
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import reference_shims
+
+    reference_shims.install()
+    sys.path.insert(0, "/root/reference")
+    from core.load_surreal import process_surreal_data
+
+    rng = np.random.default_rng(7)
+    H = W = 64  # the reference writer's image chunking needs H*W >= 64^2
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _make_surreal_raw(raw, rng, H, W)
+
+    ref_h5 = str(tmp_path / "ref.h5")
+    process_surreal_data(ref_h5, str(raw), extend_iter=2, ext_scale=0.001)
+
+    from posegen_tpu.data.ingest import ingest_surreal
+
+    ours_h5 = str(tmp_path / "ours.h5")
+    ingest_surreal(str(raw), ours_h5, ext_scale=0.001, extend_iter=2)
+
+    with h5py.File(ref_h5, "r") as fr, h5py.File(ours_h5, "r") as fo:
+        for key, atol in (
+            ("kp3d", 1e-4), ("bones", 1e-5), ("skts", 2e-3), ("cyls", 1e-3),
+            ("c2ws", 1e-5), ("focals", 1e-4), ("rest_pose", 1e-6),
+            ("bkgd_idxs", 0),
+        ):
+            a, b = np.asarray(fr[key]), np.asarray(fo[key])
+            assert a.shape == b.shape, (key, a.shape, b.shape)
+            np.testing.assert_allclose(a, b, atol=atol, err_msg=key)
+        # image-like keys: reference flattens to (N, H*W, C)
+        for key in ("imgs", "masks", "sampling_masks"):
+            a = np.asarray(fr[key]).reshape(-1, H, W, np.asarray(fr[key]).shape[-1])
+            b = np.asarray(fo[key])
+            assert a.shape == b.shape, key
+            mismatch = float((a != b).mean())
+            assert mismatch == 0.0, f"{key}: {mismatch:.4%} pixels differ"
