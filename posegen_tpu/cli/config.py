@@ -278,7 +278,7 @@ UNSUPPORTED_NONDEFAULT = {
 # changing this rebuild's output semantics (dissolved memory tiling, loader
 # internals, output-artifact cadence). Changing them never corrupts a run.
 INERT_FLAGS = (
-    "chunk", "netchunk", "num_workers", "render_factor", "save_image",
+    "chunk", "netchunk", "render_factor", "save_image",
     "i_video", "debug", "use_val", "n_subjects", "ext_scale",
     "use_background", "image_batching", "multires_pts",
     "bgnet_stop", "bgnet_reg", "lbsnet_type", "n_lbs", "multires_lbs",
@@ -442,5 +442,6 @@ def args_to_data_config(args):
         mask_image=args.mask_image,
         white_bkgd=args.white_bkgd,
         load_refined=args.load_refined,
+        num_workers=args.num_workers,
         seed=args.seed,
     )

@@ -25,6 +25,7 @@ def bench_loader(
     n_batches: int = 30,
     use_native: bool = True,
     prefetch: int = 4,
+    num_workers: int = 0,
 ) -> dict:
     from posegen_tpu.data import native
     from posegen_tpu.data.h5dataset import H5RayDataset, RayBatchLoader
@@ -40,7 +41,8 @@ def bench_loader(
         h5_path, n_rays_per_image=max(n_rand // n_sample_images, 1), seed=0
     )
     loader = RayBatchLoader(
-        ds, n_images_per_batch=n_sample_images, prefetch=prefetch, seed=0
+        ds, n_images_per_batch=n_sample_images, prefetch=prefetch, seed=0,
+        num_workers=num_workers,
     )
     it = iter(loader)
     # warmup (thread start + first fills)
@@ -56,6 +58,7 @@ def bench_loader(
     ds.close()
     return {
         "variant": "native" if (use_native and native.get_lib()) else "numpy",
+        "num_workers": num_workers,
         "batches_per_s": n_batches / dt,
         "rays_per_s": n_rays / dt,
         "n_rand": n_rand,
@@ -73,6 +76,7 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--N_rand", type=int, default=3072)
     p.add_argument("--N_sample_images", type=int, default=64)
     p.add_argument("--n_batches", type=int, default=30)
+    p.add_argument("--num_workers", type=int, default=0)
     args = p.parse_args(argv)
 
     path = args.h5
@@ -92,6 +96,7 @@ def main(argv: Optional[list] = None) -> None:
         r = bench_loader(
             path, n_rand=args.N_rand, n_sample_images=args.N_sample_images,
             n_batches=args.n_batches, use_native=use_native,
+            num_workers=args.num_workers,
         )
         print(json.dumps(r))
 

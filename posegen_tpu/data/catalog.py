@@ -54,6 +54,7 @@ class DataConfig:
     load_refined: Optional[str] = None
     multi_subjects: Optional[Sequence[str]] = None
     num_val_images: int = 2
+    num_workers: int = 0
     seed: int = 0
 
 
@@ -97,7 +98,10 @@ def load_data(cfg: DataConfig) -> Tuple[RayBatchLoader, Dict[str, Any], Dict[str
     else:
         ds = base = make_ds(cfg.subject, cfg.seed)
 
-    loader = RayBatchLoader(ds, n_images_per_batch=cfg.n_sample_images, seed=cfg.seed)
+    loader = RayBatchLoader(
+        ds, n_images_per_batch=cfg.n_sample_images, seed=cfg.seed,
+        num_workers=cfg.num_workers,
+    )
 
     # held-out render/eval views: evenly spaced images
     val_idxs = np.unique(

@@ -89,6 +89,12 @@ class H5RayDataset:
         # dataset.py:125-182): one (H, W, 3) table reused by every image
         self._pixel_dirs = self._make_pixel_dirs()
 
+    def __getstate__(self):
+        # picklable for loader worker processes: drop the open h5 handle
+        state = dict(self.__dict__)
+        state["_file"] = None
+        return state
+
     # -- reference PoseRefinedDataset (dataset.py:544-568) ------------------
     def _load_refined(self, ckpt_path: str):
         """Overwrite poses with refined ones from a pose checkpoint
@@ -344,6 +350,13 @@ class RayBatchLoader:
     The iterator is infinite (training-style); every __next__ returns a dict
     of fixed-shape numpy arrays (reference RayImageSampler + ray_collate_fn,
     dataset.py:756-802).
+
+    num_workers > 0 builds batches in worker PROCESSES (the reference's
+    DataLoader(num_workers=16), load_data.py:78): at 512x512 the per-batch
+    mask scans + pixel gathers are CPU-bound and a single thread caps
+    training at a few it/s. Each worker reopens the H5 in-process and draws
+    from its own RNG stream; batches are re-ordered by id so the sequence is
+    deterministic for a fixed worker count.
     """
 
     def __init__(
@@ -352,14 +365,22 @@ class RayBatchLoader:
         n_images_per_batch: int = 64,
         prefetch: int = 2,
         seed: int = 0,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.n_images = n_images_per_batch
+        self.num_workers = num_workers
         self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self._perm: np.ndarray = np.array([], dtype=np.int64)
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._procs: list = []
+        self._task_q = self._result_q = None
+        self._next_bid = 0
+        self._emit_bid = 0
+        self._hold: Dict[int, Dict[str, np.ndarray]] = {}
 
     def _next_idxs(self) -> np.ndarray:
         # full-permutation sampler (reference RandIntGenerator, dataset.py:730)
@@ -386,19 +407,89 @@ class RayBatchLoader:
                 except queue.Full:
                     continue
 
+    # -- multiprocessing path ------------------------------------------------
+    @staticmethod
+    def _mp_worker(dataset, task_q, result_q, seed):
+        # never touch a file handle inherited across fork; reopen lazily
+        children = getattr(dataset, "datasets", None) or [dataset]
+        for w, ds in enumerate(children):
+            ds._file = None
+            ds.rng = np.random.default_rng(seed * 7919 + w)
+        while True:
+            item = task_q.get()
+            if item is None:
+                return
+            bid, idxs = item
+            parts = [dataset.sample_image(int(i)) for i in idxs]
+            batch = {
+                k: np.concatenate([p[k] for p in parts], axis=0) for k in parts[0]
+            }
+            result_q.put((bid, batch))
+
+    def _start_procs(self):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        self._task_q = ctx.Queue()
+        self._result_q = ctx.Queue(maxsize=max(2 * self.num_workers, 4))
+        for w in range(self.num_workers):
+            p = ctx.Process(
+                target=self._mp_worker,
+                args=(self.dataset, self._task_q, self._result_q, self.seed + 1 + w),
+                daemon=True,
+            )
+            p.start()
+            self._procs.append(p)
+        # keep 2 tasks in flight per worker
+        for _ in range(2 * self.num_workers):
+            self._submit()
+
+    def _submit(self):
+        self._task_q.put((self._next_bid, self._next_idxs()))
+        self._next_bid += 1
+
+    def _next_mp(self) -> Dict[str, np.ndarray]:
+        while self._emit_bid not in self._hold:
+            bid, batch = self._result_q.get()
+            self._hold[bid] = batch
+        batch = self._hold.pop(self._emit_bid)
+        self._emit_bid += 1
+        self._submit()
+        return batch
+
     def __iter__(self):
+        if self.num_workers > 0:
+            if not self._procs:
+                self._start_procs()
+            return self
         if self._thread is None:
             self._thread = threading.Thread(target=self._worker, daemon=True)
             self._thread.start()
         return self
 
     def __next__(self) -> Dict[str, np.ndarray]:
+        if self._procs:
+            return self._next_mp()
         if self._thread is None:
             return self.make_batch()
         return self._q.get()
 
     def close(self):
         self._stop.set()
+        if self._procs:
+            for _ in self._procs:
+                self._task_q.put(None)
+            # drain so workers blocked on a full result queue can exit
+            import queue as _q
+
+            for p in self._procs:
+                while p.is_alive():
+                    try:
+                        self._result_q.get(timeout=0.2)
+                    except _q.Empty:
+                        pass
+                    p.join(timeout=0.2)
+            self._procs = []
         if self._thread is not None:
             while not self._q.empty():
                 self._q.get_nowait()

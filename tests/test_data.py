@@ -165,3 +165,33 @@ def test_multi_subject_training_batches(h5_path, tmp_path):
         loader.close()
     finally:
         DATASET_CATALOG["synthetic"].pop("s2", None)
+
+
+def test_loader_multiprocess(tmp_path):
+    """num_workers > 0 builds batches in worker processes (the reference's
+    DataLoader(num_workers=16), load_data.py:78): same schema/shapes as the
+    in-process path, clean shutdown."""
+    from posegen_tpu.data.h5dataset import H5RayDataset, RayBatchLoader
+    from posegen_tpu.data.synthetic import make_synthetic_h5
+
+    path = str(tmp_path / "d.h5")
+    make_synthetic_h5(path, n_images=6, H=32, W=32)
+
+    ds = H5RayDataset(path, n_rays_per_image=16)
+    ref_loader = RayBatchLoader(ds, n_images_per_batch=4, seed=0)
+    ref_batch = ref_loader.make_batch()
+
+    mp_loader = RayBatchLoader(
+        H5RayDataset(path, n_rays_per_image=16),
+        n_images_per_batch=4, seed=0, num_workers=2,
+    )
+    it = iter(mp_loader)
+    batches = [next(it) for _ in range(5)]
+    mp_loader.close()
+
+    for b in batches:
+        assert set(b) == set(ref_batch)
+        for k in b:
+            assert b[k].shape == ref_batch[k].shape, k
+            assert np.isfinite(np.asarray(b[k], np.float32)).all(), k
+    ref_loader.close()
