@@ -149,6 +149,17 @@ def install() -> None:
         sys.modules["plotly"] = plotly
         sys.modules["plotly.graph_objects"] = go
 
+    if "torchgeometry" not in sys.modules:
+        # the reference SPIN processor calls
+        # torchgeometry.rotation_matrix_to_angle_axis on (N, 3, 4) matrices
+        tg = types.ModuleType("torchgeometry")
+
+        def rotation_matrix_to_angle_axis(rotmat: torch.Tensor) -> torch.Tensor:
+            return matrix_to_axis_angle(rotmat[..., :3, :3])
+
+        tg.rotation_matrix_to_angle_axis = rotation_matrix_to_angle_axis
+        sys.modules["torchgeometry"] = tg
+
     # the vendored smplx package root must precede /root/reference, else
     # `import smplx` resolves to the bare /root/reference/smplx namespace dir
     sys.path.insert(0, "/root/reference")
