@@ -248,3 +248,82 @@ def test_ingest_surreal_matches_reference(tmp_path):
             assert a.shape == b.shape, key
             mismatch = float((a != b).mean())
             assert mismatch == 0.0, f"{key}: {mismatch:.4%} pixels differ"
+
+
+@pytest.mark.slow
+def test_zju_get_smpls_matches_reference(tmp_path):
+    """Golden cross-validation: our EasyMocap->NeRF conversion matches the
+    reference get_smpls (core/load_zju.py:70-177, torch CPU via shims) on
+    the same params + the same random-weights real-topology SMPL pkl."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import reference_shims
+
+    reference_shims.install()
+
+    rng = np.random.default_rng(13)
+    V, J = 6890, 24
+    parents = np.zeros(J, np.int64)
+    for j in range(1, J):
+        parents[j] = rng.integers(0, j)
+    kintree = np.stack([parents.astype(np.uint32), np.arange(J, dtype=np.uint32)])
+    kintree[0, 0] = np.uint32(4294967295)
+    J_reg = rng.random((J, V))
+    J_reg /= J_reg.sum(1, keepdims=True)
+    w = np.exp(rng.standard_normal((V, J)) * 2)
+    data = {
+        "v_template": rng.standard_normal((V, 3)) * 0.1,
+        "shapedirs": rng.standard_normal((V, 3, 10)) * 0.01,
+        "posedirs": rng.standard_normal((V, 3, 9 * (J - 1))) * 0.001,
+        "J_regressor": J_reg,
+        "kintree_table": kintree,
+        "weights": w / w.sum(1, keepdims=True),
+        "f": rng.integers(0, V, (100, 3)).astype(np.int64),
+    }
+    smpl_pkl = tmp_path / "SMPL_NEUTRAL.pkl"
+    with open(smpl_pkl, "wb") as f:
+        pickle.dump(data, f)
+
+    # EasyMocap param files (+ provided vertices, read by the reference)
+    sp = tmp_path / "subject"
+    (sp / "params").mkdir(parents=True)
+    (sp / "vertices").mkdir(parents=True)
+    n_frames = 3
+    for i in range(n_frames):
+        np.save(sp / "params" / f"{i}.npy", {
+            "poses": (rng.standard_normal((1, 72)) * 0.25).astype(np.float32),
+            "shapes": (rng.standard_normal((1, 10)) * 0.25).astype(np.float32),
+            "Rh": (rng.standard_normal((1, 3)) * 0.3).astype(np.float32),
+            "Th": rng.standard_normal((1, 3)).astype(np.float32),
+        })
+        np.save(sp / "vertices" / f"{i}.npy",
+                rng.standard_normal((V, 3)).astype(np.float32))
+
+    from core.load_zju import get_smpls as ref_get_smpls
+
+    r_betas, r_kp3d, r_bones, r_skts, r_rest, r_verts, r_scale = ref_get_smpls(
+        str(sp), list(range(n_frames)), ext_scale=0.001, scale_to_ref=True,
+        model_path=str(smpl_pkl),
+    )
+
+    from posegen_tpu.body.smpl import load_smpl_model
+    from posegen_tpu.data.ingest import zju_get_smpls
+
+    model = load_smpl_model(str(smpl_pkl))
+    o_betas, o_kp3d, o_bones, o_skts, o_rest, o_verts, o_scale = zju_get_smpls(
+        str(sp), list(range(n_frames)), model, ext_scale=0.001, scale_to_ref=True,
+    )
+
+    np.testing.assert_allclose(o_scale, r_scale, rtol=1e-5)
+    for name, a, b, atol in (
+        ("rest_pose", r_rest, o_rest, 1e-5),
+        ("kp3d", r_kp3d, np.asarray(o_kp3d), 1e-4),
+        ("bones", r_bones, o_bones, 1e-4),
+        ("skts", r_skts, np.asarray(o_skts), 5e-3),
+        ("vertices", r_verts.numpy() if hasattr(r_verts, "numpy") else r_verts,
+         np.asarray(o_verts), 1e-4),
+    ):
+        a = np.asarray(a)
+        assert a.shape == np.asarray(b).shape, (name, a.shape, np.shape(b))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=atol, err_msg=name)
