@@ -71,3 +71,48 @@ def init_pos2d_discriminator(key: jax.Array, n_joints: int = 24) -> Dict:
 def pos2d_discriminator_apply(params: Dict, kp2d: jax.Array) -> jax.Array:
     """kp2d (B, 24, 2) -> logits (B, 1)."""
     return _path_apply(params, kp2d.reshape(kp2d.shape[0], -1))
+
+
+# torch checkpoint import (reference run_gan.py:982-1046)
+_REF_PATH_NAMES = (
+    "layer_left_leg", "layer_right_leg", "layer_left_arm", "layer_right_arm",
+    "layer_torso", "layer_head", "layer_full_body",
+)
+
+
+def _t_lin(sd, name):
+    import numpy as np
+
+    return {
+        "w": jnp.asarray(np.asarray(sd[f"{name}.weight"]).T),
+        "b": jnp.asarray(np.asarray(sd[f"{name}.bias"])),
+    }
+
+
+def _t_path(sd, prefix):
+    return {
+        "l1": _t_lin(sd, f"{prefix}.layer_1"),
+        "l2": _t_lin(sd, f"{prefix}.layer_2"),
+        "l3": _t_lin(sd, f"{prefix}.layer_3"),
+        "l4": _t_lin(sd, f"{prefix}.layer_last"),
+        "pred": _t_lin(sd, f"{prefix}.layer_pred"),
+    }
+
+
+def import_torch_pos3d_discriminator(state_dict) -> Dict:
+    """Reference Pos3dDiscriminator state_dict -> our params (paths ordered
+    like PART_GROUPS / the reference forward's concat)."""
+    return {
+        f"path{i}": _t_path(state_dict, name)
+        for i, name in enumerate(_REF_PATH_NAMES)
+    }
+
+
+def import_torch_pos2d_discriminator(state_dict) -> Dict:
+    return {
+        "l1": _t_lin(state_dict, "layer_1"),
+        "l2": _t_lin(state_dict, "layer_2"),
+        "l3": _t_lin(state_dict, "layer_3"),
+        "l4": _t_lin(state_dict, "layer_last"),
+        "pred": _t_lin(state_dict, "layer_pred"),
+    }

@@ -20,7 +20,7 @@ Architecture (mirroring the reference):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,16 +61,20 @@ def _block_apply(p: Dict, s: Dict, x: jax.Array, train: bool) -> Tuple[jax.Array
     return y, {"bn1": s1, "bn2": s2}
 
 
-def _init_trunk(key, cfg: GenConfig, noise_ch: int, out_dim: int) -> Dict:
+def _init_trunk(key, cfg: GenConfig, noise_ch: int, out_dim: Optional[int]) -> Dict:
+    """out_dim None = headless trunk: the reference RTGenerator's R branch
+    slices raw trunk features (run_gan.py:952-957, w2_R is dead code)."""
     keys = jax.random.split(key, cfg.num_stages + 2)
     bn_p, bn_s = init_batchnorm(cfg.width)
-    return {
+    tree = {
         "w_in": init_linear(keys[0], noise_ch, cfg.width),
         "bn_in": bn_p,
         "stages": [_init_block(keys[i + 1], cfg.width) for i in range(cfg.num_stages)],
-        "w_out": init_linear(keys[-1], cfg.width, out_dim),
         "_state": {"bn_in": bn_s},
     }
+    if out_dim is not None:
+        tree["w_out"] = init_linear(keys[-1], cfg.width, out_dim)
+    return tree
 
 
 def _trunk_apply(
@@ -83,14 +87,16 @@ def _trunk_apply(
     for i, stage in enumerate(tree["stages"]):
         y, s = _block_apply(stage, state["stages"][i], y, train)
         new_state["stages"].append(s)
-    return linear(tree["w_out"], y), new_state
+    if "w_out" in tree:
+        y = linear(tree["w_out"], y)
+    return y, new_state
 
 
 def init_pose_generator(key: jax.Array, cfg: GenConfig = GenConfig()) -> Tuple[Dict, Dict]:
     """-> (params, bn_state) for the combined BA+RT generator."""
     k_ba, k_r, k_t = jax.random.split(key, 3)
     ba = _init_trunk(k_ba, cfg, cfg.noise_ch, cfg.n_joints * 4)
-    r = _init_trunk(k_r, cfg, cfg.rt_noise_ch, 7)
+    r = _init_trunk(k_r, cfg, cfg.rt_noise_ch, None)  # headless (see _init_trunk)
     t = _init_trunk(k_t, cfg, cfg.rt_noise_ch, 3)
 
     def strip(tree):
@@ -114,16 +120,20 @@ def init_pose_generator(key: jax.Array, cfg: GenConfig = GenConfig()) -> Tuple[D
 def ba_generator_apply(
     params: Dict, state: Dict, key: jax.Array, batch: int,
     cfg: GenConfig = GenConfig(), train: bool = True,
+    noise: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict]:
     """noise -> axis-angle bones (B, J, 3) (reference BAGenerator.forward)."""
-    noise = jax.random.normal(key, (batch, cfg.noise_ch))
+    if noise is None:
+        noise = jax.random.normal(key, (batch, cfg.noise_ch))
     y, new_state = _trunk_apply(params, state, noise, train)
     y = y.reshape(batch, cfg.n_joints, 4)
     axis = y[..., :3]
     axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-8)
     theta = y[..., 3:4]
     out = axis * theta
-    out = out.at[:, 0].multiply(2.0 * jnp.pi)
+    # the reference scales the root theta by literally 3.14*2, not 2*pi
+    # (run_gan.py:887) — matched for checkpoint-level parity
+    out = out.at[:, 0].multiply(3.14 * 2.0)
     return out, new_state
 
 
@@ -131,19 +141,29 @@ def rt_generator_apply(
     params_r: Dict, params_t: Dict, state_r: Dict, state_t: Dict,
     key: jax.Array, kp3d: jax.Array,
     cfg: GenConfig = GenConfig(), train: bool = True,
+    noise_r: Optional[jax.Array] = None,
+    noise_t: Optional[jax.Array] = None,
+    eps_axis: Optional[jax.Array] = None,
 ):
     """noise -> (R (B,3,3), T (B,3), transformed pose (B,J,3)), new states
     (reference RTGenerator.forward, run_gan.py:944-980)."""
     B = kp3d.shape[0]
-    k1, k2, k3 = jax.random.split(key, 3)
+    if noise_r is None or eps_axis is None or noise_t is None:
+        k1, k2, k3 = jax.random.split(key, 3)
+        if noise_r is None:
+            noise_r = jax.random.normal(k1, (B, cfg.rt_noise_ch))
+        if eps_axis is None:
+            eps_axis = jax.random.normal(k2, (B, 3))
+        if noise_t is None:
+            noise_t = jax.random.normal(k3, (B, cfg.rt_noise_ch))
 
-    r_feat, ns_r = _trunk_apply(params_r, state_r, jax.random.normal(k1, (B, cfg.rt_noise_ch)), train)
+    r_feat, ns_r = _trunk_apply(params_r, state_r, noise_r, train)
     r_mean, r_std, r_scale = r_feat[:, :3], r_feat[:, 3:6] ** 2, r_feat[:, 6:7]
-    r_axis = r_mean + r_std * jax.random.normal(k2, (B, 3))
+    r_axis = r_mean + r_std * eps_axis
     r_axis = r_axis / jnp.maximum(jnp.linalg.norm(r_axis, axis=-1, keepdims=True), 1e-8)
     R = axisang_to_rot(r_axis * r_scale)
 
-    t_feat, ns_t = _trunk_apply(params_t, state_t, jax.random.normal(k3, (B, cfg.rt_noise_ch)), train)
+    t_feat, ns_t = _trunk_apply(params_t, state_t, noise_t, train)
     T = t_feat.at[:, 2].set(t_feat[:, 2] ** 2)
 
     centered = kp3d - kp3d[:, :1]
@@ -171,3 +191,63 @@ def pose_generator_apply(
         {"pose_ba": pose_ba, "R": R, "T": T, "pose_rt": pose_rt},
         {"ba": ns_ba, "r": ns_r, "t": ns_t},
     )
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint import (reference run_gan.py GAN checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def _t_lin(sd: Dict[str, Any], name: str) -> Dict[str, jax.Array]:
+    import numpy as np
+
+    return {
+        "w": jnp.asarray(np.asarray(sd[f"{name}.weight"]).T),
+        "b": jnp.asarray(np.asarray(sd[f"{name}.bias"])),
+    }
+
+
+def _t_bn(sd: Dict[str, Any], name: str):
+    import numpy as np
+
+    return (
+        {"scale": jnp.asarray(np.asarray(sd[f"{name}.weight"])),
+         "bias": jnp.asarray(np.asarray(sd[f"{name}.bias"]))},
+        {"mean": jnp.asarray(np.asarray(sd[f"{name}.running_mean"])),
+         "var": jnp.asarray(np.asarray(sd[f"{name}.running_var"]))},
+    )
+
+
+def _t_trunk(sd, prefix_in, prefix_bn, prefix_stages, prefix_out, n_stages=2):
+    params = {"w_in": _t_lin(sd, prefix_in)}
+    state: Dict[str, Any] = {}
+    params["bn_in"], state["bn_in"] = _t_bn(sd, prefix_bn)
+    ps, ss = [], []
+    for i in range(n_stages):
+        base = f"{prefix_stages}.{i}"
+        p: Dict[str, Any] = {
+            "w1": _t_lin(sd, f"{base}.w1"), "w2": _t_lin(sd, f"{base}.w2"),
+        }
+        s: Dict[str, Any] = {}
+        p["bn1"], s["bn1"] = _t_bn(sd, f"{base}.batch_norm1")
+        p["bn2"], s["bn2"] = _t_bn(sd, f"{base}.batch_norm2")
+        ps.append(p)
+        ss.append(s)
+    params["stages"], state["stages"] = ps, ss
+    if prefix_out is not None:
+        params["w_out"] = _t_lin(sd, prefix_out)
+    return params, state
+
+
+def import_torch_pose_generator(state_dict: Dict[str, Any]):
+    """Reference PoseGenerator state_dict -> (params, bn_state)
+    (module names from run_gan.py:793-980: BAprocess.w1/batch_norm1/
+    linear_stages/w2, RTprocess.w1_R/.../w2_T; w2_R is dead code)."""
+    sd = dict(state_dict)
+    pa, sa = _t_trunk(sd, "BAprocess.w1", "BAprocess.batch_norm1",
+                      "BAprocess.linear_stages", "BAprocess.w2")
+    pr, sr = _t_trunk(sd, "RTprocess.w1_R", "RTprocess.batch_norm_R",
+                      "RTprocess.linear_stages_R", None)
+    pt, st = _t_trunk(sd, "RTprocess.w1_T", "RTprocess.batch_norm_T",
+                      "RTprocess.linear_stages_T", "RTprocess.w2_T")
+    return {"ba": pa, "r": pr, "t": pt}, {"ba": sa, "r": sr, "t": st}
