@@ -133,3 +133,123 @@ def run_fitting(
         "edge_loss": float(e_losses[-1]),
         "vertex_loss": float(v_losses[-1]),
     }
+
+
+# ---------------------------------------------------------------------------
+# CLI: the `python -m transfer_model` analog
+# (reference smplx/transfer_model/__main__.py + config_files/*.yaml)
+# ---------------------------------------------------------------------------
+
+
+def _read_mesh_vertices(path: str) -> np.ndarray:
+    """Vertices from .obj/.ply(ascii)/.npy/.npz (the reference reads meshes
+    with open3d; these cover its transfer-data formats without it)."""
+    if path.endswith(".npy"):
+        return np.asarray(np.load(path), np.float32)
+    if path.endswith(".npz"):
+        d = np.load(path)
+        key = "vertices" if "vertices" in d else list(d.keys())[0]
+        return np.asarray(d[key], np.float32)
+    verts = []
+    if path.endswith(".obj"):
+        with open(path) as f:
+            for line in f:
+                if line.startswith("v "):
+                    verts.append([float(x) for x in line.split()[1:4]])
+        return np.asarray(verts, np.float32)
+    if path.endswith(".ply"):
+        with open(path, "rb") as f:
+            header = []
+            while True:
+                line = f.readline().decode("ascii", "ignore").strip()
+                header.append(line)
+                if line == "end_header":
+                    break
+            n = next(
+                int(h.split()[-1]) for h in header if h.startswith("element vertex")
+            )
+            if any("binary" in h for h in header):
+                raise ValueError(f"binary ply unsupported: {path}")
+            for _ in range(n):
+                verts.append([float(x) for x in f.readline().split()[:3]])
+        return np.asarray(verts, np.float32)
+    raise ValueError(f"unsupported mesh format: {path}")
+
+
+def _load_def_matrix(path: str) -> np.ndarray:
+    import pickle
+
+    if path.endswith(".npy"):
+        return np.asarray(np.load(path), np.float32)
+    if path.endswith(".npz"):
+        d = np.load(path)
+        return np.asarray(d[list(d.keys())[0]], np.float32)
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    if hasattr(data, "todense"):
+        data = np.asarray(data.todense())
+    elif isinstance(data, dict):
+        data = data.get("mtx", data.get("def_matrix"))
+        if hasattr(data, "todense"):
+            data = np.asarray(data.todense())
+    return np.asarray(data, np.float32)
+
+
+def main(argv=None) -> None:
+    """python -m posegen_tpu.body.transfer --target-model SMPLX.npz
+    --mesh-dir meshes/ [--def-matrix def.pkl] --out fits.npz
+
+    Fits the target body model's parameters to each source mesh
+    (reference transfer tool driver, smplx/transfer_model/__main__.py:36)."""
+    import argparse
+    import glob as _glob
+    import os
+
+    from posegen_tpu.body.smpl import load_smpl_model
+
+    p = argparse.ArgumentParser("posegen_tpu.body.transfer")
+    p.add_argument("--target-model", required=True, help="SMPL-family .pkl/.npz")
+    p.add_argument("--mesh-dir", required=True,
+                   help="dir of source meshes (.obj/.ply/.npy/.npz)")
+    p.add_argument("--def-matrix", default=None,
+                   help="deformation-transfer matrix (.pkl/.npy/.npz) mapping "
+                        "source topology -> target topology")
+    p.add_argument("--out", default="transfer_fits.npz")
+    p.add_argument("--edge-steps", type=int, default=300)
+    p.add_argument("--vertex-steps", type=int, default=400)
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--batch", type=int, default=8)
+    args = p.parse_args(argv)
+
+    model = load_smpl_model(args.target_model)
+    def_matrix = _load_def_matrix(args.def_matrix) if args.def_matrix else None
+    cfg = FitConfig(
+        edge_steps=args.edge_steps, vertex_steps=args.vertex_steps, lr=args.lr
+    )
+
+    paths = sorted(
+        q for ext in ("obj", "ply", "npy", "npz")
+        for q in _glob.glob(os.path.join(args.mesh_dir, f"*.{ext}"))
+    )
+    if not paths:
+        raise SystemExit(f"no meshes under {args.mesh_dir}")
+
+    all_params, losses = [], []
+    for s in range(0, len(paths), args.batch):
+        chunk = paths[s:s + args.batch]
+        verts = np.stack([_read_mesh_vertices(q) for q in chunk])
+        params, info = run_fitting(model, verts, cfg=cfg, def_matrix=def_matrix)
+        all_params.append({k: np.asarray(v) for k, v in params.items()})
+        losses.append(info["vertex_loss"])
+        print(f"[{s + len(chunk)}/{len(paths)}] v2v loss {info['vertex_loss']:.6f}")
+
+    out = {
+        k: np.concatenate([pp[k] for pp in all_params]) for k in all_params[0]
+    }
+    out["mesh_paths"] = np.asarray(paths)
+    np.savez(args.out, **out)
+    print(f"wrote {args.out} (mean v2v {np.mean(losses):.6f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -64,3 +64,59 @@ def test_deformation_transfer_and_variables(rng):
     var = init_variables(3, model, 4)
     assert var["body_pose"].shape == (3, 9)
     assert var["betas"].shape == (3, 4)
+
+
+def test_transfer_cli_end_to_end(tmp_path):
+    """`python -m posegen_tpu.body.transfer` analog of the reference
+    `python -m transfer_model` driver: fit model params to .obj meshes and
+    recover them (GT known: meshes posed by the same model)."""
+    import pickle
+
+    from posegen_tpu.body.transfer import main as transfer_main
+
+    rng = np.random.default_rng(5)
+    model = make_random_model(n_vertices=48, n_joints=6, n_betas=4, seed=2)
+
+    # write the model as a loadable pkl
+    mdl = {
+        "v_template": np.asarray(model.v_template, np.float64),
+        "shapedirs": np.asarray(model.shapedirs, np.float64),
+        "posedirs": np.asarray(model.posedirs, np.float64).T.reshape(48, 3, -1),
+        "J_regressor": np.asarray(model.J_regressor, np.float64),
+        "kintree_table": np.stack([model.parents, np.arange(6)]),
+        "weights": np.asarray(model.lbs_weights, np.float64),
+        "f": rng.integers(0, 48, (40, 3)).astype(np.int64),
+    }
+    with open(tmp_path / "model.pkl", "wb") as f:
+        pickle.dump(mdl, f)
+
+    # pose the model with known params; dump meshes as .obj
+    gt_pose = (rng.standard_normal((2, 5 * 3)) * 0.2).astype(np.float32)
+    gt_go = (rng.standard_normal((2, 3)) * 0.2).astype(np.float32)
+    gt_betas = (rng.standard_normal((2, 4)) * 0.5).astype(np.float32)
+    out = model(
+        jnp.asarray(gt_betas), body_pose=jnp.asarray(gt_pose),
+        global_orient=jnp.asarray(gt_go),
+    )
+    (tmp_path / "meshes").mkdir()
+    for i, v in enumerate(np.asarray(out["vertices"])):
+        with open(tmp_path / "meshes" / f"m{i}.obj", "w") as f:
+            for x, y, z in v:
+                f.write(f"v {x} {y} {z}\n")
+
+    transfer_main([
+        "--target-model", str(tmp_path / "model.pkl"),
+        "--mesh-dir", str(tmp_path / "meshes"),
+        "--out", str(tmp_path / "fits.npz"),
+        "--edge-steps", "250", "--vertex-steps", "350",
+    ])
+    fits = np.load(tmp_path / "fits.npz")
+    assert fits["betas"].shape == (2, 4)
+    # reconstruct and compare vertex-to-vertex error
+    rec = model(
+        jnp.asarray(fits["betas"]), body_pose=jnp.asarray(fits["body_pose"]),
+        global_orient=jnp.asarray(fits["global_orient"]),
+        transl=jnp.asarray(fits["transl"]) if "transl" in fits else None,
+    )
+    v2v = float(np.sqrt(((np.asarray(rec["vertices"]) - np.asarray(out["vertices"])) ** 2).sum(-1)).mean())
+    assert v2v < 0.05, f"CLI fit v2v too high: {v2v}"
