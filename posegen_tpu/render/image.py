@@ -13,6 +13,7 @@ render garbage that is discarded on scatter-back.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -53,6 +54,18 @@ def valid_rays_for_pose(
 KEEP_MAPS = ("rgb_map", "acc_map", "disp_map")
 
 
+@functools.lru_cache(maxsize=8)
+def _default_render_fn(cfg: RaycastConfig):
+    """Memoized jitted eval render. A fresh `jax.jit(lambda ...)` per call
+    would defeat jit's compilation cache (keyed on function identity) and
+    silently recompile ~60 s per image."""
+    return jax.jit(
+        lambda p, o, d, c: render_rays(
+            cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0, eval_mean_code=True
+        )
+    )
+
+
 def _render_chunks(
     cfg: RaycastConfig,
     params: Dict[str, Any],
@@ -76,11 +89,7 @@ def _render_chunks(
     rd = np.concatenate([rays_d, np.broadcast_to(rays_d[-1:], (n_pad, 3))]) if n_pad else rays_d
 
     if render_fn is None:
-        render_fn = jax.jit(
-            lambda p, o, d, c: render_rays(
-                cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0, eval_mean_code=True
-            )
-        )
+        render_fn = _default_render_fn(cfg)
 
     device_outs: List[Dict[str, jax.Array]] = []
     for i in range(0, ro.shape[0], chunk):
@@ -161,11 +170,7 @@ def render_path(
     """
     H, W, focal = hwf
     rgbs, accs, disps, bboxes = [], [], [], []
-    render_fn = jax.jit(
-        lambda p, o, d, c: render_rays(
-            cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0, eval_mean_code=True
-        )
-    )
+    render_fn = _default_render_fn(cfg)
     t0 = time.time()
     for i, c2w in enumerate(render_poses):
         ctx = ctxs[i % len(ctxs)]
