@@ -115,3 +115,32 @@ def test_fused_framecodes_match_xla():
         np.testing.assert_allclose(gf, gx, rtol=1e-4, atol=1e-6)
     finally:
         field.MM_DTYPE = orig
+
+
+def test_fused_single_net_render_matches_xla():
+    """single_net configs (e.g. surreal_single: one net, max-filter
+    importance, raw sort-merge) run their net evals through the fused kernel
+    and match the XLA path."""
+    import posegen_tpu.kernels.field as field
+    from posegen_tpu.render.raycast import RaycastConfig, render_rays
+    from posegen_tpu.utils.fixtures import make_problem
+
+    orig = field.MM_DTYPE
+    field.MM_DTYPE = jnp.float32  # CPU dot thunks reject bf16
+    try:
+        cfg, params, ctx, ro, rd = make_problem(
+            RaycastConfig(single_net=True, N_importance=48), n_rays=32
+        )
+        assert field.supports_fused(cfg, ctx, params["coarse"])
+        a = render_rays(
+            cfg, params, ro, rd, ctx, perturb=0.0, raw_noise_std=0.0,
+            eval_mean_code=True, use_fused=False,
+        )["rgb_map"]
+        b = render_rays(
+            cfg, params, ro, rd, ctx, perturb=0.0, raw_noise_std=0.0,
+            eval_mean_code=True, use_fused=True,
+        )["rgb_map"]
+        err = float(jnp.abs(a - b).max())
+        assert err < 5e-3, f"single_net fused diverges: {err}"
+    finally:
+        field.MM_DTYPE = orig
