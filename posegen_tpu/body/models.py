@@ -517,19 +517,8 @@ _register(
 # ---------------------------------------------------------------------------
 
 
-def _load_raw(model_path: str) -> Dict[str, np.ndarray]:
-    if model_path.endswith(".npz"):
-        return dict(np.load(model_path, allow_pickle=True))
-    if model_path.endswith(".npy"):  # e.g. flame_dynamic_embedding.npy
-        return np.load(model_path, allow_pickle=True, encoding="latin1")[()]
-    with open(model_path, "rb") as f:
-        return pickle.load(f, encoding="latin1")
-
-
-def _arr(x) -> np.ndarray:
-    if hasattr(x, "todense"):
-        x = np.asarray(x.todense())
-    return np.asarray(x, dtype=np.float32)
+from posegen_tpu.body.smpl import dense_f32 as _arr  # noqa: E402
+from posegen_tpu.body.smpl import load_raw_model as _load_raw  # noqa: E402
 
 
 def _split_shape_expr(shapedirs: np.ndarray, n_betas: int, n_expr: int):

@@ -95,22 +95,32 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def load_raw_model(model_path: str):
+    """Raw dict from an official body-model file (.pkl latin1 / .npz /
+    .npy-pickle) — shared by every body-model loader."""
+    if model_path.endswith(".npz"):
+        return dict(np.load(model_path, allow_pickle=True))
+    if model_path.endswith(".npy"):
+        return np.load(model_path, allow_pickle=True, encoding="latin1")[()]
+    with open(model_path, "rb") as f:
+        return pickle.load(f, encoding="latin1")
+
+
+def dense_f32(x) -> np.ndarray:
+    """Densify scipy-sparse fields (J_regressor in .pkl files) -> float32."""
+    if hasattr(x, "todense"):
+        x = np.asarray(x.todense())
+    return np.asarray(x, dtype=np.float32)
+
+
 def load_smpl_model(
     model_path: str,
     n_betas: int = 10,
     extra_joint_regressor: Optional[np.ndarray] = None,
 ) -> SMPLModel:
     """Load an official SMPL .pkl/.npz (fields per smplx body_models.py:499+)."""
-    if model_path.endswith(".npz"):
-        data = dict(np.load(model_path, allow_pickle=True))
-    else:
-        with open(model_path, "rb") as f:
-            data = pickle.load(f, encoding="latin1")
-
-    def arr(x):
-        if hasattr(x, "todense"):  # scipy sparse J_regressor in .pkl files
-            x = np.asarray(x.todense())
-        return np.asarray(x, dtype=np.float32)
+    data = load_raw_model(model_path)
+    arr = dense_f32
 
     shapedirs = arr(data["shapedirs"])[..., :n_betas]
     posedirs = arr(data["posedirs"])

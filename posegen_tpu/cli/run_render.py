@@ -309,7 +309,8 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
             load_pose_params(ckpt), jnp.asarray(attrs["rest_pose"])
         )
         idxs = np.asarray(args.selected_idxs or [0])
-        kp_rows = np.asarray(render_data.get("kp_idxs", idxs))[idxs]
+        kp_all = render_data.get("kp_idxs")
+        kp_rows = np.asarray(kp_all)[idxs] if kp_all is not None else idxs
         n_step = args.n_step
         w = np.linspace(0, 1.0, n_step, endpoint=False).reshape(-1, 1, 1)
 

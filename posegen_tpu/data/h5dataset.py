@@ -236,7 +236,7 @@ class H5RayDataset:
             "bones": self.bones[kp_i : kp_i + 1],
             "skts": self.skts[kp_i : kp_i + 1],
             "cyls": self.cyls[kp_i : kp_i + 1],
-            "kp_idx": np.full((n,), kp_i, np.int32),
+            "kp_idx": np.full((1,), kp_i, np.int32),  # per image GROUP
             "cam_idxs": np.full((n, 1), self.cam_idxs[img_idx], np.int32),
         }
 
@@ -284,7 +284,7 @@ class H5RayDataset:
             "bones": self.bones[kp_i : kp_i + 1],
             "skts": self.skts[kp_i : kp_i + 1],
             "cyls": self.cyls[kp_i : kp_i + 1],
-            "kp_idx": np.full((n,), kp_i, np.int32),
+            "kp_idx": np.full((1,), kp_i, np.int32),  # per image GROUP
             "cam_idxs": np.full((n, 1), self.cam_idxs[img_idx], np.int32),
         }
 
@@ -420,10 +420,17 @@ class RayBatchLoader:
             if item is None:
                 return
             bid, idxs = item
-            parts = [dataset.sample_image(int(i)) for i in idxs]
-            batch = {
-                k: np.concatenate([p[k] for p in parts], axis=0) for k in parts[0]
-            }
+            try:
+                parts = [dataset.sample_image(int(i)) for i in idxs]
+                batch = {
+                    k: np.concatenate([p[k] for p in parts], axis=0)
+                    for k in parts[0]
+                }
+            except Exception:  # surface the error in the parent, don't die
+                import traceback
+
+                result_q.put((bid, {"__error__": traceback.format_exc()}))
+                continue
             result_q.put((bid, batch))
 
     def _start_procs(self):
@@ -449,8 +456,25 @@ class RayBatchLoader:
         self._next_bid += 1
 
     def _next_mp(self) -> Dict[str, np.ndarray]:
+        import queue as _q
+
         while self._emit_bid not in self._hold:
-            bid, batch = self._result_q.get()
+            try:
+                bid, batch = self._result_q.get(timeout=5.0)
+            except _q.Empty:
+                # liveness check: a killed worker (OOM, signal) would
+                # otherwise hang training forever instead of erroring
+                dead = [p for p in self._procs if not p.is_alive()]
+                if dead:
+                    raise RuntimeError(
+                        f"{len(dead)} loader worker(s) died "
+                        f"(exitcodes {[p.exitcode for p in dead]})"
+                    )
+                continue
+            if isinstance(batch, dict) and "__error__" in batch:
+                raise RuntimeError(
+                    f"loader worker failed on batch {bid}:\n{batch['__error__']}"
+                )
             self._hold[bid] = batch
         batch = self._hold.pop(self._emit_bid)
         self._emit_bid += 1

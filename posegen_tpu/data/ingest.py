@@ -30,19 +30,14 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from posegen_tpu.data.loaders import (
+    SURREAL_DATASET_EXT_SCALE,
+    SURREAL_ROT_GLOB,
     SURREAL_ROT_ROOTBONE,
     pose_block_from_bones,
     process_spin_estimated,
 )
 from posegen_tpu.data.writer import dilate_masks, write_pose_h5
 from posegen_tpu.skeleton.skeleton import SMPL_REST_POSE
-
-# SURREAL world -> NeRF world (reference load_surreal.py:108-111)
-SURREAL_ROT_GLOB = np.array(
-    [[1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0]], dtype=np.float32
-)
-# the fixed skeleton-range normalization (reference load_surreal.py:18)
-SURREAL_DATASET_EXT_SCALE = 0.25 / 0.00035
 
 # ZJU ground plane -> NeRF x-z plane (reference load_zju.py:13-16)
 ZJU_TO_NERF_ROT = np.array(
@@ -329,8 +324,10 @@ def ingest_h36m(
         )
         cam_idxs.append(cam_idx)
         img = _imread(os.path.join(data_path, p))
-        if img.shape[0] != masks.shape[1]:
-            img = img[1:-1]  # the 1002x1000 camera (load_h36m.py:222-224)
+        if img.shape[0] != H:
+            # the 1002x1000 camera (load_h36m.py:222-224); compare against
+            # the FULL-resolution height, not the (possibly rescaled) mask
+            img = img[1:-1]
         if res != 1.0:
             img = cv2.resize(img, (int(res * W), int(res * H)), interpolation=cv2.INTER_AREA)
         imgs.append(img)

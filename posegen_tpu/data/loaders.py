@@ -37,6 +37,14 @@ SURREAL_ROT_ROOTBONE = np.array(
     [[1.0, 0.0, 0.0], [0.0, 0.0, -1.0], [0.0, 1.0, 0.0]], dtype=np.float32
 )
 
+# SURREAL world -> NeRF world (reference load_surreal.py:108-111)
+SURREAL_ROT_GLOB = np.array(
+    [[1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0]], dtype=np.float32
+)
+
+# the fixed skeleton-range normalization (reference load_surreal.py:18)
+SURREAL_DATASET_EXT_SCALE = 0.25 / 0.00035
+
 
 def pose_block_from_bones(
     bones: np.ndarray,
@@ -148,11 +156,8 @@ def process_surreal(
     translations — skt_from_smpl(kp_3d=...)), world rotated by rot_glob,
     root-bone rotation fix, '-y' head axis. Numerics cross-validated against
     the actual reference processor in tests/test_ingest.py."""
-    full_scale = ext_scale * (0.25 / 0.00035)
-    rot_glob = np.array(
-        [[1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0]], np.float32
-    )
-    kp3d = np.asarray(joints3d, np.float32) * full_scale @ rot_glob.T
+    full_scale = ext_scale * SURREAL_DATASET_EXT_SCALE
+    kp3d = np.asarray(joints3d, np.float32) * full_scale @ SURREAL_ROT_GLOB.T
     block = pose_block_from_bones(
         bones,
         kp3d_override=kp3d,

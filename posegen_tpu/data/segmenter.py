@@ -120,13 +120,17 @@ def deeplab_logits(params: Dict, state: Dict, x: jax.Array) -> jax.Array:
     y = jax.nn.relu(y)
     y = max_pool(y, 3, 2)
     # strides/dilations for output stride 8 (torchvision
-    # replace_stride_with_dilation=[False, True, True])
-    layer_cfg = ((1, 1), (2, 1), (1, 2), (1, 4))
-    for li, (stride0, dil) in enumerate(layer_cfg):
+    # replace_stride_with_dilation=[False, True, True]). torchvision's
+    # _make_layer gives BLOCK 0 the PREVIOUS dilation (captured before
+    # `self.dilation *= stride`); later blocks use the doubled one.
+    layer_cfg = ((1, 1, 1), (2, 1, 1), (1, 1, 2), (1, 2, 4))
+    for li, (stride0, dil0, dil) in enumerate(layer_cfg):
         for b, (p, s) in enumerate(
             zip(params[f"layer{li + 1}"], state[f"layer{li + 1}"])
         ):
-            y = _block_apply(p, s, y, stride0 if b == 0 else 1, dil)
+            y = _block_apply(
+                p, s, y, stride0 if b == 0 else 1, dil0 if b == 0 else dil
+            )
 
     ap, as_ = params["aspp"], state["aspp"]
 
@@ -159,24 +163,12 @@ def deeplab_logits(params: Dict, state: Dict, x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _t_conv(sd, name):
-    return {"w": jnp.asarray(np.asarray(sd[f"{name}.weight"]).transpose(2, 3, 1, 0))}
+from posegen_tpu.utils.torch_import import t_batchnorm as _t_bn  # noqa: E402
+from posegen_tpu.utils.torch_import import t_conv as _t_conv  # noqa: E402
 
 
 def _t_conv_b(sd, name):
-    p = _t_conv(sd, name)
-    if f"{name}.bias" in sd:
-        p["b"] = jnp.asarray(np.asarray(sd[f"{name}.bias"]))
-    return p
-
-
-def _t_bn(sd, name):
-    return (
-        {"scale": jnp.asarray(np.asarray(sd[f"{name}.weight"])),
-         "bias": jnp.asarray(np.asarray(sd[f"{name}.bias"]))},
-        {"mean": jnp.asarray(np.asarray(sd[f"{name}.running_mean"])),
-         "var": jnp.asarray(np.asarray(sd[f"{name}.running_var"]))},
-    )
+    return _t_conv(sd, name, bias=True)
 
 
 def import_torch_deeplab(state_dict: Dict[str, Any]) -> Tuple[Dict, Dict]:

@@ -73,9 +73,7 @@ class PoseEvalDataset:
         }
 
     def batches(self, batch_size: int = 32) -> Iterator[Dict[str, np.ndarray]]:
-        for s in range(0, len(self), batch_size):
-            items = [self[i] for i in range(s, min(s + batch_size, len(self)))]
-            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+        return _batched(self, batch_size)
 
 
 def pw3d_dataset(annot_dir: str, img_dir: str, res: int = 224) -> PoseEvalDataset:
@@ -113,6 +111,13 @@ def _resize_normalize(img: np.ndarray, res: int) -> np.ndarray:
     return normalize_for_spin(img)
 
 
+def _batched(dataset, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
+    """Stack dataset items into fixed-key batches (shared by all eval sets)."""
+    for s in range(0, len(dataset), batch_size):
+        items = [dataset[i] for i in range(s, min(s + batch_size, len(dataset)))]
+        yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
 class SkiDataset:
     """SKI-Pose test set in its REAL schema: labels.h5 with seq/cam/frame
     index columns + '2D'/'3D' arrays, images under
@@ -148,9 +153,7 @@ class SkiDataset:
         return {"image": _resize_normalize(img, self.res), "pose_3d": gt}
 
     def batches(self, batch_size: int = 32) -> Iterator[Dict[str, np.ndarray]]:
-        for s in range(0, len(self), batch_size):
-            items = [self[i] for i in range(s, min(s + batch_size, len(self)))]
-            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+        return _batched(self, batch_size)
 
 
 class Hp3dDataset:
@@ -179,9 +182,7 @@ class Hp3dDataset:
         return {"image": normalize_for_spin(c), "pose_3d": gt17}
 
     def batches(self, batch_size: int = 32) -> Iterator[Dict[str, np.ndarray]]:
-        for s in range(0, len(self), batch_size):
-            items = [self[i] for i in range(s, min(s + batch_size, len(self)))]
-            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+        return _batched(self, batch_size)
 
 
 class AgoraDataset:

@@ -80,13 +80,7 @@ _REF_PATH_NAMES = (
 )
 
 
-def _t_lin(sd, name):
-    import numpy as np
-
-    return {
-        "w": jnp.asarray(np.asarray(sd[f"{name}.weight"]).T),
-        "b": jnp.asarray(np.asarray(sd[f"{name}.bias"])),
-    }
+from posegen_tpu.utils.torch_import import t_linear as _t_lin  # noqa: E402
 
 
 def _t_path(sd, prefix):

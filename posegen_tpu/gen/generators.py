@@ -198,24 +198,8 @@ def pose_generator_apply(
 # ---------------------------------------------------------------------------
 
 
-def _t_lin(sd: Dict[str, Any], name: str) -> Dict[str, jax.Array]:
-    import numpy as np
-
-    return {
-        "w": jnp.asarray(np.asarray(sd[f"{name}.weight"]).T),
-        "b": jnp.asarray(np.asarray(sd[f"{name}.bias"])),
-    }
-
-
-def _t_bn(sd: Dict[str, Any], name: str):
-    import numpy as np
-
-    return (
-        {"scale": jnp.asarray(np.asarray(sd[f"{name}.weight"])),
-         "bias": jnp.asarray(np.asarray(sd[f"{name}.bias"]))},
-        {"mean": jnp.asarray(np.asarray(sd[f"{name}.running_mean"])),
-         "var": jnp.asarray(np.asarray(sd[f"{name}.running_var"]))},
-    )
+from posegen_tpu.utils.torch_import import t_batchnorm as _t_bn  # noqa: E402
+from posegen_tpu.utils.torch_import import t_linear as _t_lin  # noqa: E402
 
 
 def _t_trunk(sd, prefix_in, prefix_bn, prefix_stages, prefix_out, n_stages=2):

@@ -262,12 +262,15 @@ def make_train_step(
             kps, bones, skts = batch["kp3d"], batch["bones"], batch["skts"]
 
         # batches carry pose arrays per IMAGE group (G rows, rays contiguous
-        # per group — the RayBatchLoader layout), not per ray: expanding on
-        # device saves ~rays_per_image x of host->device transfer
+        # per group — the RayBatchLoader layout; kp_idx is per GROUP too),
+        # not per ray: expanding on device saves ~rays_per_image x of
+        # host->device transfer
         g = skts.shape[0]
         cyls = batch["cyls"]
-        if 1 < g < n:
-            cyls = jnp.repeat(cyls, n // g, axis=0) if cyls.shape[0] == g else cyls
+        if cyls.shape[0] not in (1, n):
+            # expand per-group cylinder rows to per-ray regardless of how
+            # the pose rows are shaped (g may be n when kp_idx is per-ray)
+            cyls = jnp.repeat(cyls, n // cyls.shape[0], axis=0)
 
         use_fused = _fused_train_mode(params, batch)
         if use_fused in ("train", "full") and g != n:
@@ -333,18 +336,31 @@ def make_train_step(
             stats["pose_grad_norm"] = _gradnorm(g_pose)
             updates, opt_state = opt.update(g_nerf, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
-            p_updates, pose_opt_state = popt.update(
-                g_pose, state.pose_opt_state, state.pose_params
-            )
             # warmup / stop windows (reference --opt_pose_warmup /
-            # --opt_pose_stop): mask the update in-graph, keep one jit
-            active = jnp.asarray(True)
-            if tcfg.opt_pose_warmup > 0:
-                active = active & (state.step >= tcfg.opt_pose_warmup)
-            if tcfg.opt_pose_stop is not None:
-                active = active & (state.step < tcfg.opt_pose_stop)
-            gate = active.astype(jnp.float32)
-            p_updates = jax.tree_util.tree_map(lambda u: u * gate, p_updates)
+            # --opt_pose_stop): skip the WHOLE optimizer transform in-graph
+            # (lax.cond), so Adam moments / schedules / MultiSteps counters
+            # do not advance while gated — matching the reference, which
+            # simply does not step the pose optimizer outside the window
+            if tcfg.opt_pose_warmup > 0 or tcfg.opt_pose_stop is not None:
+                active = jnp.asarray(True)
+                if tcfg.opt_pose_warmup > 0:
+                    active = active & (state.step >= tcfg.opt_pose_warmup)
+                if tcfg.opt_pose_stop is not None:
+                    active = active & (state.step < tcfg.opt_pose_stop)
+                p_updates, pose_opt_state = jax.lax.cond(
+                    active,
+                    lambda: popt.update(
+                        g_pose, state.pose_opt_state, state.pose_params
+                    ),
+                    lambda: (
+                        jax.tree_util.tree_map(jnp.zeros_like, state.pose_params),
+                        state.pose_opt_state,
+                    ),
+                )
+            else:
+                p_updates, pose_opt_state = popt.update(
+                    g_pose, state.pose_opt_state, state.pose_params
+                )
             pose_params = optax.apply_updates(state.pose_params, p_updates)
             new_state = state._replace(
                 step=state.step + 1,

@@ -96,9 +96,9 @@ def make_train_batch(
         "fgs": jnp.asarray(rng.integers(0, 2, (n_rays, 1)).astype(np.float32)),
     }
     if opt_pose:
-        rpi = n_rays // n_groups
+        # kp_idx is per image GROUP (the RayBatchLoader contract)
         frames = rng.integers(0, n_frames, (n_groups,)).astype(np.int32)
-        batch["kp_idx"] = jnp.asarray(np.repeat(frames, rpi))
+        batch["kp_idx"] = jnp.asarray(frames)
     else:
         batch["kp3d"] = ctx.kps
         batch["skts"] = ctx.skts

@@ -31,7 +31,7 @@ def test_dataset_sample_shapes(h5_path):
     # pose arrays are per-image rows (one row per sampled image)
     assert s["skts"].shape == (1, 24, 4, 4)
     assert s["cyls"].shape == (1, 5)
-    assert s["kp_idx"].shape == (32,)
+    assert s["kp_idx"].shape == (1,)  # per image GROUP
     # sampled pixels mostly on the person (dilated mask)
     assert s["fgs"].mean() > 0.4
     ds.close()

@@ -252,3 +252,55 @@ def test_shard_batch_rejects_nondivisible_groups():
     mesh = make_mesh(8)
     with pytest.raises(ValueError, match="divides over"):
         shard_batch(batch, mesh)
+
+
+def test_pose_opt_train_step_on_real_loader_batch(tmp_path):
+    """Regression (round-2 review #1): --opt_pose training on an actual
+    RayBatchLoader batch (grouped pose rows + per-GROUP kp_idx) must trace
+    and run — previously cyls stayed per-group while pose rows were
+    expanded per-ray and render_rays' broadcast failed."""
+    from posegen_tpu.data.h5dataset import H5RayDataset, RayBatchLoader
+    from posegen_tpu.data.synthetic import make_synthetic_h5
+
+    path = str(tmp_path / "d.h5")
+    make_synthetic_h5(path, n_images=4, H=32, W=32)
+    ds = H5RayDataset(path, n_rays_per_image=8)
+    loader = RayBatchLoader(ds, n_images_per_batch=4, seed=0)
+    batch = loader.make_batch()
+    assert batch["kp_idx"].shape == (4,), "kp_idx must be per image group"
+    assert batch["skts"].shape[0] == 4 and batch["rays_o"].shape[0] == 32
+
+    n_frames = ds.kp3d.shape[0]
+    tcfg = TrainConfig(opt_pose=True, opt_pose_step=1)
+    variables = init_raycaster(jax.random.PRNGKey(0), TINY)
+    pcfg = PoseOptConfig()
+    pose_params, anchors = init_pose_params(pcfg, ds.bones, ds.kp3d)
+    state = create_train_state(variables, tcfg, pose_params, anchors)
+    step = jax.jit(make_train_step(
+        TINY, tcfg, pcfg, rest_pose=jnp.asarray(ds.rest_pose),
+        n_frames=n_frames,
+    ))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, stats = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(stats["total_loss"]))
+    loader.close()
+    ds.close()
+
+
+def test_pose_opt_warmup_freezes_optimizer_state():
+    """Warmup must not advance the pose optimizer (reference does not step
+    it before the window opens) — review finding #6."""
+    tcfg = TrainConfig(opt_pose=True, opt_pose_step=1, opt_pose_warmup=100)
+    state = _make_state(tcfg, opt_pose=True)
+    step = jax.jit(make_train_step(
+        TINY, tcfg, PoseOptConfig(), rest_pose=jnp.asarray(SMPL_REST_POSE),
+        n_frames=4,
+    ))
+    batch = make_train_batch(TINY, n_rays=32, opt_pose=True, n_frames=4)
+    b0 = np.asarray(state.pose_params["bones"])
+    flat0 = jax.tree_util.tree_leaves(state.pose_opt_state)
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    # params unchanged AND optimizer state untouched during warmup
+    np.testing.assert_array_equal(np.asarray(state.pose_params["bones"]), b0)
+    for a, b in zip(flat0, jax.tree_util.tree_leaves(state.pose_opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
