@@ -435,8 +435,30 @@ class RayBatchLoader:
 
     def _start_procs(self):
         import multiprocessing as mp
+        import os
+        import sys
 
-        ctx = mp.get_context("fork")
+        # a 1-core host cannot benefit from worker processes; fall back to
+        # the in-process prefetch thread instead of oversubscribing
+        usable = max((os.cpu_count() or 1) - 1, 0)
+        self.num_workers = min(self.num_workers, usable)
+        if self.num_workers == 0:
+            return
+
+        # NEVER fork once a jax backend is up: the runtime's grpc/driver
+        # threads do not survive fork and both sides can deadlock. spawn
+        # re-imports only numpy/h5py in the child (this module has no
+        # module-level jax import), so it stays cheap.
+        method = "fork"
+        if "jax" in sys.modules:
+            try:
+                from jax._src import xla_bridge
+
+                if xla_bridge._backends:
+                    method = "spawn"
+            except Exception:
+                method = "spawn"
+        ctx = mp.get_context(method)
         self._task_q = ctx.Queue()
         self._result_q = ctx.Queue(maxsize=max(2 * self.num_workers, 4))
         for w in range(self.num_workers):
@@ -482,9 +504,9 @@ class RayBatchLoader:
         return batch
 
     def __iter__(self):
-        if self.num_workers > 0:
-            if not self._procs:
-                self._start_procs()
+        if self.num_workers > 0 and not self._procs:
+            self._start_procs()  # may fall back to 0 on a 1-core host
+        if self._procs:
             return self
         if self._thread is None:
             self._thread = threading.Thread(target=self._worker, daemon=True)

@@ -181,13 +181,24 @@ def test_loader_multiprocess(tmp_path):
     ref_loader = RayBatchLoader(ds, n_images_per_batch=4, seed=0)
     ref_batch = ref_loader.make_batch()
 
+    # the loader caps workers at cpu_count - 1 (and would fall back to the
+    # thread path on this 1-core host); pretend we have cores so the actual
+    # worker-process machinery runs
+    import os
+
+    real_cpu_count = os.cpu_count
+    os.cpu_count = lambda: 4
     mp_loader = RayBatchLoader(
         H5RayDataset(path, n_rays_per_image=16),
         n_images_per_batch=4, seed=0, num_workers=2,
     )
-    it = iter(mp_loader)
-    batches = [next(it) for _ in range(5)]
-    mp_loader.close()
+    try:
+        it = iter(mp_loader)
+        assert len(mp_loader._procs) == 2, "worker processes did not start"
+        batches = [next(it) for _ in range(5)]
+    finally:
+        mp_loader.close()
+        os.cpu_count = real_cpu_count
 
     for b in batches:
         assert set(b) == set(ref_batch)
