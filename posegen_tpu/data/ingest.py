@@ -342,6 +342,123 @@ def ingest_h36m(
 
 
 # ---------------------------------------------------------------------------
+# PerfCap / Mixamo (SPIN-estimate h5 + image/mask trees)
+# ---------------------------------------------------------------------------
+
+
+def ingest_perfcap(
+    data_path: str,
+    h5_file: str,
+    subject: str = "Weipeng_outdoor",
+    ext_scale: float = 0.001,
+    extend_iter: int = 2,
+    smpl_model=None,
+) -> str:
+    """MonoPerfCap dump -> training H5 (reference process_perfcap_data,
+    load_perfcap.py:12-52): SPIN-estimate h5, images/ + masks/ trees
+    (DeepLab ids, person >= 2), one static background plate."""
+    spin = read_spin_h5(
+        os.path.join(data_path, "MonoPerfCap", f"MonoPerfCap-{subject}.h5")
+    )
+    bkgd = _imread(os.path.join(data_path, "MonoPerfCap", subject, "bkgd.png"))
+
+    imgs, masks = [], []
+    for p in spin["img_path"]:
+        p = p.decode() if isinstance(p, bytes) else str(p)
+        img = _imread(os.path.join(data_path, p))
+        mask = _imread(os.path.join(data_path, p.replace("/images/", "/masks/")))
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        imgs.append(img)
+        masks.append((mask >= 2).astype(np.uint8)[..., None])
+    imgs = np.array(imgs, np.uint8)
+    masks = np.array(masks, np.uint8)
+
+    return process_spin_estimated(
+        h5_file, imgs, masks,
+        spin["betas"], spin["cameras"], spin["joints"], spin["rot_mats"],
+        spin["bboxes"], bkgds=bkgd[None], bkgd_idxs=np.zeros(len(imgs), np.int64),
+        res=(imgs.shape[1], imgs.shape[2]), ext_scale=ext_scale,
+        smpl_model=smpl_model,
+    )
+
+
+def ingest_mixamo(
+    data_path: str,
+    h5_file: str,
+    subject: str = "James",
+    n_cam: int = 4,
+    ext_scale: float = 0.001,
+    extend_iter: int = 2,
+    smpl_model=None,
+) -> str:
+    """Mixamo render dump -> training H5 (reference process_mixamo_data,
+    load_mixamo.py:14-103): SPIN-estimate h5; per-sequence camera dirs
+    <subject>/<seq>/Camera_<c>/ImageNNNN.png with Masks/ siblings; white
+    background composited; gt poses from metadata.pickle per sequence."""
+    from collections import OrderedDict
+
+    spin = read_spin_h5(os.path.join(data_path, subject, f"{subject}.h5"))
+
+    img_paths = [
+        p.decode() if isinstance(p, bytes) else str(p) for p in spin["img_path"]
+    ]
+    imgs, masks, kp_idxs, cam_idxs = [], [], [], []
+    seq_dict: "OrderedDict[str, list]" = OrderedDict()
+    for i, p in enumerate(img_paths):
+        parts = p.split("/")
+        d = "/".join(parts[:3])
+        seq_name = parts[1]
+        img_name = parts[-1]
+        cam_idxs.append(int(parts[2].split("_")[-1]))
+        kp_idxs.append(int(img_name[5:-4]) - 1)
+        seq_dict.setdefault(seq_name, []).append(i)
+
+        img = _imread(os.path.join(data_path, p))
+        mask = _imread(os.path.join(data_path, f"{d}/Masks/{img_name}"))
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        mask = (mask >= 2).astype(np.uint8)[..., None]
+        imgs.append(img * mask + (1 - mask) * 255)
+        masks.append(mask)
+    imgs = np.array(imgs, np.uint8)
+    masks = np.array(masks, np.uint8)
+    kp_idxs = np.asarray(kp_idxs)
+    cam_idxs = np.asarray(cam_idxs)
+
+    # per-sequence ground-truth joints from metadata.pickle
+    gt_kps, joint_names = [], None
+    for k in seq_dict:
+        with open(
+            os.path.join(data_path, subject, k, "Camera_0", "metadata.pickle"),
+            "rb",
+        ) as f:
+            meta = pickle.load(f)
+        for pose in meta["gt_pose"]:
+            entry = pose.item() if hasattr(pose, "item") else pose
+            if joint_names is None:
+                joint_names = list(entry.keys())
+            gt_kps.append(np.array([entry[j] for j in joint_names]))
+
+    # offset kp_idxs by the pose count of preceding sequences
+    # (reference load_mixamo.py:66-73)
+    i = 0
+    for k in seq_dict:
+        seq_len = len(seq_dict[k])
+        kp_idxs[i * n_cam:i * n_cam + seq_len] += i
+        i += seq_len // n_cam
+
+    return process_spin_estimated(
+        h5_file, imgs, masks,
+        spin["betas"], spin["cameras"], spin["joints"], spin["rot_mats"],
+        spin["bboxes"], res=(imgs.shape[1], imgs.shape[2]),
+        ext_scale=ext_scale, smpl_model=smpl_model,
+        kp_idxs=kp_idxs, cam_idxs=cam_idxs,
+        gt_kp3d=np.array(gt_kps, np.float32) if gt_kps else None,
+    )
+
+
+# ---------------------------------------------------------------------------
 # ZJU-MoCap (EasyMocap params + annots.npy cameras)
 # ---------------------------------------------------------------------------
 
@@ -561,7 +678,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     import argparse
 
     p = argparse.ArgumentParser("posegen_tpu.data.ingest")
-    p.add_argument("dataset", choices=("surreal", "h36m", "zju"))
+    p.add_argument("dataset", choices=("surreal", "h36m", "zju", "perfcap", "mixamo"))
     p.add_argument("raw_dir")
     p.add_argument("out_h5")
     p.add_argument("--subject", type=str, default="S9")
@@ -588,6 +705,18 @@ def main(argv: Optional[List[str]] = None) -> None:
             args.raw_dir, args.out_h5, subject=args.subject,
             ext_scale=args.ext_scale, res=args.res,
             extend_iter=args.extend_iter, smpl_model=smpl_model,
+        )
+    elif args.dataset == "perfcap":
+        out = ingest_perfcap(
+            args.raw_dir, args.out_h5, subject=args.subject,
+            ext_scale=args.ext_scale, extend_iter=args.extend_iter,
+            smpl_model=smpl_model,
+        )
+    elif args.dataset == "mixamo":
+        out = ingest_mixamo(
+            args.raw_dir, args.out_h5, subject=args.subject,
+            ext_scale=args.ext_scale, extend_iter=args.extend_iter,
+            smpl_model=smpl_model,
         )
     else:
         out = ingest_zju(

@@ -186,10 +186,14 @@ def process_spin_estimated(
     res=512,
     ext_scale: float = 0.001,
     smpl_model=None,
+    kp_idxs: Optional[np.ndarray] = None,
+    cam_idxs: Optional[np.ndarray] = None,
+    gt_kp3d: Optional[np.ndarray] = None,
 ) -> str:
-    """H36M / PerfCap / 3DHP: poses from SPIN estimates
+    """H36M / PerfCap / Mixamo / 3DHP: poses from SPIN estimates
     (reference process_h36m_data load_h36m.py:114-250, load_perfcap.py,
-    load_3dhp.py:81 — all feed read_spin_data -> process_spin_data)."""
+    load_mixamo.py, load_3dhp.py:81 — all feed read_spin_data ->
+    process_spin_data)."""
     spin = process_spin_data(
         betas, cameras, joints, rot_mats, bboxes,
         res=res, ext_scale=ext_scale, smpl_model=smpl_model,
@@ -197,8 +201,11 @@ def process_spin_estimated(
     block = {
         k: spin[k] for k in ("kp3d", "bones", "skts", "cyls", "rest_pose")
     }
+    if gt_kp3d is not None:
+        block["gt_kp3d"] = np.asarray(gt_kp3d, np.float32)
     return _assemble(
         h5_path, imgs, masks, block, spin["c2ws"], spin["focals"],
+        kp_idxs=kp_idxs, cam_idxs=cam_idxs,
         bkgds=bkgds, bkgd_idxs=bkgd_idxs, ext_scale=float(spin["ext_scale"]),
     )
 

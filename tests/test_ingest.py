@@ -327,3 +327,86 @@ def test_zju_get_smpls_matches_reference(tmp_path):
         a = np.asarray(a)
         assert a.shape == np.asarray(b).shape, (name, a.shape, np.shape(b))
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=atol, err_msg=name)
+
+
+def _spin_h5(path, rng, N, img_paths, H, W):
+    import h5py
+
+    import jax.numpy as jnp
+    from posegen_tpu.skeleton.rotations import axisang_to_rot
+
+    aa = rng.standard_normal((N, 24, 3)) * 0.2
+    with h5py.File(path, "w") as f:
+        f["pred_betas"] = rng.standard_normal((N, 10)).astype(np.float32) * 0.3
+        f["pred_rot_mat"] = np.asarray(axisang_to_rot(jnp.asarray(aa))).astype(np.float32)
+        f["bbox_params"] = np.stack(
+            [np.full(N, W / 2), np.full(N, H / 2), np.full(N, H * 0.8)], -1
+        ).astype(np.float32)
+        f["pred_camera"] = np.stack(
+            [np.full(N, 0.9), np.zeros(N), np.full(N, 0.1)], -1
+        ).astype(np.float32)
+        f["joints"] = rng.standard_normal((N, 49, 3)).astype(np.float32) * 0.3
+        f["img_path"] = [p.encode() for p in img_paths]
+
+
+def test_ingest_perfcap(tmp_path):
+    """MonoPerfCap raw layout: SPIN h5 + images/ + masks/ + bkgd.png
+    (reference process_perfcap_data, load_perfcap.py:12-52)."""
+    rng = np.random.default_rng(21)
+    H = W = 36
+    N = 3
+    d = tmp_path / "pc"
+    subj = "Weipeng_outdoor"
+    (d / "MonoPerfCap" / subj / "images").mkdir(parents=True)
+    (d / "MonoPerfCap" / subj / "masks").mkdir(parents=True)
+    cv2.imwrite(str(d / "MonoPerfCap" / subj / "bkgd.png"),
+                rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
+    paths = []
+    for i in range(N):
+        p = f"MonoPerfCap/{subj}/images/{i:04d}.png"
+        cv2.imwrite(str(d / p), rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
+        cv2.imwrite(str(d / p.replace("/images/", "/masks/")),
+                    rng.integers(0, 4, (H, W), dtype=np.uint8))
+        paths.append(p)
+    _spin_h5(d / "MonoPerfCap" / f"MonoPerfCap-{subj}.h5", rng, N, paths, H, W)
+
+    ingest_main(["perfcap", str(d), str(tmp_path / "pc.h5"), "--subject", subj])
+    _check_h5(str(tmp_path / "pc.h5"), n_imgs=N, n_kps=N, H=H, W=W)
+
+
+def test_ingest_mixamo(tmp_path):
+    """Mixamo raw layout: SPIN h5 + <subject>/<seq>/Camera_<c>/ImageNNNN.png
+    + Masks/ + metadata.pickle gt poses (reference process_mixamo_data,
+    load_mixamo.py:14-103)."""
+    rng = np.random.default_rng(22)
+    H = W = 32
+    subj, seq, n_cam, n_kp = "James", "Jab", 2, 2
+    d = tmp_path / "mx"
+    paths = []
+    for c in range(n_cam):
+        cam_d = d / subj / seq / f"Camera_{c}"
+        (cam_d / "Masks").mkdir(parents=True)
+        for k in range(n_kp):
+            name = f"Image{k + 1:04d}.png"
+            cv2.imwrite(str(cam_d / name),
+                        rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
+            cv2.imwrite(str(cam_d / "Masks" / name),
+                        rng.integers(0, 4, (H, W), dtype=np.uint8))
+            paths.append(f"{subj}/{seq}/Camera_{c}/{name}")
+    gt = [{f"j{j}": rng.standard_normal(3).astype(np.float32) for j in range(24)}
+          for _ in range(n_kp)]
+    with open(d / subj / seq / "Camera_0" / "metadata.pickle", "wb") as f:
+        pickle.dump({"gt_pose": gt}, f)
+    (d / subj).mkdir(exist_ok=True)
+    _spin_h5(d / subj / f"{subj}.h5", rng, len(paths), paths, H, W)
+
+    from posegen_tpu.data.ingest import ingest_mixamo
+
+    out = ingest_mixamo(str(d), str(tmp_path / "mx.h5"), subject=subj, n_cam=n_cam)
+    ds = _check_h5(out, n_imgs=n_cam * n_kp, n_kps=n_cam * n_kp, H=H, W=W)
+    # white background composited where the mask is off
+    import h5py
+
+    with h5py.File(out, "r") as f:
+        assert "gt_kp3d" in f
+        assert f["gt_kp3d"].shape == (n_kp, 24, 3)
