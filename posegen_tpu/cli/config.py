@@ -280,7 +280,7 @@ UNSUPPORTED_NONDEFAULT = {
 INERT_FLAGS = (
     "chunk", "netchunk", "render_factor", "save_image",
     "i_video", "debug", "use_val", "n_subjects", "ext_scale",
-    "use_background", "image_batching", "multires_pts",
+    "image_batching", "multires_pts",
     "bgnet_stop", "bgnet_reg", "lbsnet_type", "n_lbs", "multires_lbs",
     "multires_lbsviews", "loss_beta",
 )
@@ -400,6 +400,7 @@ def args_to_train_config(args):
         coarse_weight=args.coarse_weight,
         use_acc_loss=args.reg_fn == "BCE",
         acc_loss_weight=args.reg_coef,
+        use_background=args.use_background,
         testopt=args.testopt,
         rays_per_image=max(args.N_rand // max(args.N_sample_images, 1), 1),
         opt_pose=args.opt_pose,

@@ -45,6 +45,7 @@ class TrainConfig:
     coarse_weight: float = 1.0
     use_acc_loss: bool = False
     acc_loss_weight: float = 0.01
+    use_background: bool = False  # composite (1-acc)*bg into the prediction
     testopt: bool = False  # test-time pose opt: freeze the NeRF nets
     # pose optimization
     opt_pose: bool = False
@@ -167,14 +168,25 @@ def compute_losses(
     ret: Dict[str, jax.Array],
     batch: Dict[str, jax.Array],
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Photometric + coarse + acc losses (reference trainer.py:321-383)."""
+    """Photometric + coarse + acc losses (reference trainer.py:321-383).
+
+    use_background composites the real background behind the prediction
+    before the loss (reference _compute_nerf_loss, trainer.py:364-366:
+    rgb_pred + (1-acc)*bgs against an UNMASKED target) — for both the fine
+    and coarse passes."""
     target = batch["target_s"]
-    loss = L.rgb_loss(tcfg.loss_fn, ret["rgb_map"], target, beta=tcfg.loss_beta)
-    mse = L.img2mse(ret["rgb_map"], target)
+    rgb = ret["rgb_map"]
+    if tcfg.use_background and "bgs" in batch:
+        rgb = rgb + (1.0 - ret["acc_map"])[..., None] * batch["bgs"]
+    loss = L.rgb_loss(tcfg.loss_fn, rgb, target, beta=tcfg.loss_beta)
+    mse = L.img2mse(rgb, target)
     stats = {"rgb_loss": loss, "psnr": L.mse2psnr(mse)}
     total = loss
     if tcfg.use_coarse_loss and tcfg.coarse_weight > 0 and "rgb0" in ret:
-        loss0 = L.rgb_loss(tcfg.loss_fn, ret["rgb0"], target, beta=tcfg.loss_beta)
+        rgb0 = ret["rgb0"]
+        if tcfg.use_background and "bgs" in batch:
+            rgb0 = rgb0 + (1.0 - ret["acc0"])[..., None] * batch["bgs"]
+        loss0 = L.rgb_loss(tcfg.loss_fn, rgb0, target, beta=tcfg.loss_beta)
         stats["rgb0_loss"] = loss0
         total = total + tcfg.coarse_weight * loss0
     if tcfg.use_acc_loss and "fgs" in batch:

@@ -304,3 +304,39 @@ def test_pose_opt_warmup_freezes_optimizer_state():
     np.testing.assert_array_equal(np.asarray(state.pose_params["bones"]), b0)
     for a, b in zip(flat0, jax.tree_util.tree_leaves(state.pose_opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_use_background_composites_prediction():
+    """--use_background: the loss compares rgb + (1-acc)*bg against the
+    UNMASKED target (reference trainer.py:364-366), coarse pass included."""
+    from posegen_tpu.train.trainer import compute_losses
+
+    rng = np.random.default_rng(0)
+    n = 16
+    ret = {
+        "rgb_map": jnp.asarray(rng.uniform(0, 0.3, (n, 3)).astype(np.float32)),
+        "acc_map": jnp.asarray(rng.uniform(0, 1, (n,)).astype(np.float32)),
+        "rgb0": jnp.asarray(rng.uniform(0, 0.3, (n, 3)).astype(np.float32)),
+        "acc0": jnp.asarray(rng.uniform(0, 1, (n,)).astype(np.float32)),
+    }
+    bgs = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    # target = EXACT composite of the prediction onto the background
+    target = ret["rgb_map"] + (1 - ret["acc_map"])[..., None] * bgs
+    batch = {"target_s": target, "bgs": bgs}
+
+    tcfg_on = TrainConfig(use_background=True, use_coarse_loss=False)
+    total_on, _ = compute_losses(tcfg_on, ret, batch)
+    assert float(total_on) < 1e-10, "composited prediction should match exactly"
+
+    tcfg_off = TrainConfig(use_background=False, use_coarse_loss=False)
+    total_off, _ = compute_losses(tcfg_off, ret, batch)
+    assert float(total_off) > 1e-4, "without compositing the loss must differ"
+
+    # coarse pass composites too
+    tcfg_c = TrainConfig(use_background=True, use_coarse_loss=True)
+    total_c, stats = compute_losses(tcfg_c, ret, batch)
+    expect0 = ret["rgb0"] + (1 - ret["acc0"])[..., None] * bgs
+    np.testing.assert_allclose(
+        float(stats["rgb0_loss"]),
+        float(jnp.mean((expect0 - target) ** 2)), rtol=1e-5,
+    )
