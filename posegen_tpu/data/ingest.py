@@ -458,6 +458,68 @@ def ingest_mixamo(
     )
 
 
+def ingest_3dhp(
+    data_path: str,
+    h5_file: str,
+    subject: str = "S1",
+    ext_scale: float = 0.001,
+    extend_iter: int = 2,
+    smpl_model=None,
+) -> str:
+    """MPI-INF-3DHP dump -> training H5 (reference process_3dhp_data,
+    load_3dhp.py:81-140): subject-filtered SPIN-estimate h5, imageSequence/
+    + masks/ trees (person class >= 2), median background plate.
+
+    Per-subject image resolutions follow the reference res_map
+    (load_3dhp.py:14-21); gt 3D poses carried through when present.
+    """
+    res_map = {
+        "S1": (768, 768), "S2": (768, 768), "S3": (768, 768),
+        "S4": (768, 768), "S5": (768, 1365), "S6": (768, 1365),
+    }
+    spin_h5 = os.path.join(data_path, "MPI_SPIN_rect_output-maxmin.h5")
+    if subject in ("S5", "S6"):
+        alt = os.path.join(data_path, "mpi_3dhp", "3DHP-S5S6.h5")
+        if os.path.exists(alt):
+            spin_h5 = alt
+    spin = read_spin_h5(spin_h5)
+
+    all_paths = [
+        p.decode() if isinstance(p, bytes) else str(p) for p in spin["img_path"]
+    ]
+    idxs = np.asarray([i for i, p in enumerate(all_paths) if subject in p])
+    if idxs.size == 0:
+        raise ValueError(f"no {subject} frames in {spin_h5}")
+
+    imgs, masks = [], []
+    for i in idxs:
+        p = all_paths[i]
+        img = _imread(os.path.join(data_path, p))
+        mask = _imread(
+            os.path.join(data_path, p.replace("/imageSequence/", "/masks/"))
+        )
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        imgs.append(img)
+        masks.append((mask >= 2).astype(np.uint8)[..., None])
+    imgs = np.array(imgs, np.uint8)
+    masks = np.array(masks, np.uint8)
+
+    bkgd_path = os.path.join(data_path, f"{subject}_bkgd.png")
+    bkgds = _imread(bkgd_path)[None] if os.path.exists(bkgd_path) else None
+
+    gt = spin.get("gt_kp3d")
+    return process_spin_estimated(
+        h5_file, imgs, masks,
+        spin["betas"][idxs], spin["cameras"][idxs], spin["joints"][idxs],
+        spin["rot_mats"][idxs], spin["bboxes"][idxs],
+        bkgds=bkgds, bkgd_idxs=np.zeros(len(imgs), np.int64),
+        res=res_map.get(subject, (imgs.shape[1], imgs.shape[2])),
+        ext_scale=ext_scale, smpl_model=smpl_model,
+        gt_kp3d=None if gt is None else np.asarray(gt)[idxs],
+    )
+
+
 # ---------------------------------------------------------------------------
 # ZJU-MoCap (EasyMocap params + annots.npy cameras)
 # ---------------------------------------------------------------------------
@@ -678,7 +740,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     import argparse
 
     p = argparse.ArgumentParser("posegen_tpu.data.ingest")
-    p.add_argument("dataset", choices=("surreal", "h36m", "zju", "perfcap", "mixamo"))
+    p.add_argument("dataset", choices=("surreal", "h36m", "zju", "perfcap", "mixamo", "3dhp"))
     p.add_argument("raw_dir")
     p.add_argument("out_h5")
     p.add_argument("--subject", type=str, default="S9")
@@ -708,6 +770,12 @@ def main(argv: Optional[List[str]] = None) -> None:
         )
     elif args.dataset == "perfcap":
         out = ingest_perfcap(
+            args.raw_dir, args.out_h5, subject=args.subject,
+            ext_scale=args.ext_scale, extend_iter=args.extend_iter,
+            smpl_model=smpl_model,
+        )
+    elif args.dataset == "3dhp":
+        out = ingest_3dhp(
             args.raw_dir, args.out_h5, subject=args.subject,
             ext_scale=args.ext_scale, extend_iter=args.extend_iter,
             smpl_model=smpl_model,

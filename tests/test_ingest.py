@@ -410,3 +410,37 @@ def test_ingest_mixamo(tmp_path):
     with h5py.File(out, "r") as f:
         assert "gt_kp3d" in f
         assert f["gt_kp3d"].shape == (n_kp, 24, 3)
+
+
+def test_ingest_3dhp(tmp_path):
+    """MPI-INF-3DHP raw layout: subject-filtered SPIN h5 + imageSequence/
+    + masks/ trees + background plate (reference process_3dhp_data,
+    load_3dhp.py:81-140)."""
+    import h5py
+
+    rng = np.random.default_rng(23)
+    H = W = 32
+    d = tmp_path / "hp"
+    paths = []
+    for subj, n in (("S1", 3), ("S2", 2)):
+        (d / subj / "imageSequence").mkdir(parents=True)
+        (d / subj / "masks").mkdir(parents=True)
+        for i in range(n):
+            p = f"{subj}/imageSequence/img_{i:04d}.png"
+            cv2.imwrite(str(d / p), rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
+            cv2.imwrite(str(d / p.replace("/imageSequence/", "/masks/")),
+                        rng.integers(0, 4, (H, W), dtype=np.uint8))
+            paths.append(p)
+    cv2.imwrite(str(d / "S1_bkgd.png"),
+                rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
+    _spin_h5(d / "MPI_SPIN_rect_output-maxmin.h5", rng, len(paths), paths, H, W)
+    with h5py.File(d / "MPI_SPIN_rect_output-maxmin.h5", "a") as f:
+        f["pose_3d"] = rng.standard_normal((len(paths), 24, 4)).astype(np.float32)
+
+    from posegen_tpu.data.ingest import ingest_3dhp
+
+    out = ingest_3dhp(str(d), str(tmp_path / "hp.h5"), subject="S1")
+    _check_h5(out, n_imgs=3, n_kps=3, H=H, W=W)
+    with h5py.File(out, "r") as f:
+        assert "gt_kp3d" in f and f["gt_kp3d"].shape[0] == 3
+        assert "bkgds" in f
