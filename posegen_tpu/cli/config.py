@@ -279,7 +279,7 @@ UNSUPPORTED_NONDEFAULT = {
 # internals, output-artifact cadence). Changing them never corrupts a run.
 INERT_FLAGS = (
     "chunk", "netchunk", "render_factor", "save_image",
-    "i_video", "debug", "use_val", "n_subjects", "ext_scale",
+    "debug", "use_val", "n_subjects", "ext_scale",
     "image_batching", "multires_pts",
     "bgnet_stop", "bgnet_reg", "lbsnet_type", "n_lbs", "multires_lbs",
     "multires_lbsviews", "loss_beta",

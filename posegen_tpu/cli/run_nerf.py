@@ -69,6 +69,43 @@ def evaluate_testset(cfg, state, render_data, chunk: int = 4096, mesh=None):
     return {k: float(np.mean(v)) for k, v in metrics.items()}, np.stack(rgbs)
 
 
+def save_spiral_video(
+    cfg, state, render_data, log_dir: str, step: int,
+    n_frames: int = 10, factor: int = 2, chunk: int = 8192,
+) -> str:
+    """Bullet-time turn-around of val pose 0 written as rgb + disp GIFs
+    (reference i_video render_poses mp4s, run_nerf.py:557-604 — format
+    adapted: no ffmpeg in this image)."""
+    import imageio.v2 as imageio
+
+    from posegen_tpu.cli.run_render import _bullet_c2ws
+    from posegen_tpu.render.image import render_path
+    from posegen_tpu.render.raycast import PoseCtx
+
+    params = {**state.params, **state.embeds}
+    H, W, focal = render_data["hwf"]
+    H, W, focal = H // factor, W // factor, float(np.ravel(focal)[0]) / factor
+    kp0 = np.asarray(render_data["kp3d"])[0, 0]
+    dist = float(np.linalg.norm(np.asarray(render_data["c2ws"])[0][:3, 3] - kp0))
+    c2ws = _bullet_c2ws(kp0, dist, n_frames)
+    ctx = PoseCtx(
+        kps=render_data["kp3d"][:1], skts=render_data["skts"][:1],
+        bones=render_data["bones"][:1], cyls=render_data["cyls"][:1],
+    )
+    out = render_path(cfg, params, c2ws, (H, W, focal), [ctx], chunk=chunk)
+    rgb_path = os.path.join(log_dir, f"spiral_{step:06d}_rgb.gif")
+    imageio.mimwrite(
+        rgb_path, (np.clip(out["rgbs"], 0, 1) * 255).astype(np.uint8), fps=5,
+        loop=0,
+    )
+    disp = out["disps"] / max(float(out["disps"].max()), 1e-8)
+    imageio.mimwrite(
+        os.path.join(log_dir, f"spiral_{step:06d}_disp.gif"),
+        (np.clip(disp, 0, 1) * 255).astype(np.uint8), fps=5, loop=0,
+    )
+    return rgb_path
+
+
 def train(argv: Optional[Sequence[str]] = None) -> str:
     args = parse_with_config(nerf_config_parser(), argv)
     validate_args(args)
@@ -191,6 +228,15 @@ def train(argv: Optional[Sequence[str]] = None) -> str:
             from posegen_tpu.train.checkpoints import save_pose_checkpoint
 
             save_pose_checkpoint(log_dir, state, step=i + 1)
+
+        if args.i_video > 0 and (i + 1) % args.i_video == 0:
+            # render-poses video (reference run_nerf.py i_video mp4s; this
+            # image has no ffmpeg/mp4 encoder, so the artifact is a GIF)
+            try:
+                save_spiral_video(cfg, state, render_data, log_dir, i + 1,
+                                  factor=max(args.render_factor, 2))
+            except Exception as e:  # video output must never kill training
+                print(f"i_video render failed: {e}")
 
         if (i + 1) % args.i_testset == 0:
             metrics, rgbs = evaluate_testset(

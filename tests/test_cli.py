@@ -219,3 +219,21 @@ def test_render_bubble_and_correction(tmp_path):
         "--refined_ckpt", pose_ckpt, "--selected_idxs", "0",
     ])
     assert os.path.exists(os.path.join(out, "image", "00001.png"))
+
+
+@pytest.mark.slow
+def test_i_video_writes_gifs(tmp_path):
+    """--i_video renders a bullet-time turn-around to rgb/disp GIFs
+    (reference i_video render_poses videos, run_nerf.py:557-604)."""
+    from posegen_tpu.cli.run_nerf import train
+
+    log_dir = train([
+        "--config", "configs/synthetic/demo.txt",
+        "--basedir", str(tmp_path / "logs"),
+        "--data_root", str(tmp_path / "data"),
+        "--n_iters", "4", "--i_weights", "4", "--i_testset", "4",
+        "--i_video", "4", "--i_print", "4", "--N_rand", "64",
+        "--n_devices", "1",
+    ])
+    assert os.path.exists(os.path.join(log_dir, "spiral_000004_rgb.gif"))
+    assert os.path.exists(os.path.join(log_dir, "spiral_000004_disp.gif"))
