@@ -104,30 +104,29 @@ def run_fitting(
             + cfg.betas_weight * jnp.mean(p["betas"] ** 2)
         )
 
-    @jax.jit
-    def fit_stage(params, opt_state, use_vertex: bool):
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2, 3))
+    def fit_stage(params, opt_state, use_vertex: bool, n_steps: int):
         def body(carry, _):
             p, s = carry
             loss, g = jax.value_and_grad(
-                lambda q: jax.lax.cond(
-                    use_vertex, vertex_loss_fn, edge_loss_fn, q
-                )
+                vertex_loss_fn if use_vertex else edge_loss_fn
             )(p)
             updates, s = opt.update(g, s, p)
             return (optax.apply_updates(p, updates), s), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), None,
-            length=max(cfg.edge_steps, cfg.vertex_steps),
+            body, (params, opt_state), None, length=n_steps
         )
         return params, opt_state, losses
 
     # stage 1: edge objective settles the pose (translation-invariant)
     opt_state = opt.init(params)
-    params, _, e_losses = fit_stage(params, opt_state, False)
+    params, _, e_losses = fit_stage(params, opt_state, False, cfg.edge_steps)
     # stage 2: full vertex objective for shape + translation
     opt_state = opt.init(params)
-    params, _, v_losses = fit_stage(params, opt_state, True)
+    params, _, v_losses = fit_stage(params, opt_state, True, cfg.vertex_steps)
 
     return params, {
         "edge_loss": float(e_losses[-1]),
@@ -190,6 +189,11 @@ def _load_def_matrix(path: str) -> np.ndarray:
         data = np.asarray(data.todense())
     elif isinstance(data, dict):
         data = data.get("mtx", data.get("def_matrix"))
+        if data is None:
+            raise KeyError(
+                f"{path}: deformation-transfer pickle must carry 'mtx' or "
+                "'def_matrix'"
+            )
         if hasattr(data, "todense"):
             data = np.asarray(data.todense())
     return np.asarray(data, np.float32)

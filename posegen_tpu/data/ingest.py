@@ -338,6 +338,7 @@ def ingest_h36m(
         spin["betas"], spin["cameras"], spin["joints"], spin["rot_mats"],
         spin["bboxes"], bkgds=bkgds, bkgd_idxs=np.asarray(cam_idxs),
         res=masks.shape[1], ext_scale=ext_scale, smpl_model=smpl_model,
+        dilate_iters=extend_iter,
     )
 
 
@@ -379,7 +380,7 @@ def ingest_perfcap(
         spin["betas"], spin["cameras"], spin["joints"], spin["rot_mats"],
         spin["bboxes"], bkgds=bkgd[None], bkgd_idxs=np.zeros(len(imgs), np.int64),
         res=(imgs.shape[1], imgs.shape[2]), ext_scale=ext_scale,
-        smpl_model=smpl_model,
+        smpl_model=smpl_model, dilate_iters=extend_iter,
     )
 
 
@@ -395,7 +396,13 @@ def ingest_mixamo(
     """Mixamo render dump -> training H5 (reference process_mixamo_data,
     load_mixamo.py:14-103): SPIN-estimate h5; per-sequence camera dirs
     <subject>/<seq>/Camera_<c>/ImageNNNN.png with Masks/ siblings; white
-    background composited; gt poses from metadata.pickle per sequence."""
+    background composited; gt poses from metadata.pickle per sequence.
+
+    NOTE (matches the reference exactly, incl. its assumptions): kp_idx is
+    derived from the FRAME number so all n_cam views of one animation frame
+    share a single pose row, and the kp-index offset arithmetic assumes the
+    SPIN h5 lists images cam-major per sequence with exactly n_cam cameras —
+    pass --n_cam when a dump uses a different camera count."""
     from collections import OrderedDict
 
     spin = read_spin_h5(os.path.join(data_path, subject, f"{subject}.h5"))
@@ -455,6 +462,7 @@ def ingest_mixamo(
         ext_scale=ext_scale, smpl_model=smpl_model,
         kp_idxs=kp_idxs, cam_idxs=cam_idxs,
         gt_kp3d=np.array(gt_kps, np.float32) if gt_kps else None,
+        dilate_iters=extend_iter,
     )
 
 
@@ -517,6 +525,7 @@ def ingest_3dhp(
         res=res_map.get(subject, (imgs.shape[1], imgs.shape[2])),
         ext_scale=ext_scale, smpl_model=smpl_model,
         gt_kp3d=None if gt is None else np.asarray(gt)[idxs],
+        dilate_iters=extend_iter,
     )
 
 
@@ -749,6 +758,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--extend_iter", type=int, default=2)
     p.add_argument("--smpl_path", type=str, default=None)
     p.add_argument("--n_frames", type=int, default=None)
+    p.add_argument("--n_cam", type=int, default=4,
+                   help="cameras per Mixamo sequence (reference assumes 4)")
     args = p.parse_args(argv)
 
     smpl_model = None
@@ -783,8 +794,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     elif args.dataset == "mixamo":
         out = ingest_mixamo(
             args.raw_dir, args.out_h5, subject=args.subject,
-            ext_scale=args.ext_scale, extend_iter=args.extend_iter,
-            smpl_model=smpl_model,
+            n_cam=args.n_cam, ext_scale=args.ext_scale,
+            extend_iter=args.extend_iter, smpl_model=smpl_model,
         )
     else:
         out = ingest_zju(

@@ -189,6 +189,7 @@ def process_spin_estimated(
     kp_idxs: Optional[np.ndarray] = None,
     cam_idxs: Optional[np.ndarray] = None,
     gt_kp3d: Optional[np.ndarray] = None,
+    dilate_iters: int = 2,
 ) -> str:
     """H36M / PerfCap / Mixamo / 3DHP: poses from SPIN estimates
     (reference process_h36m_data load_h36m.py:114-250, load_perfcap.py,
@@ -207,6 +208,7 @@ def process_spin_estimated(
         h5_path, imgs, masks, block, spin["c2ws"], spin["focals"],
         kp_idxs=kp_idxs, cam_idxs=cam_idxs,
         bkgds=bkgds, bkgd_idxs=bkgd_idxs, ext_scale=float(spin["ext_scale"]),
+        dilate_iters=dilate_iters,
     )
 
 
