@@ -269,7 +269,6 @@ UNSUPPORTED_NONDEFAULT = {
     "use_bgfill": False,       # background fill
     "use_lbsnet": False,       # LBS blending network
     "pts_tr_type": "local",    # alternative point transforms
-    "camera": None,            # single-camera filtering
     "rand_train_kps": None,    # random kp subset selection
     "multiview": False,        # multiview kp sharing in the CLI
 }
@@ -443,6 +442,7 @@ def args_to_data_config(args):
         mask_image=args.mask_image,
         white_bkgd=args.white_bkgd,
         load_refined=args.load_refined,
+        camera=args.camera,
         num_workers=args.num_workers,
         seed=args.seed,
     )

@@ -54,6 +54,7 @@ class DataConfig:
     load_refined: Optional[str] = None
     multi_subjects: Optional[Sequence[str]] = None
     num_val_images: int = 2
+    camera: Optional[int] = None
     num_workers: int = 0
     seed: int = 0
 
@@ -87,6 +88,7 @@ def load_data(cfg: DataConfig) -> Tuple[RayBatchLoader, Dict[str, Any], Dict[str
             mask_image=cfg.mask_image,
             white_bkgd=cfg.white_bkgd,
             load_refined=cfg.load_refined,
+            camera=cfg.camera,
             seed=seed,
         )
 

@@ -42,9 +42,11 @@ class H5RayDataset:
         mask_image: bool = False,
         white_bkgd: bool = False,
         load_refined: Optional[str] = None,
+        camera: Optional[int] = None,
         seed: int = 0,
     ):
         self.h5_path = h5_path
+        self.camera = camera
         self.n_rays = n_rays_per_image
         self.patch_size = patch_size
         self.n_box_rays = n_box_rays
@@ -81,6 +83,29 @@ class H5RayDataset:
             )
             self.has_bkgd = "bkgds" in f
             self.ext_scale = float(f["ext_scale"][()]) if "ext_scale" in f else 0.001
+
+        # single-camera training subset (reference --camera,
+        # load_h36m.py camera_name variants): remap per-image metadata and
+        # keep a file-row map for the pixel reads
+        if camera is not None:
+            sel = np.flatnonzero(self.cam_idxs == camera)
+            if sel.size == 0:
+                raise ValueError(
+                    f"camera {camera} selects no images (cam ids: "
+                    f"{np.unique(self.cam_idxs)})"
+                )
+            self._img_map = sel
+            self.n_images = sel.size
+            self.c2ws = self.c2ws[sel]
+            if self.focals.ndim:
+                self.focals = self.focals[sel]
+            if self.centers is not None:
+                self.centers = self.centers[sel]
+            self.kp_idxs = self.kp_idxs[sel]
+            self.cam_idxs = self.cam_idxs[sel]
+            self.bkgd_idxs = self.bkgd_idxs[sel]
+        else:
+            self._img_map = None
 
         if load_refined is not None:
             self._load_refined(load_refined)
@@ -189,9 +214,10 @@ class H5RayDataset:
         if native is not None:
             return native
         f = self.file
-        img = f["imgs"][img_idx].reshape(-1, 3).astype(np.float32) / 255.0
-        mask = f["masks"][img_idx].reshape(-1, 1).astype(np.float32)
-        smask = f["sampling_masks"][img_idx]
+        row = int(self._img_map[img_idx]) if self._img_map is not None else img_idx
+        img = f["imgs"][row].reshape(-1, 3).astype(np.float32) / 255.0
+        mask = f["masks"][row].reshape(-1, 1).astype(np.float32)
+        smask = f["sampling_masks"][row]
 
         pix = self._sample_pixels(np.asarray(smask))
         c2w = self.c2ws[img_idx]
@@ -249,9 +275,10 @@ class H5RayDataset:
         if native.get_lib() is None:
             return None
         f = self.file
-        img = np.asarray(f["imgs"][img_idx]).reshape(-1, 3)
-        mask = np.asarray(f["masks"][img_idx]).reshape(-1)
-        smask = np.asarray(f["sampling_masks"][img_idx]).reshape(-1)
+        row = int(self._img_map[img_idx]) if self._img_map is not None else img_idx
+        img = np.asarray(f["imgs"][row]).reshape(-1, 3)
+        mask = np.asarray(f["masks"][row]).reshape(-1)
+        smask = np.asarray(f["sampling_masks"][row]).reshape(-1)
         focal = self.focals[img_idx] if self.focals.ndim else float(self.focals)
         fx = focal if np.ndim(focal) == 0 else focal[0]
         fy = fx if np.ndim(focal) == 0 else focal[1]
@@ -292,9 +319,14 @@ class H5RayDataset:
         """Full-image eval data (reference get_render_data, dataset.py:490)."""
         f = self.file
         idxs = list(idxs)
+        rows = (
+            [int(self._img_map[i]) for i in idxs]
+            if self._img_map is not None
+            else idxs
+        )
         out = {
-            "imgs": np.stack([f["imgs"][i] for i in idxs]).astype(np.float32) / 255.0,
-            "masks": np.stack([f["masks"][i] for i in idxs]).astype(np.float32),
+            "imgs": np.stack([f["imgs"][i] for i in rows]).astype(np.float32) / 255.0,
+            "masks": np.stack([f["masks"][i] for i in rows]).astype(np.float32),
             "c2ws": self.c2ws[idxs],
             "focals": self.focals[idxs] if self.focals.ndim else self.focals,
             "kp3d": self.kp3d[self.kp_idxs[idxs]],

@@ -206,3 +206,27 @@ def test_loader_multiprocess(tmp_path):
             assert b[k].shape == ref_batch[k].shape, k
             assert np.isfinite(np.asarray(b[k], np.float32)).all(), k
     ref_loader.close()
+
+
+def test_camera_subset(h5_path):
+    """--camera trains on one camera's images only (reference --camera /
+    load_h36m camera_name variants): metadata remapped, pixel reads follow
+    the original file rows."""
+    full = H5RayDataset(h5_path, n_rays_per_image=8)
+    cam = int(full.cam_idxs[2])
+    n_expect = int((full.cam_idxs == cam).sum())
+
+    sub = H5RayDataset(h5_path, n_rays_per_image=8, camera=cam)
+    assert sub.n_images == n_expect
+    assert (sub.cam_idxs == cam).all()
+    s = sub.sample_image(0)
+    assert np.isfinite(s["rays_o"]).all()
+    # the subset's image 0 must be the file row of the first matching image
+    row = int(np.flatnonzero(full.cam_idxs == cam)[0])
+    np.testing.assert_array_equal(sub.c2ws[0], full.c2ws[row])
+    rd = sub.get_render_data([0])
+    f_rd = full.get_render_data([row])
+    np.testing.assert_array_equal(rd["imgs"], f_rd["imgs"])
+    with pytest.raises(ValueError, match="selects no images"):
+        H5RayDataset(h5_path, n_rays_per_image=8, camera=10**6)
+    sub.close(), full.close()
