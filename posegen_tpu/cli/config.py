@@ -257,14 +257,13 @@ def nerf_config_parser() -> argparse.ArgumentParser:
 UNSUPPORTED_NONDEFAULT = {
     "nerf_type": "nerf",       # graph/DNeRF variants not rebuilt
     "use_uncertainty": False,  # uncertainty density head
-    "fix_layer": 0,            # partial layer freezing
     "i_embed": 0,              # alternative embedders
-    "use_yuv": False,          # YUV-space loss
+    "use_yuv": False,          # dead in the reference too: rgb_to_yuv is
+                               # called but never defined (trainer.py:13)
     "precrop_iters": 0,        # center-crop warmup
     "opt_posecode": False,     # per-pose codes
     "opt_pose_type": "B",      # alternative pose-opt objectives
     "opt_cutoff": False,       # learned cutoff distances
-    "use_ckpt_anchor": False,  # anchors from checkpoint
     "use_bgnet": False,        # background network
     "use_bgfill": False,       # background fill
     "use_lbsnet": False,       # LBS blending network
@@ -401,6 +400,7 @@ def args_to_train_config(args):
         acc_loss_weight=args.reg_coef,
         use_background=args.use_background,
         testopt=args.testopt,
+        fix_layer=args.fix_layer if args.finetune else 0,
         rays_per_image=max(args.N_rand // max(args.N_sample_images, 1), 1),
         opt_pose=args.opt_pose,
         opt_pose_lrate=args.opt_pose_lrate,

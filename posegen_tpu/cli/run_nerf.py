@@ -142,6 +142,10 @@ def train(argv: Optional[Sequence[str]] = None) -> str:
 
             pose_params = load_pose_params(args.init_poseopt)
             print(f"initialized pose params from {args.init_poseopt}")
+            if args.use_ckpt_anchor:
+                # anchor the reg loss to the CHECKPOINT's poses instead of
+                # the dataset estimates (reference pose_opt.py:62-67)
+                anchors = jax.tree_util.tree_map(jnp.copy, pose_params)
     state = create_train_state(variables, tcfg, pose_params, anchors)
 
     # auto-resume (reference raycasters.py:124-142)

@@ -47,6 +47,7 @@ class TrainConfig:
     acc_loss_weight: float = 0.01
     use_background: bool = False  # composite (1-acc)*bg into the prediction
     testopt: bool = False  # test-time pose opt: freeze the NeRF nets
+    fix_layer: int = 0  # freeze pts_linears below this layer (finetune)
     # pose optimization
     opt_pose: bool = False
     opt_pose_lrate: float = 5e-4
@@ -337,6 +338,24 @@ def make_train_step(
     def _reduce(tree):
         return jax.lax.pmean(tree, axis_name) if axis_name else tree
 
+    def _apply_fix_layer(g_nerf):
+        """Zero gradients of pts_linears[:fix_layer] (reference
+        freeze_weights for --finetune --fix_layer, raycasters.py:215-217)."""
+        if tcfg.fix_layer <= 0:
+            return g_nerf
+        out = dict(g_nerf)
+        for net in ("coarse", "fine"):
+            if net not in out:
+                continue
+            sub = dict(out[net])
+            sub["pts_linears"] = [
+                jax.tree_util.tree_map(jnp.zeros_like, layer)
+                if i < tcfg.fix_layer else layer
+                for i, layer in enumerate(sub["pts_linears"])
+            ]
+            out[net] = sub
+        return out
+
     def train_step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
         embeds = _updated_embeds(cfg, tcfg, state.embeds, state.step)
         if tcfg.opt_pose and state.pose_params is not None:
@@ -344,6 +363,7 @@ def make_train_step(
                 loss_with_anchor, argnums=(0, 1), has_aux=True
             )(state.params, state.pose_params, embeds, state.pose_anchors, batch, key)
             g_nerf, g_pose, stats = _reduce(g_nerf), _reduce(g_pose), _reduce(stats)
+            g_nerf = _apply_fix_layer(g_nerf)
             stats["grad_norm"] = _gradnorm(g_nerf)
             stats["pose_grad_norm"] = _gradnorm(g_pose)
             updates, opt_state = opt.update(g_nerf, state.opt_state, state.params)
@@ -388,6 +408,7 @@ def make_train_step(
                 has_aux=True,
             )(state.params)
             g_nerf, stats = _reduce(g_nerf), _reduce(stats)
+            g_nerf = _apply_fix_layer(g_nerf)
             stats["grad_norm"] = _gradnorm(g_nerf)
             updates, opt_state = opt.update(g_nerf, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)

@@ -340,3 +340,27 @@ def test_use_background_composites_prediction():
         float(stats["rgb0_loss"]),
         float(jnp.mean((expect0 - target) ** 2)), rtol=1e-5,
     )
+
+
+def test_fix_layer_freezes_early_layers():
+    """--finetune --fix_layer k: pts_linears below k receive zero gradients
+    (reference freeze_weights, raycasters.py:215-217)."""
+    tcfg = TrainConfig(fix_layer=1)
+    state = _make_state(tcfg)
+    step = jax.jit(make_train_step(TINY, tcfg))
+    batch = make_train_batch(TINY, n_rays=64)
+    # check on the FINE net: at this tiny random init the coarse net's relu
+    # density is dead (all-negative raw), so its grads are zero regardless
+    w0 = np.asarray(state.params["fine"]["pts_linears"][0]["w"])
+    w1 = np.asarray(state.params["fine"]["pts_linears"][1]["w"])
+    c0 = np.asarray(state.params["coarse"]["pts_linears"][0]["w"])
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        np.asarray(state.params["fine"]["pts_linears"][0]["w"]), w0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.params["coarse"]["pts_linears"][0]["w"]), c0
+    )
+    assert not np.allclose(
+        np.asarray(state.params["fine"]["pts_linears"][1]["w"]), w1
+    ), "unfrozen layer must still train"
