@@ -34,7 +34,7 @@ def main() -> None:
 
     fn = jax.jit(
         lambda p, o, d, c: render_rays(
-            cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0
+            cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0, coarse_rgb=False
         )["rgb_map"]
     )
     # warmup / compile

@@ -224,8 +224,31 @@ def encode_intermediates(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref):
     )
 
 
-def encode_channels(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref):
-    """refs -> (e_pts (432,P), e_view (648,P)); see encode_intermediates."""
+def encode_channels(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref,
+                    with_view: bool = True):
+    """refs -> (e_pts (432,P), e_view (648,P) or None).
+
+    with_view=False skips the view-encoding ladder entirely (density-only
+    evaluation: the coarse eval pass and mesh probes never read rgb)."""
+    if not with_view:
+        x = pts_ref[0:1, :]
+        y = pts_ref[1:2, :]
+        z = pts_ref[2:3, :]
+        R = rot_ref[:, :]
+        t = trn_ref[:, :]
+        XT = R[:, 0][:, None] * x + R[:, 1][:, None] * y + R[:, 2][:, None] * z + t[:, 0][:, None]
+        YT = R[:, 3][:, None] * x + R[:, 4][:, None] * y + R[:, 5][:, None] * z + t[:, 1][:, None]
+        ZT = R[:, 6][:, None] * x + R[:, 7][:, None] * y + R[:, 8][:, None] * z + t[:, 2][:, None]
+        v = jnp.sqrt(XT * XT + YT * YT + ZT * ZT)
+        w = 1.0 - jax.nn.sigmoid(tau_ref[0, 0] * (v - cut_ref[:, :]))
+        inv_v = 1.0 / jnp.maximum(v, 1e-12)
+        rows = [v * w]
+        for f_idx in range(NF_KP):
+            f = 2.0**f_idx
+            rows.append(jnp.sin(v * f) * w)
+            rows.append(jnp.cos(v * f) * w)
+        rows.extend([XT * inv_v, YT * inv_v, ZT * inv_v])
+        return jnp.concatenate(rows, axis=0), None
     it = encode_intermediates(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref)
     return it["e_pts"], it["e_view"]
 
@@ -248,6 +271,7 @@ def _field_kernel(
     depth: int,
     skips: Tuple[int, ...],
     code_ch: int,
+    density_only: bool,
     pts_ref,  # (3, P) f32
     dirs_ref,  # (3, P) f32
     rot_ref,  # (1, 24, 9) f32   this group's skts rotations
@@ -261,7 +285,8 @@ def _field_kernel(
     wrefs = refs[:-1]
 
     e_pts, e_view = encode_channels(
-        pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref, tau_ref
+        pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref, tau_ref,
+        with_view=not density_only,
     )
     P = e_pts.shape[1]
 
@@ -273,6 +298,13 @@ def _field_kernel(
             h = jnp.concatenate([x0, h], axis=0)
     k = 2 * depth
     alpha = mm_t(wrefs[k][:, :], h) + wrefs[k + 1][:, :]  # (1, P)
+    if density_only:
+        # the rgb rows are never read by the caller (importance weights /
+        # acc / disp depend on sigma only); skip the whole view branch
+        out_ref[:, :] = jnp.concatenate(
+            [jnp.zeros((3, P), jnp.float32), alpha], axis=0
+        )
+        return
     feat = mm_t(wrefs[k + 2][:, :], h) + wrefs[k + 3][:, :]  # (256, P)
     parts = [feat, e_view]
     if code_ch > 0:
@@ -331,7 +363,9 @@ def grouped_specs(ns: int, n_groups: int, tile: int, rot, trn, cut, codes, weigh
 
 
 @functools.partial(
-    jax.jit, static_argnames=("depth", "skips", "interpret", "tile", "code_ch")
+    jax.jit,
+    static_argnames=("depth", "skips", "interpret", "tile", "code_ch",
+                     "density_only"),
 )
 def fused_field(
     pts_t: jax.Array,  # (3, NS) f32; NS % (n_groups * tile) == 0,
@@ -347,11 +381,12 @@ def fused_field(
     interpret: bool = False,
     tile: int = POINT_TILE,
     code_ch: int = 0,
+    density_only: bool = False,
 ) -> jax.Array:
-    """-> raw_t (4, NS) [r, g, b, sigma]."""
+    """-> raw_t (4, NS) [r, g, b, sigma] (rgb rows zero when density_only)."""
     ns = pts_t.shape[1]
     weights = flatten_weights(params, depth)
-    kernel = functools.partial(_field_kernel, depth, skips, code_ch)
+    kernel = functools.partial(_field_kernel, depth, skips, code_ch, density_only)
     grid, in_specs, out_spec, _ = grouped_specs(
         ns, rot.shape[0], tile, rot, trn, cut, codes, weights
     )
@@ -385,6 +420,7 @@ def fused_run_net(
     trainable: bool = False,
     eval_mean_code: bool = False,
     input_grads: bool = False,
+    density_only: bool = False,
 ) -> jax.Array:
     """Drop-in replacement for raycast._run_net on the supported subset.
 
@@ -452,6 +488,7 @@ def fused_run_net(
             pts_t, dirs, rot, trn, cut, tau, codes, prepared,
             depth=cfg.netdepth, skips=skips,
             interpret=interpret, code_ch=code_ch,
+            density_only=density_only,
         )
     if pad:
         raw_t = raw_t[:, :ns]

@@ -144,7 +144,7 @@ def make_shardmap_render(cfg, mesh: Mesh, axis: str = "data", use_fused=None):
         out = render_rays(
             cfg, params, rays_o, rays_d, ctx,
             perturb=0.0, raw_noise_std=0.0, eval_mean_code=True,
-            use_fused=use_fused,
+            use_fused=use_fused, coarse_rgb=False,
         )
         return {k: out[k] for k in ("rgb_map", "acc_map", "disp_map")}
 

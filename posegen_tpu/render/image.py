@@ -61,7 +61,8 @@ def _default_render_fn(cfg: RaycastConfig):
     silently recompile ~60 s per image."""
     return jax.jit(
         lambda p, o, d, c: render_rays(
-            cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0, eval_mean_code=True
+            cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0,
+            eval_mean_code=True, coarse_rgb=False,
         )
     )
 

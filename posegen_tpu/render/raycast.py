@@ -270,8 +270,12 @@ def _run_net(
     ctx: PoseCtx,
     eval_mean_code: bool,
     use_fused: bool = False,
+    density_only: bool = False,
 ) -> jax.Array:
-    """Encode and evaluate one NeRF net over (N, S) samples -> raw (N, S, 4)."""
+    """Encode and evaluate one NeRF net over (N, S) samples -> raw (N, S, 4).
+
+    density_only (fused eval path only): skip the view branch — the rgb rows
+    come back zero; sigma is exact."""
     if use_fused:
         from posegen_tpu.kernels import field as fused
 
@@ -281,6 +285,7 @@ def _run_net(
             trainable=use_fused in ("train", "full"),
             eval_mean_code=eval_mean_code,
             input_grads=use_fused == "full",
+            density_only=density_only and use_fused is True,
         )
     x_pts, x_views, _ = encode_inputs(cfg, params, pts, rays_d, ctx)
     frame_idx = None
@@ -308,8 +313,14 @@ def render_rays(
     eval_mean_code: bool = False,
     det_noise: Optional[Dict[str, jax.Array]] = None,
     use_fused: Optional[bool] = None,
+    coarse_rgb: bool = True,
 ) -> Dict[str, jax.Array]:
     """Volume-render a batch of rays (reference raycasters.py:361-474).
+
+    coarse_rgb=False (eval-only fast path): the coarse pass skips its view
+    branch on the fused kernel — rgb0 comes back zero while weights / acc0 /
+    disp0 stay exact (they depend on sigma only). Callers that read rgb0
+    (training, golden tests) must keep the default.
 
     rays_o/rays_d: (N, 3). ctx fields broadcast (leading 1 or N).
     perturb/raw_noise_std default to the config (pass 0.0 for eval).
@@ -345,7 +356,15 @@ def render_rays(
     )
     pts = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
 
-    raw_c = _run_net(cfg, params["coarse"], params, pts, rays_d, ctx, eval_mean_code, use_fused)
+    coarse_density_only = (
+        not coarse_rgb
+        and cfg.N_importance > 0
+        and not cfg.single_net  # single-net merges the coarse raw into fine
+    )
+    raw_c = _run_net(
+        cfg, params["coarse"], params, pts, rays_d, ctx, eval_mean_code,
+        use_fused, density_only=coarse_density_only,
+    )
     noise_c = None
     if raw_noise_std > 0.0:
         if "sigma0" in dn:

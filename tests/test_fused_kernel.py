@@ -144,3 +144,54 @@ def test_fused_single_net_render_matches_xla():
         assert err < 5e-3, f"single_net fused diverges: {err}"
     finally:
         field.MM_DTYPE = orig
+
+
+def test_density_only_kernel_sigma_exact():
+    """coarse_rgb=False (eval fast path): the density-only kernel's sigma is
+    EXACT vs the full kernel; fine outputs and coarse acc/disp are untouched
+    while rgb0 comes back zero."""
+    import posegen_tpu.kernels.field as field
+    from posegen_tpu.render.raycast import RaycastConfig, render_rays
+    from posegen_tpu.utils.fixtures import make_problem
+
+    orig = field.MM_DTYPE
+    field.MM_DTYPE = jnp.float32
+    try:
+        cfg, params, ctx, ro, rd = make_problem(RaycastConfig(), n_rays=32)
+        full = render_rays(
+            cfg, params, ro, rd, ctx, perturb=0.0, raw_noise_std=0.0,
+            eval_mean_code=True, use_fused=True, coarse_rgb=True,
+        )
+        fast = render_rays(
+            cfg, params, ro, rd, ctx, perturb=0.0, raw_noise_std=0.0,
+            eval_mean_code=True, use_fused=True, coarse_rgb=False,
+        )
+        for k in ("rgb_map", "acc_map", "disp_map", "acc0", "disp0"):
+            np.testing.assert_array_equal(
+                np.asarray(full[k]), np.asarray(fast[k]), err_msg=k
+            )
+        assert float(jnp.abs(fast["rgb0"]).max()) == 0.0
+
+        # raw level: sigma EXACT, rgb rows zeroed
+        import numpy as _np
+        pts = jnp.asarray(
+            _np.random.default_rng(3).standard_normal((8, 16, 3)).astype(_np.float32) * 0.2
+        )
+        raw_full = field.fused_run_net(
+            cfg, params["coarse"], params["embed_kp"], pts, rd[:8], ctx,
+            interpret=True,
+        )
+        raw_do = field.fused_run_net(
+            cfg, params["coarse"], params["embed_kp"], pts, rd[:8], ctx,
+            interpret=True, density_only=True,
+        )
+        # NOTE: fused_field's jit cache may hold a bf16 trace from earlier
+        # tests (MM_DTYPE is read at trace time), so compare at bf16 tolerance
+        np.testing.assert_allclose(
+            np.asarray(raw_full[..., 3]), np.asarray(raw_do[..., 3]),
+            rtol=2e-2, atol=1e-3,
+        )
+        assert float(jnp.abs(raw_do[..., :3]).max()) == 0.0
+        assert float(jnp.abs(raw_full[..., :3]).max()) > 0.0
+    finally:
+        field.MM_DTYPE = orig
