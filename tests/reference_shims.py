@@ -164,3 +164,4 @@ def install() -> None:
     # `import smplx` resolves to the bare /root/reference/smplx namespace dir
     sys.path.insert(0, "/root/reference")
     sys.path.insert(0, "/root/reference/smplx")
+    sys.path.insert(0, "/root/reference/pytorch-msssim")

@@ -165,3 +165,76 @@ def test_testopt_freezes_nerf():
         np.asarray(new_state.params["coarse"]["pts_linears"][0]["w"]), w0
     )
     assert not np.allclose(np.asarray(new_state.pose_params["bones"]), b0)
+
+
+def test_true_reference_args_txt_roundtrip(tmp_path, monkeypatch):
+    """Run the ACTUAL reference config_parser (run_nerf.py:186-490, via a
+    minimal configargparse shim) on its shipped surreal config, dump args.txt
+    exactly as the reference does (run_nerf.py:507-516), and strict-parse it
+    through our loader with the semantic values intact."""
+    import argparse
+    import sys
+    import types
+
+    # minimal configargparse: argparse + `key = value` config-file defaults
+    class _Parser(argparse.ArgumentParser):
+        def add_argument(self, *args, **kwargs):
+            kwargs.pop("is_config_file", None)
+            return super().add_argument(*args, **kwargs)
+
+        def parse_args(self, args=None, namespace=None):
+            ns, _ = super().parse_known_args(args, namespace)
+            if getattr(ns, "config", None):
+                defaults = {}
+                for k, v in parse_config_file(ns.config).items():
+                    for action in self._actions:
+                        if action.dest != k:
+                            continue
+                        if isinstance(action, (argparse._StoreTrueAction,
+                                               argparse._StoreFalseAction)):
+                            defaults[k] = v.lower() in ("true", "1", "yes")
+                        elif action.nargs in ("+", "*"):
+                            typ = action.type or str
+                            defaults[k] = [typ(x) for x in v.split()]
+                        else:
+                            defaults[k] = (action.type or str)(v)
+                self.set_defaults(**defaults)
+            ns, _ = super().parse_known_args(args, namespace)
+            return ns
+
+    shim = types.ModuleType("configargparse")
+    shim.ArgumentParser = _Parser
+    monkeypatch.setitem(sys.modules, "configargparse", shim)
+    sys.path.insert(0, "tests")
+    import reference_shims
+
+    reference_shims.install()
+    sys.path.insert(0, "/root/reference")
+    import importlib
+
+    ref_run_nerf = importlib.import_module("run_nerf")
+    ref_args = ref_run_nerf.config_parser().parse_args(
+        ["--config", "/root/reference/configs/surreal/surreal.txt"]
+    )
+
+    # dump exactly like reference train() (run_nerf.py:507-516)
+    with open(tmp_path / "args.txt", "w") as f:
+        for arg in sorted(vars(ref_args)):
+            f.write(f"{arg} = {getattr(ref_args, arg)}\n")
+
+    argv = txt_to_argstring(str(tmp_path / "args.txt"))
+    parser = nerf_config_parser()
+    known = {a.dest for a in parser._actions}
+    unknown = [k for k in parse_config_file(str(tmp_path / "args.txt"))
+               if k not in known and k != "config"]
+    assert not unknown, f"reference args.txt keys we cannot parse: {unknown}"
+    ours = parser.parse_args(argv)
+
+    # the semantic workload settings survive the round trip
+    for key in ("N_rand", "N_samples", "N_importance", "lrate_decay",
+                "multires", "multires_views", "use_cutoff", "cutoff_viewdir",
+                "cutoff_inputs", "use_viewdirs", "opt_framecode",
+                "raw_noise_std", "n_iters", "loss_fn", "density_type"):
+        ref_v = getattr(ref_args, key)
+        assert getattr(ours, key) == ref_v, (key, getattr(ours, key), ref_v)
+    assert validate_args(ours) is not None  # accepted (warnings allowed)
