@@ -64,6 +64,10 @@ def ssim(
     squeeze = pred.ndim == 3
     if squeeze:
         pred, target = pred[None], target[None]
+    # clamp the window to the image (reference __init__.py:38: real_size =
+    # min(window_size, height, width)) — small MS-SSIM scales would
+    # otherwise produce an empty VALID conv (NaN mean)
+    window_size = min(window_size, pred.shape[1], pred.shape[2])
     w = jnp.asarray(_gaussian_window(window_size, sigma))
 
     mu1 = _depthwise_conv(pred, w)

@@ -96,3 +96,38 @@ def test_per_joint_error_root_align(rng):
     pred = gt + 0.05
     errs = per_joint_error(jnp.asarray(pred), jnp.asarray(gt))
     assert np.allclose(np.asarray(errs), 0.05 * np.sqrt(3), atol=1e-5)
+
+
+def test_ssim_matches_vendored_pytorch_msssim():
+    """Golden parity vs the reference's ACTUAL vendored pytorch-msssim
+    (pytorch_msssim/__init__.py:19-108), not just formula agreement."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import reference_shims
+
+    reference_shims.install()
+    import torch
+    from pytorch_msssim import msssim as ref_msssim
+    from pytorch_msssim import ssim as ref_ssim
+
+    from posegen_tpu.evals.image import ms_ssim, ssim
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.08, a.shape).astype(np.float32), 0, 1)
+
+    ta = torch.from_numpy(a.transpose(2, 0, 1))[None]
+    tb = torch.from_numpy(b.transpose(2, 0, 1))[None]
+
+    ours, _ = ssim(jnp.asarray(a), jnp.asarray(b))
+    theirs = float(ref_ssim(ta, tb, val_range=1.0))
+    np.testing.assert_allclose(float(ours), theirs, atol=2e-4)
+
+    # identical images -> 1 on both sides
+    ours1, _ = ssim(jnp.asarray(a), jnp.asarray(a))
+    np.testing.assert_allclose(float(ours1), float(ref_ssim(ta, ta, val_range=1.0)), atol=1e-5)
+
+    ours_ms = ms_ssim(jnp.asarray(a), jnp.asarray(b))
+    theirs_ms = float(ref_msssim(ta, tb, val_range=1.0, normalize="relu"))
+    np.testing.assert_allclose(float(ours_ms), theirs_ms, atol=5e-3)
