@@ -131,3 +131,33 @@ def test_ssim_matches_vendored_pytorch_msssim():
     ours_ms = ms_ssim(jnp.asarray(a), jnp.asarray(b))
     theirs_ms = float(ref_msssim(ta, tb, val_range=1.0, normalize="relu"))
     np.testing.assert_allclose(float(ours_ms), theirs_ms, atol=5e-3)
+
+
+def test_procrustes_matches_reference():
+    """Golden parity of procrustes_align vs the reference's MATLAB-port
+    procrustes (evaluation_helpers.py:387-467): identical aligned points."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import reference_shims
+
+    reference_shims.install()
+    from core.utils.evaluation_helpers import procrustes as ref_procrustes
+
+    from posegen_tpu.evals.pose import procrustes_align
+
+    rng = np.random.default_rng(1)
+    for trial in range(3):
+        gt = rng.standard_normal((14, 3)).astype(np.float64)
+        # pred = rotated+scaled+shifted gt + noise
+        theta = rng.uniform(0, np.pi)
+        R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                      [np.sin(theta), np.cos(theta), 0], [0, 0, 1.0]])
+        pred = 0.7 * gt @ R.T + rng.standard_normal(3) * 0.5
+        pred += rng.normal(0, 0.02, pred.shape)
+
+        _, z_ref, _ = ref_procrustes(gt, pred)
+        z_ours = np.asarray(
+            procrustes_align(jnp.asarray(pred[None]), jnp.asarray(gt[None]))
+        )[0]
+        np.testing.assert_allclose(z_ours, z_ref, atol=1e-4, err_msg=f"trial {trial}")
