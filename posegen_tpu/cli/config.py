@@ -262,7 +262,6 @@ UNSUPPORTED_NONDEFAULT = {
                                # called but never defined (trainer.py:13)
     "precrop_iters": 0,        # center-crop warmup
     "opt_posecode": False,     # per-pose codes
-    "opt_pose_type": "B",      # alternative pose-opt objectives
     "opt_cutoff": False,       # learned cutoff distances
     "use_bgnet": False,        # background network
     "use_bgfill": False,       # background fill
@@ -324,6 +323,16 @@ def validate_args(args: argparse.Namespace, strict: bool = True) -> List[str]:
             warnings.append(f"--{key}: {msg}")
     if args.reg_fn not in (None, "BCE"):
         errors.append(f"--reg_fn={args.reg_fn!r}: only BCE (or none) is implemented")
+    # opt_pose_type: accept the whole reference family (B/BE/RD/RDE, with an
+    # optional 'L1' substring). It is runtime-inert here EXACTLY as in the
+    # reference: the train loop's _compute_kp_loss never reads it, and
+    # get_kp_reg_loss (the consumer) is uncalled there — see pose/opt.py.
+    opt = getattr(args, "opt_pose_type", "B")
+    if not (opt.startswith("B") or opt.startswith("RD")):
+        errors.append(
+            f"--opt_pose_type={opt!r}: regularization target un-specified "
+            "(reference core/pose_opt.py:165 raises the same way)"
+        )
     for w in warnings:
         print(f"[config warning] {w}")
     if errors and strict:
@@ -425,6 +434,30 @@ def args_to_data_config(args):
 
     subjects = args.subject if isinstance(args.subject, (list, tuple)) else [args.subject]
     rays_per_image = max(args.N_rand // max(args.N_sample_images, 1), 1)
+
+    def _resolve_data_root(args) -> str:
+        """Map the reference's `datadir` onto our data_root.
+
+        The reference IGNORES --datadir for training data — its
+        DATASET_CATALOG hardcodes 'data/<family>/...' paths
+        (core/load_data.py:22-43). Its configs set datadir to the family
+        dir ('./data/h36m/'); pointing our data_root there would double the
+        family component, so when datadir's last component matches the
+        catalog rel-path's first component we use its parent."""
+        import os as _os
+
+        datadir = args.datadir
+        if not datadir:
+            return args.data_root
+        from posegen_tpu.data.catalog import DATASET_CATALOG
+
+        family = DATASET_CATALOG.get(_scalar(args.dataset_type), {})
+        rel = next(iter(family.values()), "")
+        head = rel.split("/", 1)[0]
+        norm = _os.path.normpath(datadir)
+        if head and _os.path.basename(norm) == head:
+            return _os.path.dirname(norm) or "."
+        return datadir
     # out-of-mask sampling budget: --P_nms fraction, or 1 - fg_ratio
     # (reference dataset.py:324-344 "nms" samples / --fg_ratio floor)
     box_frac = args.P_nms or 0.0
@@ -434,7 +467,7 @@ def args_to_data_config(args):
         dataset=_scalar(args.dataset_type),
         subject=subjects[0],
         multi_subjects=subjects if len(subjects) > 1 else None,
-        data_root=args.datadir or args.data_root,
+        data_root=_resolve_data_root(args),
         n_rand=args.N_rand,
         n_sample_images=args.N_sample_images,
         patch_size=args.patch_size,

@@ -133,7 +133,10 @@ def train(argv: Optional[Sequence[str]] = None) -> str:
     pose_params = anchors = None
     pcfg = None
     if args.opt_pose:
-        pcfg = PoseOptConfig(use_rot6d=args.opt_rot6d, opt_pose_tol=args.opt_pose_tol)
+        pcfg = PoseOptConfig(
+            use_rot6d=args.opt_rot6d, opt_pose_tol=args.opt_pose_tol,
+            opt_pose_type=args.opt_pose_type, ext_scale=args.ext_scale,
+        )
         pose_params, anchors = init_pose_params(pcfg, attrs["bones"], attrs["kp3d"])
         if args.init_poseopt:
             # initialize the poseopt layer from a specific checkpoint

@@ -83,6 +83,7 @@ class H5RayDataset:
             )
             self.has_bkgd = "bkgds" in f
             self.ext_scale = float(f["ext_scale"][()]) if "ext_scale" in f else 0.001
+            self._img_paths = f["img_paths"][:] if "img_paths" in f else None
 
         # single-camera training subset (reference --camera,
         # load_h36m.py camera_name variants): remap per-image metadata and
@@ -106,6 +107,28 @@ class H5RayDataset:
             self.bkgd_idxs = self.bkgd_idxs[sel]
         else:
             self._img_map = None
+
+        if camera is not None and self._img_paths is not None:
+            self._img_paths = self._img_paths[self._img_map]
+
+        # per-image temporal validity for --use_temp_loss (reference
+        # get_temporal_validity, load_h36m.py:290-304: frame i is valid iff
+        # its PREVIOUS frame belongs to the same sequence directory;
+        # perfcap's rule — all-ones except the first frame,
+        # load_perfcap.py:84-85 — is the no-img_paths fallback). temp_val is
+        # the TemporalDatasetWrapper form (dataset.py:723-727): both the
+        # prev and next edges must be valid.
+        valid = np.ones(self.n_images, np.float32)
+        valid[0] = 0.0
+        if self._img_paths is not None:
+            import os as _os
+
+            dirs = [_os.path.dirname(_os.fsdecode(p)) for p in self._img_paths]
+            for i in range(1, self.n_images):
+                if dirs[i] != dirs[i - 1]:
+                    valid[i] = 0.0
+        self.temp_validity = valid
+        self.temp_val = (valid + np.roll(valid, -1)).astype(np.int64) // 2
 
         if load_refined is not None:
             self._load_refined(load_refined)
@@ -263,6 +286,7 @@ class H5RayDataset:
             "skts": self.skts[kp_i : kp_i + 1],
             "cyls": self.cyls[kp_i : kp_i + 1],
             "kp_idx": np.full((1,), kp_i, np.int32),  # per image GROUP
+            "temp_val": np.full((1,), self.temp_val[img_idx], np.float32),
             "cam_idxs": np.full((n, 1), self.cam_idxs[img_idx], np.int32),
         }
 
@@ -312,6 +336,7 @@ class H5RayDataset:
             "skts": self.skts[kp_i : kp_i + 1],
             "cyls": self.cyls[kp_i : kp_i + 1],
             "kp_idx": np.full((1,), kp_i, np.int32),  # per image GROUP
+            "temp_val": np.full((1,), self.temp_val[img_idx], np.float32),
             "cam_idxs": np.full((n, 1), self.cam_idxs[img_idx], np.int32),
         }
 

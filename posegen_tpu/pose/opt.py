@@ -36,7 +36,12 @@ class PoseOptConfig:
     opt_pelvis: bool = True
     depth: int = 0  # optimize only joints up to this tree depth (0 = all)
     opt_pose_tol: float = 0.0  # hinge tolerance on the anchor loss
-    reg_type: str = "mse"  # 'mse' | 'l1' | 'rmse'
+    # Parsed for config parity; the reference TRAIN LOOP never reads it
+    # (trainer._compute_kp_loss ignores opt_pose_type; the get_kp_reg_loss
+    # family that would consume it, core/pose_opt.py:124, has no caller).
+    # The full family is available below as get_kp_reg_loss.
+    opt_pose_type: str = "B"
+    ext_scale: float = 0.001  # for the MPJPC stat (reference --ext_scale)
 
 
 def init_pose_params(
@@ -82,14 +87,18 @@ def pose_apply(
     return kps, bones, skts, l2ws
 
 
-def _reg(reg_type: str, diff: jax.Array) -> jax.Array:
-    if reg_type == "mse":
-        return diff**2
-    if reg_type == "l1":
-        return jnp.abs(diff)
-    if reg_type == "rmse":
-        return jnp.sqrt(jnp.maximum(diff**2, 1e-12))
-    raise NotImplementedError(f"reg_type {reg_type!r}")
+def _canon_bones(bones: jax.Array) -> jax.Array:
+    """Bone params -> the representation the reference losses compare.
+
+    rot6d params are orthonormalized through the rotation matrix and
+    re-extracted (reference popt layer outputs `rots` and the loss compares
+    `rots[..., :3, :2].flatten(-2)`, trainer.py:391-396) — NOT the raw 6d
+    params. Axis-angle params are compared raw."""
+    if bones.shape[-1] == 6:
+        from posegen_tpu.skeleton.rotations import rot6d_to_rot, rot_to_rot6d
+
+        return rot_to_rot6d(rot6d_to_rot(bones))
+    return bones
 
 
 def kp_reg_loss(
@@ -98,35 +107,173 @@ def kp_reg_loss(
     anchors: Dict[str, jax.Array],
     idx: jax.Array,
     kp_map: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array]:
-    """Anchor-regularized (bone_loss, pelvis_loss) for a batch of frames
-    (reference pose_opt.py:124-201): a hinge keeps poses within
-    `opt_pose_tol` of the initial estimate without gradient inside the band.
+) -> jax.Array:
+    """The pose-regularization loss the reference train loop ACTUALLY runs
+    (trainer._compute_kp_loss, core/trainer.py:385-408): squared diff of
+    orthonormalized rot6d bones (raw params when axis-angle), ROOT JOINT
+    EXCLUDED, hinged at `opt_pose_tol` (zero loss + zero gradient inside the
+    tolerance band), then .sum(-1).mean(). There is no pelvis term.
+
+    `opt_pose_type` (B/BE/RD/RDE...) is accepted by the config for parity
+    but is runtime-inert exactly as in the reference: get_kp_reg_loss —
+    the only consumer — is never called there (see get_kp_reg_loss below).
+
+    Returns the UNSCALED loss; the caller multiplies by opt_pose_coef.
     """
     if kp_map is not None:
         idx = jnp.take(kp_map, idx)
-    b = jnp.take(params["bones"], idx, axis=0)
+    b = _canon_bones(jnp.take(params["bones"], idx, axis=0))
+    # anchors are created from axis-angle estimates via rot_to_rot6d(R), so
+    # they are already orthonormal — no re-canonicalization needed
     b0 = jnp.take(anchors["bones"], idx, axis=0)
-    p = jnp.take(params["pelvis"], idx, axis=0)
-    p0 = jnp.take(anchors["pelvis"], idx, axis=0)
 
-    bone_diff = _reg(cfg.reg_type, b - b0)
-    if cfg.opt_pose_tol > 0.0:
-        bone_diff = jnp.maximum(bone_diff - cfg.opt_pose_tol, 0.0)
-    return jnp.mean(bone_diff), jnp.mean(_reg(cfg.reg_type, p - p0))
+    kp_loss = ((b0 - b) ** 2)[:, 1:]  # exclude root (reference trainer.py:398)
+    kp_loss = jnp.maximum(kp_loss - cfg.opt_pose_tol, 0.0)
+    return jnp.sum(kp_loss, axis=-1).mean()
+
+
+def mpjpc_stat(
+    cfg: PoseOptConfig, kps: jax.Array, anchor_kps: jax.Array
+) -> jax.Array:
+    """Mean per-joint change vs the anchor estimate, in mm-ish units
+    (reference trainer.py:438-440; anchors['kps'] are the dataset's kp3d)."""
+    d = jnp.linalg.norm(jax.lax.stop_gradient(kps) - anchor_kps, axis=-1)
+    return d.mean() / cfg.ext_scale
 
 
 def temporal_loss(
     params: Dict[str, jax.Array],
     idx: jax.Array,
-    n_frames: int,
+    temp_val: jax.Array,
+    rest_pose: jax.Array,
+    kps: jax.Array,
+    bones: jax.Array,
+    skel: Skeleton = SMPL_SKELETON,
+    kp_map: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Velocity smoothness between consecutive frames
-    (reference trainer.py:384-443 temporal loss)."""
-    nxt = jnp.minimum(idx + 1, n_frames - 1)
-    db = jnp.take(params["bones"], nxt, axis=0) - jnp.take(params["bones"], idx, axis=0)
-    dp = jnp.take(params["pelvis"], nxt, axis=0) - jnp.take(params["pelvis"], idx, axis=0)
-    return jnp.mean(db**2) + jnp.mean(dp**2)
+    """Second-difference (velocity-change) smoothness penalty on bones AND
+    FK joints, neighbors evaluated through the pose layer and detached,
+    masked by per-frame temporal validity (reference trainer.py:410-436).
+
+    kps/bones: the CURRENT batch FK joints and canonical bones (with
+    gradient). temp_val: (B,) 1.0 where both the previous and next dataset
+    frames are temporal neighbors in the same sequence. Returns the
+    UNSCALED loss; the caller multiplies by temp_coef.
+    """
+    n = params["bones"].shape[0]
+    prev_i = (idx - 1) % n  # torch negative indexing wraps (trainer.py:413)
+    next_i = (idx + 1) % n
+    pk, pb, _, _ = pose_apply(params, prev_i, rest_pose, skel, kp_map)
+    nk, nb, _, _ = pose_apply(params, next_i, rest_pose, skel, kp_map)
+    pb, nb = _canon_bones(pb), _canon_bones(nb)
+    pk, pb, nk, nb = map(jax.lax.stop_gradient, (pk, pb, nk, nb))
+    ang_vel = jnp.sum(((bones - pb) - (nb - bones)) ** 2, axis=-1)
+    joint_vel = jnp.sum(((kps - pk) - (nk - kps)) ** 2, axis=-1)
+    return ((ang_vel + joint_vel) * temp_val[..., None]).mean()
+
+
+def get_kp_reg_loss(
+    preds: Dict[str, jax.Array],
+    regs: Dict[str, jax.Array],
+    gts: Optional[Dict[str, jax.Array]] = None,
+    opt_pose_coefs: float = 1.0,
+    opt_pose_type: str = "B",
+    opt_rot6d: bool = False,
+    opt_pose_tol: float = 0.0,
+    use_temp_loss: bool = False,
+    use_temp_vel: bool = False,
+    temp_coef: float = 0.05,
+    ext_scale: float = 0.001,
+    root_id: int = 0,
+) -> Tuple[jax.Array, jax.Array, jax.Array, Optional[jax.Array]]:
+    """The full opt_pose_type objective family — faithful re-expression of
+    reference core/pose_opt.py:124-201 (get_kp_reg_loss).
+
+    NOTE: this function is DEAD CODE in the reference — nothing calls it;
+    the train loop uses trainer._compute_kp_loss (see kp_reg_loss above),
+    which ignores opt_pose_type. It is provided as a library component so
+    the objective family (B/BE/RD/RDE with an optional 'L1' substring,
+    'E' = coefficient off the global terms: root bone + pelvis excluded)
+    remains available, with golden parity vs the reference function.
+
+    preds: current {'kps','bones','rots'}; regs: anchors of the same (+
+    'temp_kps'/'temp_bones'/'temp_rots' stacked [prev; next] and
+    'temp_valid'/'temp_valid_next' when use_temp_loss). Shapes (B, J, ...).
+    Returns (kp_loss, temp_loss, mpjpc, kp_gt_dist).
+    """
+    kps, bones, rots = preds["kps"], preds["bones"], preds["rots"]
+    reg_kps, reg_bones, reg_rots = regs["kps"], regs["bones"], regs["rots"]
+
+    kp_sqr_diff = jnp.sum((reg_kps - kps) ** 2, axis=-1)
+
+    def mse(a, b):
+        return (a - b) ** 2
+
+    def l1(a, b):
+        return jnp.abs(a - b)
+
+    loss_fn = l1 if "L1" in opt_pose_type else mse
+    coef_on_global = "E" not in opt_pose_type
+
+    if opt_rot6d:
+        reg_bones = reg_rots[..., :3, :2].reshape(*reg_rots.shape[:-2], 6)
+
+    if opt_pose_type.startswith("RD"):
+        bone_loss = loss_fn(rots, reg_rots)
+        pelv_loss = jnp.sum(loss_fn(reg_kps[:, root_id], kps[:, root_id]), axis=-1)
+    elif opt_pose_type.startswith("B"):
+        bone_loss = loss_fn(reg_bones, bones)
+        pelv_loss = jnp.sum(loss_fn(reg_kps[:, root_id], kps[:, root_id]), axis=-1)
+    else:
+        raise NotImplementedError("Regularization target un-specified")
+
+    # hinge: zero inside the tolerance band, (loss - tol) outside
+    tol = opt_pose_tol
+    loss_mask = (bone_loss > tol).astype(bone_loss.dtype)
+    bone_loss = jnp.sum(loss_mask * (bone_loss - tol), axis=-1)
+
+    if coef_on_global:
+        kp_loss = (bone_loss.mean() + pelv_loss.mean()) * opt_pose_coefs
+    else:
+        kp_loss = bone_loss[:, root_id + 1:].mean() * opt_pose_coefs
+
+    temp_loss = jnp.asarray(0.0)
+    if use_temp_loss:
+        nb = bones.shape[0]
+        temp_valid = regs["temp_valid"]
+        if opt_rot6d:
+            tr = regs["temp_rots"]
+            temp_bones = tr[..., :3, :2].reshape(*tr.shape[:-2], 6)
+        else:
+            temp_bones = regs["temp_bones"]
+        temp_kps = regs["temp_kps"]
+        assert nb * 2 == temp_bones.shape[0]
+        prev_bones, next_bones = jnp.split(temp_bones, 2, axis=0)
+        prev_kps, next_kps = jnp.split(temp_kps, 2, axis=0)
+
+        if not use_temp_vel:
+            temp_loss = jnp.sum(loss_fn(prev_bones, bones), axis=-1)
+            temp_loss = (temp_loss * temp_valid[..., None]).mean() * temp_coef
+        else:
+            temp_valid_next = regs["temp_valid_next"]
+            # both previous and next poses need to be valid
+            temp_valid = (temp_valid_next + temp_valid) // 2
+            ang_vel = jnp.sum(((bones - prev_bones) - (next_bones - bones)) ** 2, -1)
+            joint_vel = jnp.sum(((kps - prev_kps) - (next_kps - kps)) ** 2, -1)
+            temp_loss = ((ang_vel + joint_vel) * temp_valid[..., None]).mean()
+            temp_loss = temp_loss * temp_coef
+        kp_loss = kp_loss + temp_loss
+
+    mpjpc = jnp.sqrt(jax.lax.stop_gradient(kp_sqr_diff)).mean() / ext_scale
+    kp_gt_dist = None
+    if gts is not None:
+        kp_gt_dist = (
+            jnp.linalg.norm(
+                jax.lax.stop_gradient(kps) - gts["kps"], axis=-1
+            ).mean()
+            / ext_scale
+        )
+    return kp_loss, temp_loss, mpjpc, kp_gt_dist
 
 
 def pose_params_to_pose_data(

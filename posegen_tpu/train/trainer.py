@@ -24,7 +24,14 @@ import jax.numpy as jnp
 import optax
 
 from posegen_tpu.ops import embedding as emb_mod
-from posegen_tpu.pose.opt import PoseOptConfig, kp_reg_loss, pose_apply, temporal_loss
+from posegen_tpu.pose.opt import (
+    PoseOptConfig,
+    _canon_bones,
+    kp_reg_loss,
+    mpjpc_stat,
+    pose_apply,
+    temporal_loss,
+)
 from posegen_tpu.render.raycast import PoseCtx, RaycastConfig, render_rays
 from posegen_tpu.skeleton.skeleton import SMPL_SKELETON, Skeleton
 from posegen_tpu.train import losses as L
@@ -265,7 +272,7 @@ def make_train_step(
                 return False
         return mode
 
-    def loss_fn(params, pose_params, embeds, batch, key):
+    def loss_fn(params, pose_params, embeds, anchors, batch, key):
         n = batch["rays_o"].shape[0]
         if tcfg.opt_pose and pose_params is not None:
             kps, bones, skts, _ = pose_apply(
@@ -273,6 +280,7 @@ def make_train_step(
             )
         else:
             kps, bones, skts = batch["kp3d"], batch["bones"], batch["skts"]
+        kps_g, bones_g = kps, bones  # per-GROUP rows, before per-ray expansion
 
         # batches carry pose arrays per IMAGE group (G rows, rays contiguous
         # per group — the RayBatchLoader layout; kp_idx is per GROUP too),
@@ -307,28 +315,34 @@ def make_train_step(
             use_fused=use_fused,
         )
         total, stats = compute_losses(tcfg, ret, batch)
-        if (
-            tcfg.opt_pose
-            and pose_params is not None
-            and tcfg.use_temp_loss
-            and n_frames > 1
-        ):
-            total = total + tcfg.temp_coef * temporal_loss(
-                pose_params, batch["kp_idx"], n_frames
-            )
-        return total, stats
-
-    def loss_with_anchor(params, pose_params, embeds, anchors, batch, key):
-        total, stats = loss_fn(params, pose_params, embeds, batch, key)
-        if tcfg.opt_pose and pose_params is not None and anchors is not None:
-            bone_l, pelvis_l = kp_reg_loss(
-                pcfg or PoseOptConfig(), pose_params, anchors, batch["kp_idx"], kp_map
-            )
-            stats["bone_loss"] = bone_l
-            stats["pelvis_loss"] = pelvis_l
-            total = total + tcfg.opt_pose_coef * (bone_l + pelvis_l)
+        if tcfg.opt_pose and pose_params is not None:
+            _pcfg = pcfg or PoseOptConfig()
+            if anchors is not None:
+                # the loss the reference train loop runs: root-excluded
+                # squared bone diff, hinged at tol (trainer.py:385-408);
+                # logged AFTER the coefficient, like the reference
+                kp_l = tcfg.opt_pose_coef * kp_reg_loss(
+                    _pcfg, pose_params, anchors, batch["kp_idx"], kp_map
+                )
+                stats["kp_loss"] = kp_l
+                total = total + kp_l
+                if "kp3d" in batch:
+                    # anchors['kps'] in the reference are the dataset kp3d
+                    stats["mpjpc"] = mpjpc_stat(_pcfg, kps_g, batch["kp3d"])
+            if tcfg.use_temp_loss and n_frames > 1:
+                temp_val = batch.get("temp_val")
+                if temp_val is None:
+                    temp_val = jnp.ones_like(batch["kp_idx"], dtype=jnp.float32)
+                temp_l = tcfg.temp_coef * temporal_loss(
+                    pose_params, batch["kp_idx"], temp_val, rest_pose,
+                    kps_g, _canon_bones(bones_g), skel, kp_map,
+                )
+                stats["temp_loss"] = temp_l
+                total = total + temp_l
         stats["total_loss"] = total
         return total, stats
+
+    loss_with_anchor = loss_fn
 
     def _gradnorm(g) -> jax.Array:
         """Global gradient norm (reference get_gradnorm stats,

@@ -96,9 +96,12 @@ def make_train_batch(
         "fgs": jnp.asarray(rng.integers(0, 2, (n_rays, 1)).astype(np.float32)),
     }
     if opt_pose:
-        # kp_idx is per image GROUP (the RayBatchLoader contract)
+        # kp_idx is per image GROUP (the RayBatchLoader contract); kp3d is
+        # the dataset's estimate rows (the loader always ships them — they
+        # anchor the MPJPC stat)
         frames = rng.integers(0, n_frames, (n_groups,)).astype(np.int32)
         batch["kp_idx"] = jnp.asarray(frames)
+        batch["kp3d"] = ctx.kps
     else:
         batch["kp3d"] = ctx.kps
         batch["skts"] = ctx.skts

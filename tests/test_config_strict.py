@@ -48,6 +48,61 @@ def test_parser_covers_every_reference_flag():
     assert len(set(REFERENCE_FLAGS)) >= 125
 
 
+def test_every_reference_config_runs_unmodified():
+    """All shipped reference workload definitions under
+    /root/reference/configs parse AND validate verbatim — including the six
+    flagship configs that select opt_pose_type = BE (h36m_prot2.txt:47,
+    mixamo.txt, perfcap.txt + finetunes)."""
+    from posegen_tpu.cli.config import validate_args
+
+    paths = sorted(glob.glob("/root/reference/configs/*/*.txt"))
+    assert len(paths) == 8
+    for cfg_path in paths:
+        args = parse_with_config(nerf_config_parser(), ["--config", cfg_path])
+        validate_args(args)  # raises SystemExit on any unsupported flag
+    # the family boundary still errors loudly, like the reference's
+    # NotImplementedError (core/pose_opt.py:165)
+    args = parse_with_config(
+        nerf_config_parser(), ["--opt_pose_type", "WAT"]
+    )
+    try:
+        validate_args(args)
+        assert False, "bogus opt_pose_type should be rejected"
+    except SystemExit:
+        pass
+
+
+# Intended deviations of shipped configs from their reference twins.
+# Empty today: the shipped files keep every reference key at the reference
+# value. Add (config_name, key) entries here ONLY for deliberate changes.
+INTENDED_CONFIG_DEVIATIONS: set = set()
+
+
+def test_shipped_configs_match_reference():
+    """Each shipped config under configs/ parses to EXACTLY the same values
+    as its reference twin — no silently softened workloads (VERDICT r2 #2)."""
+    import os
+
+    ref_paths = sorted(glob.glob("/root/reference/configs/*/*.txt"))
+    assert len(ref_paths) == 8
+    for ref in ref_paths:
+        fam, name = ref.split("/")[-2], os.path.basename(ref)
+        ours = f"configs/{fam}/{name}"
+        assert os.path.exists(ours), f"missing shipped twin for {ref}"
+        ref_args = parse_with_config(nerf_config_parser(), ["--config", ref])
+        our_args = parse_with_config(nerf_config_parser(), ["--config", ours])
+        for key in parse_config_file(ref):
+            if (name, key) in INTENDED_CONFIG_DEVIATIONS:
+                continue
+            assert getattr(our_args, key) == getattr(ref_args, key), (
+                f"{ours}: {key} = {getattr(our_args, key)!r} diverges from "
+                f"reference {getattr(ref_args, key)!r}"
+            )
+        # and nothing extra is set beyond the reference keys
+        extra = set(parse_config_file(ours)) - set(parse_config_file(ref))
+        assert not extra, f"{ours}: unexpected extra keys {extra}"
+
+
 def test_shipped_configs_roundtrip(tmp_path):
     """Every key in every shipped config file survives parse -> dump ->
     re-parse with identical values (strict, no parse_known_args)."""

@@ -65,7 +65,7 @@ def test_train_step_pose_opt_updates_pose():
     assert not np.allclose(np.asarray(state.pose_params["bones"]), b0), (
         "pose params did not receive gradients"
     )
-    assert "bone_loss" in stats and "pelvis_loss" in stats
+    assert "kp_loss" in stats and "mpjpc" in stats and "temp_loss" in stats
 
 
 def test_pose_apply_shapes_and_anchor_loss():
@@ -83,15 +83,16 @@ def test_pose_apply_shapes_and_anchor_loss():
     assert skts.shape == (4, 24, 4, 4)
 
     # at the anchor, the hinge loss is exactly zero
-    bl, pl = kp_reg_loss(pcfg, params, anchors, idx)
-    assert float(bl) == 0.0 and float(pl) == 0.0
-    # perturbations beyond tol give positive loss
+    assert float(kp_reg_loss(pcfg, params, anchors, idx)) == 0.0
+    # perturbations beyond tol give positive loss (pelvis alone does not:
+    # the reference trainer's kp loss has no pelvis term, trainer.py:385-408)
     moved = {
         "pelvis": params["pelvis"] + 1.0,
         "bones": params["bones"] + 0.5,
     }
-    bl, pl = kp_reg_loss(pcfg, moved, anchors, idx)
-    assert float(bl) > 0.0 and float(pl) > 0.0
+    assert float(kp_reg_loss(pcfg, moved, anchors, idx)) > 0.0
+    pelvis_only = {"pelvis": params["pelvis"] + 1.0, "bones": params["bones"]}
+    assert float(kp_reg_loss(pcfg, pelvis_only, anchors, idx)) == 0.0
 
 
 def test_embed_tau_annealed_in_step():
