@@ -35,12 +35,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 N_JOINTS = 24
-NF_KP = 7
+NF_KP = 7  # flagship defaults; the kernel is parametric over both
 NF_VIEW = 4
-KP_CH = N_JOINTS * (1 + 2 * NF_KP)  # 360
-PTS_CH = KP_CH + 3 * N_JOINTS  # 432
-VIEW_CH = 3 * N_JOINTS * (1 + 2 * NF_VIEW)  # 648
 POINT_TILE = 1024
+
+
+def kp_ch(nf_kp: int = NF_KP) -> int:
+    return N_JOINTS * (1 + 2 * nf_kp)  # 360 at the default
+
+
+def pts_ch(nf_kp: int = NF_KP) -> int:
+    return kp_ch(nf_kp) + 3 * N_JOINTS  # 432 at the default
+
+
+def view_ch(nf_view: int = NF_VIEW) -> int:
+    return 3 * N_JOINTS * (1 + 2 * nf_view)  # 648 at the default; 72 at 0
+
+
+KP_CH = kp_ch()
+PTS_CH = pts_ch()
+VIEW_CH = view_ch()
 
 
 class FusedFieldParams(NamedTuple):
@@ -59,19 +73,21 @@ class FusedFieldParams(NamedTuple):
 
 
 def supports_fused_config(cfg) -> bool:
-    """Config-only eligibility (pose/group shape checked separately)."""
+    """Config-only eligibility (pose/group shape checked separately).
+
+    Parametric over multires / multires_views (including 0) and the BARF
+    freq_schedule — every shipped reference config (h36m/mixamo/perfcap/
+    surreal incl. surreal_single's multires_views = 0 + single_net) runs
+    fused."""
     return (
         cfg.kp_dist_type == "reldist"
         and cfg.view_type == "relray"
         and cfg.bone_type == "reldir"
-        and cfg.multires == NF_KP
-        and cfg.multires_views == NF_VIEW
         and cfg.multires_bones == 0
         and cfg.use_cutoff
         and cfg.cutoff_viewdir
         and cfg.cutoff_inputs
         and not cfg.cutoff_bones
-        and not cfg.freq_schedule
         and cfg.use_viewdirs
         and cfg.n_joints == N_JOINTS
         and not cfg.cut_to_dist
@@ -93,24 +109,25 @@ def supports_fused(cfg, ctx, net_params: Dict) -> bool:
     )
 
 
-def _pts_row_perm() -> np.ndarray:
+def _pts_row_perm(nf_kp: int = NF_KP) -> np.ndarray:
     """Joint-major interleaved reldir rows -> component-major blocks.
 
-    XLA x_pts channel c in [360, 432): c = 360 + j*3 + comp.
-    Kernel layout: 360 + comp*24 + j.
+    XLA x_pts channel c in [kp_ch, pts_ch): c = kp_ch + j*3 + comp.
+    Kernel layout: kp_ch + comp*24 + j.
     perm[kernel_row] = xla_row, used to reorder weight ROWS (fan-in dims).
     """
-    perm = np.arange(PTS_CH)
+    kc = kp_ch(nf_kp)
+    perm = np.arange(pts_ch(nf_kp))
     for comp in range(3):
         for j in range(N_JOINTS):
-            perm[KP_CH + comp * N_JOINTS + j] = KP_CH + j * 3 + comp
+            perm[kc + comp * N_JOINTS + j] = kc + j * 3 + comp
     return perm
 
 
-def _view_row_perm() -> np.ndarray:
+def _view_row_perm(nf_view: int = NF_VIEW) -> np.ndarray:
     """Per 72-wide view block: joint-major (j*3+comp) -> component-major."""
-    perm = np.arange(VIEW_CH)
-    for b in range(1 + 2 * NF_VIEW):
+    perm = np.arange(view_ch(nf_view))
+    for b in range(1 + 2 * nf_view):
         for comp in range(3):
             for j in range(N_JOINTS):
                 perm[b * 72 + comp * N_JOINTS + j] = b * 72 + j * 3 + comp
@@ -119,15 +136,15 @@ def _view_row_perm() -> np.ndarray:
 
 def prepare_params(
     net: Dict, skips: Tuple[int, ...] = (4,), dtype=jnp.bfloat16,
-    code_ch: int = 0,
+    code_ch: int = 0, nf_kp: int = NF_KP, nf_view: int = NF_VIEW,
 ) -> FusedFieldParams:
     """Transpose/cast/permute a NeRF params subtree for the kernel.
 
     dtype=bfloat16 for inference; float32 for the trainable path (the
     kernels cast to bf16 at the MXU, and f32 weight storage keeps the
     custom-VJP cotangents full precision)."""
-    pts_perm = _pts_row_perm()
-    view_perm = _view_row_perm()
+    pts_perm = _pts_row_perm(nf_kp)
+    view_perm = _view_row_perm(nf_view)
 
     tw = lambda p, perm=None: jnp.asarray(
         (p["w"] if perm is None else p["w"][perm]).T, dtype
@@ -139,15 +156,16 @@ def prepare_params(
         if i == 0:
             w_pts.append(tw(lay, pts_perm))
         elif (i - 1) in skips:
-            # skip-concat input = [x_pts (432) | h (256)]: permute x_pts rows
-            perm = np.concatenate([pts_perm, PTS_CH + np.arange(256)])
+            # skip-concat input = [x_pts | h (256)]: permute x_pts rows
+            perm = np.concatenate([pts_perm, pts_ch(nf_kp) + np.arange(256)])
             w_pts.append(tw(lay, perm))
         else:
             w_pts.append(tw(lay))
 
-    # views input = [feature (256) | x_views (648) | framecode (code_ch)]
+    # views input = [feature (256) | x_views | framecode (code_ch)]
     vperm = np.concatenate(
-        [np.arange(256), 256 + view_perm, 256 + VIEW_CH + np.arange(code_ch)]
+        [np.arange(256), 256 + view_perm,
+         256 + view_ch(nf_view) + np.arange(code_ch)]
     )
     return FusedFieldParams(
         w_pts=tuple(w_pts),
@@ -163,13 +181,20 @@ def prepare_params(
     )
 
 
-def encode_intermediates(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref):
+def encode_intermediates(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref,
+                         nf_kp: int = NF_KP, nf_view: int = NF_VIEW,
+                         sched_ref=None):
     """In-kernel encoding returning every intermediate the backward pass
     needs: {e_pts, e_view, XT..ZT, DX..DZ, v, w, inv_v, dn_inv, dn*}.
 
     Channel-major cutoff-gated positional encodings; used by both the
     forward field kernel and the backward kernel, which recomputes the
     encodings instead of storing them.
+
+    sched_ref: optional (1, nf_kp + nf_view) SMEM ref of BARF schedule
+    weights (reference get_schedule_w, core/cutoff_embedder.py:192-198) —
+    each sin/cos octave is scaled by its window weight; the include-input
+    rows are not. None = schedule off (weight 1, no multiplies emitted).
     """
     x = pts_ref[0:1, :]
     y = pts_ref[1:2, :]
@@ -195,27 +220,38 @@ def encode_intermediates(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref):
     inv_v = 1.0 / jnp.maximum(v, 1e-12)
     dn_inv = jax.lax.rsqrt(jnp.maximum(DX * DX + DY * DY + DZ * DZ, 1e-24))
 
-    # x_pts (432, P): [v*w | (sin f, cos f)*w per octave | reldir (ungated,
-    # component-major — reference bone embedding has no cutoff)]
-    rows = [v * w]
-    for f_idx in range(NF_KP):
-        f = 2.0**f_idx
-        rows.append(jnp.sin(v * f) * w)
-        rows.append(jnp.cos(v * f) * w)
-    rows.extend([XT * inv_v, YT * inv_v, ZT * inv_v])
-    e_pts = jnp.concatenate(rows, axis=0)  # (432, P)
+    sw_kp = [
+        (1.0 if sched_ref is None else sched_ref[0, f]) for f in range(nf_kp)
+    ]
+    sw_view = [
+        (1.0 if sched_ref is None else sched_ref[0, nf_kp + f])
+        for f in range(nf_view)
+    ]
 
-    # x_views (648, P): gated [dn | sin/cos ladder], component-major blocks
+    # x_pts (pts_ch, P): [v*w | (sin f, cos f)*w*sw per octave | reldir
+    # (ungated, component-major — reference bone embedding has no cutoff)]
+    rows = [v * w]
+    for f_idx in range(nf_kp):
+        f = 2.0**f_idx
+        wf = w if sched_ref is None else w * sw_kp[f_idx]
+        rows.append(jnp.sin(v * f) * wf)
+        rows.append(jnp.cos(v * f) * wf)
+    rows.extend([XT * inv_v, YT * inv_v, ZT * inv_v])
+    e_pts = jnp.concatenate(rows, axis=0)  # (pts_ch, P)
+
+    # x_views (view_ch, P): gated [dn | sin/cos ladder], component-major
     dnx, dny, dnz = DX * dn_inv, DY * dn_inv, DZ * dn_inv
     vrows = [dnx * w, dny * w, dnz * w]
-    for f_idx in range(NF_VIEW):
+    for f_idx in range(nf_view):
         f = 2.0**f_idx
+        wf = w if sched_ref is None else w * sw_view[f_idx]
         for comp in (dnx, dny, dnz):
-            vrows.append(jnp.sin(comp * f) * w)
+            vrows.append(jnp.sin(comp * f) * wf)
         for comp in (dnx, dny, dnz):
-            vrows.append(jnp.cos(comp * f) * w)
-    e_view = jnp.concatenate(vrows, axis=0)  # (648, P)
+            vrows.append(jnp.cos(comp * f) * wf)
+    e_view = jnp.concatenate(vrows, axis=0)  # (view_ch, P)
     return dict(
+        sw_kp=sw_kp, sw_view=sw_view,
         e_pts=e_pts, e_view=e_view,
         XT=XT, YT=YT, ZT=ZT, DX=DX, DY=DY, DZ=DZ,
         v=v, w=w, sig=sig, inv_v=inv_v, dn_inv=dn_inv,
@@ -225,8 +261,9 @@ def encode_intermediates(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref):
 
 
 def encode_channels(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref,
-                    with_view: bool = True):
-    """refs -> (e_pts (432,P), e_view (648,P) or None).
+                    with_view: bool = True, nf_kp: int = NF_KP,
+                    nf_view: int = NF_VIEW, sched_ref=None):
+    """refs -> (e_pts (pts_ch,P), e_view (view_ch,P) or None).
 
     with_view=False skips the view-encoding ladder entirely (density-only
     evaluation: the coarse eval pass and mesh probes never read rgb)."""
@@ -243,13 +280,17 @@ def encode_channels(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref,
         w = 1.0 - jax.nn.sigmoid(tau_ref[0, 0] * (v - cut_ref[:, :]))
         inv_v = 1.0 / jnp.maximum(v, 1e-12)
         rows = [v * w]
-        for f_idx in range(NF_KP):
+        for f_idx in range(nf_kp):
             f = 2.0**f_idx
-            rows.append(jnp.sin(v * f) * w)
-            rows.append(jnp.cos(v * f) * w)
+            wf = w if sched_ref is None else w * sched_ref[0, f_idx]
+            rows.append(jnp.sin(v * f) * wf)
+            rows.append(jnp.cos(v * f) * wf)
         rows.extend([XT * inv_v, YT * inv_v, ZT * inv_v])
         return jnp.concatenate(rows, axis=0), None
-    it = encode_intermediates(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref)
+    it = encode_intermediates(
+        pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref,
+        nf_kp=nf_kp, nf_view=nf_view, sched_ref=sched_ref,
+    )
     return it["e_pts"], it["e_view"]
 
 
@@ -272,12 +313,16 @@ def _field_kernel(
     skips: Tuple[int, ...],
     code_ch: int,
     density_only: bool,
+    nf_kp: int,
+    nf_view: int,
+    freq_sched: bool,
     pts_ref,  # (3, P) f32
     dirs_ref,  # (3, P) f32
     rot_ref,  # (1, 24, 9) f32   this group's skts rotations
     trn_ref,  # (1, 24, 3) f32
     cut_ref,  # (24, 1) f32
     tau_ref,  # (1, 1) f32 SMEM
+    sched_ref,  # (1, nf_kp + nf_view) f32 SMEM BARF octave weights
     code_ref,  # (1, max(code_ch, 1)) f32 per-group framecode
     *refs,  # weights..., out_ref
 ):
@@ -286,7 +331,8 @@ def _field_kernel(
 
     e_pts, e_view = encode_channels(
         pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref, tau_ref,
-        with_view=not density_only,
+        with_view=not density_only, nf_kp=nf_kp, nf_view=nf_view,
+        sched_ref=sched_ref if freq_sched else None,
     )
     P = e_pts.shape[1]
 
@@ -334,7 +380,8 @@ def flatten_weights(params: FusedFieldParams, depth: int):
     return ws
 
 
-def grouped_specs(ns: int, n_groups: int, tile: int, rot, trn, cut, codes, weights):
+def grouped_specs(ns: int, n_groups: int, tile: int, rot, trn, cut, sched,
+                  codes, weights):
     """Grid + BlockSpecs shared by the forward and backward field kernels.
 
     Points are grouped by pose: grid (n_groups, tiles_per_group); each grid
@@ -354,6 +401,9 @@ def grouped_specs(ns: int, n_groups: int, tile: int, rot, trn, cut, codes, weigh
         pl.BlockSpec((1, 24, 3), lambda g, j: (g, 0, 0), memory_space=pltpu.VMEM),
         full(cut),
         pl.BlockSpec((1, 1), lambda g, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            sched.shape, lambda g, j: (0, 0), memory_space=pltpu.SMEM
+        ),  # BARF octave weights (scalars)
         full(codes),  # all framecode rows (tiny); kernel indexes its group
     ] + [full(w) for w in weights]
     out_spec = pl.BlockSpec(
@@ -365,7 +415,7 @@ def grouped_specs(ns: int, n_groups: int, tile: int, rot, trn, cut, codes, weigh
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "skips", "interpret", "tile", "code_ch",
-                     "density_only"),
+                     "density_only", "nf_kp", "nf_view", "freq_sched"),
 )
 def fused_field(
     pts_t: jax.Array,  # (3, NS) f32; NS % (n_groups * tile) == 0,
@@ -382,16 +432,27 @@ def fused_field(
     tile: int = POINT_TILE,
     code_ch: int = 0,
     density_only: bool = False,
+    nf_kp: int = NF_KP,
+    nf_view: int = NF_VIEW,
+    freq_sched: bool = False,
+    sched: jax.Array = None,  # (1, nf_kp + nf_view) BARF octave weights
 ) -> jax.Array:
     """-> raw_t (4, NS) [r, g, b, sigma] (rgb rows zero when density_only)."""
     ns = pts_t.shape[1]
+    if sched is None:
+        sched = jnp.ones((1, max(nf_kp + nf_view, 1)), jnp.float32)
     weights = flatten_weights(params, depth)
-    kernel = functools.partial(_field_kernel, depth, skips, code_ch, density_only)
-    grid, in_specs, out_spec, _ = grouped_specs(
-        ns, rot.shape[0], tile, rot, trn, cut, codes, weights
+    kernel = functools.partial(
+        _field_kernel, depth, skips, code_ch, density_only,
+        nf_kp, nf_view, freq_sched,
     )
+    grid, in_specs, out_spec, _ = grouped_specs(
+        ns, rot.shape[0], tile, rot, trn, cut, sched, codes, weights
+    )
+    pc, vc = pts_ch(nf_kp), view_ch(nf_view)
     flops_per_pt = 2 * (
-        432 * 256 + 6 * 256 * 256 + 688 * 256 + 256 * 256 + 256 + 904 * 128 + 3 * 128
+        pc * 256 + 6 * 256 * 256 + (pc + 256) * 256 + 256 * 256 + 256
+        + (256 + vc + code_ch) * 128 + 3 * 128
     )
     return pl.pallas_call(
         kernel,
@@ -402,10 +463,10 @@ def fused_field(
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pt * ns,
             bytes_accessed=(3 + 3 + 4) * 4 * ns + 2_000_000,
-            transcendentals=(24 * 15 + 72 * 8) * ns,
+            transcendentals=(24 * (1 + 2 * nf_kp) + 72 * 2 * nf_view) * ns,
         ),
         interpret=interpret,
-    )(pts_t, dirs_t, rot, trn, cut, tau, codes, *weights)
+    )(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, *weights)
 
 
 def fused_run_net(
@@ -421,6 +482,7 @@ def fused_run_net(
     eval_mean_code: bool = False,
     input_grads: bool = False,
     density_only: bool = False,
+    view_embed_state: Dict = None,  # for the view ladder's BARF alpha
 ) -> jax.Array:
     """Drop-in replacement for raycast._run_net on the supported subset.
 
@@ -456,6 +518,23 @@ def fused_run_net(
     cut = embed_state["cutoff_dist"][:, None]
     tau = embed_state["tau"].reshape(1, 1)
 
+    nf_kp, nf_view = cfg.multires, cfg.multires_views
+    freq_sched = bool(getattr(cfg.embed_kp_cfg, "freq_schedule", False))
+    if freq_sched:
+        # BARF octave window (reference get_schedule_w,
+        # core/cutoff_embedder.py:192-198), one weight per sin/cos octave;
+        # kp and view ladders each use their embedder's alpha
+        def _sw(alpha, nf):
+            k = jnp.arange(nf, dtype=jnp.float32)
+            return 0.5 * (1.0 - jnp.cos(jnp.pi * jnp.clip(alpha - k, 0.0, 1.0)))
+
+        a_view = (view_embed_state or embed_state)["alpha"]
+        sched = jnp.concatenate(
+            [_sw(embed_state["alpha"], nf_kp), _sw(a_view, nf_view)]
+        )[None, :]
+    else:
+        sched = None
+
     # per-group framecodes (reference Optcodes, networks/embedding.py):
     # cam idxs are constant within an image's rays, so one code row per group
     code_ch = cfg.framecode_ch if cfg.opt_framecode else 0
@@ -472,23 +551,34 @@ def fused_run_net(
         codes = jnp.zeros((G, 1), jnp.float32)
 
     skips = (4,) if cfg.netdepth > 4 else ()
+    if sched is None:
+        sched_arr = jnp.ones((1, max(nf_kp + nf_view, 1)), jnp.float32)
+    else:
+        sched_arr = sched
     if trainable:
         prepared = prepare_params(
-            net_params, skips=skips, dtype=jnp.float32, code_ch=code_ch
+            net_params, skips=skips, dtype=jnp.float32, code_ch=code_ch,
+            nf_kp=nf_kp, nf_view=nf_view,
         )
         f = make_trainable_field(
             depth=cfg.netdepth, skips=skips, interpret=interpret,
             code_ch=code_ch, input_grads=input_grads,
+            nf_kp=nf_kp, nf_view=nf_view, freq_sched=freq_sched,
         )
-        raw_t = f(pts_t, dirs, rot, trn, cut, tau, codes, prepared)
+        raw_t = f(pts_t, dirs, rot, trn, cut, tau, sched_arr, codes, prepared)
     else:
         if prepared is None:
-            prepared = prepare_params(net_params, skips=skips, code_ch=code_ch)
+            prepared = prepare_params(
+                net_params, skips=skips, code_ch=code_ch,
+                nf_kp=nf_kp, nf_view=nf_view,
+            )
         raw_t = fused_field(
             pts_t, dirs, rot, trn, cut, tau, codes, prepared,
             depth=cfg.netdepth, skips=skips,
             interpret=interpret, code_ch=code_ch,
             density_only=density_only,
+            nf_kp=nf_kp, nf_view=nf_view, freq_sched=freq_sched,
+            sched=sched_arr,
         )
     if pad:
         raw_t = raw_t[:, :ns]

@@ -29,7 +29,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from posegen_tpu.kernels.field import (
-    KP_CH,
     N_JOINTS,
     NF_KP,
     NF_VIEW,
@@ -37,7 +36,9 @@ from posegen_tpu.kernels.field import (
     encode_intermediates,
     fused_field,
     grouped_specs,
+    kp_ch,
     mm_t,
+    view_ch,
 )
 
 TRAIN_TILE = 256
@@ -89,40 +90,45 @@ def _mm_tn(w, g):
     )
 
 
-def _encode_backward(it, rot, tau, g_e_pts, g_e_view):
+def _encode_backward(it, rot, tau, g_e_pts, g_e_view,
+                     nf_kp: int = NF_KP, nf_view: int = NF_VIEW):
     """Cotangents of the fused encoding back to its inputs.
 
     it: encode_intermediates dict (kernel channel order). rot: (24, 9).
-    g_e_pts (432, P) / g_e_view (648, P): encoding cotangents.
+    g_e_pts (pts_ch, P) / g_e_view (view_ch, P): encoding cotangents.
+    BARF octave weights (it['sw_kp'/'sw_view']) scale the octave cotangents
+    exactly as they scaled the forward rows.
     Returns (g_pts (3,P), g_dirs (3,P), g_rot (24,9), g_trn (24,3)) — the
     input gradients that let pose-opt training (reference core/pose_opt.py:
     372-445: loss -> compositor -> encodings -> skts -> FK -> pose params)
     run fused.
     """
     NJ = N_JOINTS
+    KC = kp_ch(nf_kp)
     v, w, sig, inv_v = it["v"], it["w"], it["sig"], it["inv_v"]
     XT, YT, ZT = it["XT"], it["YT"], it["ZT"]
     DX, DY, DZ = it["DX"], it["DY"], it["DZ"]
     dn_inv = it["dn_inv"]
     dn = (it["dnx"], it["dny"], it["dnz"])
+    sw_kp, sw_view = it["sw_kp"], it["sw_view"]
 
-    # ---- kp PE block: rows [v*w | sin(v f)*w, cos(v f)*w per octave] -------
+    # ---- kp PE block: rows [v*w | sin(v f)*w*sw, cos(v f)*w*sw per octave] --
     G0 = g_e_pts[0:NJ]
     g_v = G0 * w
     g_w = G0 * v
-    for f_idx in range(NF_KP):
+    for f_idx in range(nf_kp):
         f = 2.0**f_idx
         s_ = jnp.sin(v * f)
         c_ = jnp.cos(v * f)
-        Gs = g_e_pts[NJ * (1 + 2 * f_idx) : NJ * (2 + 2 * f_idx)]
-        Gc = g_e_pts[NJ * (2 + 2 * f_idx) : NJ * (3 + 2 * f_idx)]
+        Gs = g_e_pts[NJ * (1 + 2 * f_idx) : NJ * (2 + 2 * f_idx)] * sw_kp[f_idx]
+        Gc = g_e_pts[NJ * (2 + 2 * f_idx) : NJ * (3 + 2 * f_idx)] * sw_kp[f_idx]
         g_v += (Gs * c_ - Gc * s_) * (f * w)
         g_w += Gs * s_ + Gc * c_
 
     # ---- reldir rows: XT*inv_v | YT*inv_v | ZT*inv_v ------------------------
-    Gdx = g_e_pts[KP_CH : KP_CH + NJ]
-    Gdy = g_e_pts[KP_CH + NJ : KP_CH + 2 * NJ]
-    Gdz = g_e_pts[KP_CH + 2 * NJ : KP_CH + 3 * NJ]
+    Gdx = g_e_pts[KC : KC + NJ]
+    Gdy = g_e_pts[KC + NJ : KC + 2 * NJ]
+    Gdz = g_e_pts[KC + 2 * NJ : KC + 3 * NJ]
     g_XT = Gdx * inv_v
     g_YT = Gdy * inv_v
     g_ZT = Gdz * inv_v
@@ -136,12 +142,12 @@ def _encode_backward(it, rot, tau, g_e_pts, g_e_view):
         H0 = g_e_view[c * NJ : (c + 1) * NJ]
         g_dn.append(H0 * w)
         g_w += H0 * dn[c]
-    for f_idx in range(NF_VIEW):
+    for f_idx in range(nf_view):
         f = 2.0**f_idx
         base = 3 * NJ + f_idx * 6 * NJ
         for c in range(3):
-            Hs = g_e_view[base + c * NJ : base + (c + 1) * NJ]
-            Hc = g_e_view[base + (3 + c) * NJ : base + (4 + c) * NJ]
+            Hs = g_e_view[base + c * NJ : base + (c + 1) * NJ] * sw_view[f_idx]
+            Hc = g_e_view[base + (3 + c) * NJ : base + (4 + c) * NJ] * sw_view[f_idx]
             sq = jnp.sin(dn[c] * f)
             cq = jnp.cos(dn[c] * f)
             g_dn[c] += (Hs * cq - Hc * sq) * (f * w)
@@ -196,7 +202,11 @@ def _field_bwd_kernel(
     skips: Tuple[int, ...],
     code_ch: int,
     input_grads: bool,
-    pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref, code_ref,
+    nf_kp: int,
+    nf_view: int,
+    freq_sched: bool,
+    pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref, sched_ref,
+    code_ref,
     *refs,
 ):
     n_w = 2 * depth + 8
@@ -206,7 +216,9 @@ def _field_bwd_kernel(
     outs = refs[n_w + 1:]
 
     it = encode_intermediates(
-        pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref, tau_ref
+        pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref, tau_ref,
+        nf_kp=nf_kp, nf_view=nf_view,
+        sched_ref=sched_ref if freq_sched else None,
     )
     e_pts, e_view = it["e_pts"], it["e_view"]
 
@@ -262,7 +274,8 @@ def _field_bwd_kernel(
         # code gradients: full (G, C) output block; zero once at the global
         # first grid step (TPU grids iterate sequentially), then every step
         # adds its tile's contribution to its group's row
-        g_code = jnp.sum(g_hv_in[904 : 904 + code_ch, :], axis=1)[None, :]
+        cb = 256 + view_ch(nf_view)
+        g_code = jnp.sum(g_hv_in[cb : cb + code_ch, :], axis=1)[None, :]
         gid = pl.program_id(0)
         global_first = (pl.program_id(0) + pl.program_id(1)) == 0
 
@@ -300,7 +313,8 @@ def _field_bwd_kernel(
     if input_grads:
         g_e_view = g_hv_in[256 : 256 + e_view.shape[0], :]
         g_pts, g_dirs, g_rot, g_trn = _encode_backward(
-            it, rot_ref[0], tau_ref[0, 0], g_e_pts, g_e_view
+            it, rot_ref[0], tau_ref[0, 0], g_e_pts, g_e_view,
+            nf_kp=nf_kp, nf_view=nf_view,
         )
         d_pts_ref, d_dirs_ref, d_rot_ref, d_trn_ref = outs[-4:]
         d_pts_ref[:, :] = g_pts
@@ -326,8 +340,12 @@ def make_trainable_field(
     interpret: bool = False,
     code_ch: int = 0,
     input_grads: bool = False,
+    nf_kp: int = NF_KP,
+    nf_view: int = NF_VIEW,
+    freq_sched: bool = False,
 ):
-    """-> f(pts_t, dirs_t, rot, trn, cut, tau, codes, params) with custom VJP.
+    """-> f(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params) with
+    custom VJP.
 
     params: FusedFieldParams of f32 tensors. Weights AND per-group
     framecodes always get real gradients (the framecode table outside
@@ -337,32 +355,34 @@ def make_trainable_field(
     core/pose_opt.py:372-445) runs fused; otherwise those come back zero
     (rays are data, skts fixed)."""
 
-    def fwd_only(pts_t, dirs_t, rot, trn, cut, tau, codes, params):
+    def fwd_only(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params):
         return fused_field(
             pts_t, dirs_t, rot, trn, cut, tau, codes, params,
             depth=depth, skips=skips, interpret=interpret, tile=tile,
-            code_ch=code_ch,
+            code_ch=code_ch, nf_kp=nf_kp, nf_view=nf_view,
+            freq_sched=freq_sched, sched=sched,
         )
 
     @jax.custom_vjp
-    def f(pts_t, dirs_t, rot, trn, cut, tau, codes, params):
-        return fwd_only(pts_t, dirs_t, rot, trn, cut, tau, codes, params)
+    def f(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params):
+        return fwd_only(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params)
 
-    def f_fwd(pts_t, dirs_t, rot, trn, cut, tau, codes, params):
-        out = fwd_only(pts_t, dirs_t, rot, trn, cut, tau, codes, params)
-        return out, (pts_t, dirs_t, rot, trn, cut, tau, codes, params)
+    def f_fwd(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params):
+        out = fwd_only(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params)
+        return out, (pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params)
 
     def f_bwd(res, g):
-        pts_t, dirs_t, rot, trn, cut, tau, codes, params = res
+        pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params = res
         ns = pts_t.shape[1]
         n_groups = rot.shape[0]
         weights = _flatten_params(params, depth)
 
         kernel = functools.partial(
-            _field_bwd_kernel, depth, skips, code_ch, input_grads
+            _field_bwd_kernel, depth, skips, code_ch, input_grads,
+            nf_kp, nf_view, freq_sched,
         )
         grid, in_specs, g_spec, full = grouped_specs(
-            ns, n_groups, tile, rot, trn, cut, codes, weights
+            ns, n_groups, tile, rot, trn, cut, sched, codes, weights
         )
         in_specs = in_specs + [g_spec]  # output cotangent tiles like points
         out_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
@@ -388,8 +408,12 @@ def make_trainable_field(
                 pl.BlockSpec((1, 24, 3), lambda g_, j: (g_, 0, 0), memory_space=pltpu.VMEM),
             ]
 
+        from posegen_tpu.kernels.field import pts_ch
+
+        pc, vc = pts_ch(nf_kp), view_ch(nf_view)
         flops_per_pt = 3 * 2 * (
-            432 * 256 + 6 * 256 * 256 + 688 * 256 + 256 * 256 + 904 * 128
+            pc * 256 + 6 * 256 * 256 + (pc + 256) * 256 + 256 * 256
+            + (256 + vc + code_ch) * 128
         )
         grads = pl.pallas_call(
             kernel,
@@ -400,10 +424,10 @@ def make_trainable_field(
             cost_estimate=pl.CostEstimate(
                 flops=flops_per_pt * ns,
                 bytes_accessed=(3 + 3 + 4) * 4 * ns + 8_000_000,
-                transcendentals=(24 * 15 + 72 * 8) * ns,
+                transcendentals=(24 * (1 + 2 * nf_kp) + 72 * 2 * nf_view) * ns,
             ),
             interpret=interpret,
-        )(pts_t, dirs_t, rot, trn, cut, tau, codes, *weights, g)
+        )(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, *weights, g)
 
         grads = list(grads)
         zeros = lambda a: jnp.zeros_like(a)
@@ -419,7 +443,7 @@ def make_trainable_field(
         d_params = _unflatten_params(grads, depth)
         return (
             d_pts, d_dirs, d_rot, d_trn,
-            zeros(cut), zeros(tau), d_codes, d_params,
+            zeros(cut), zeros(tau), zeros(sched), d_codes, d_params,
         )
 
     f.defvjp(f_fwd, f_bwd)

@@ -286,6 +286,7 @@ def _run_net(
             eval_mean_code=eval_mean_code,
             input_grads=use_fused == "full",
             density_only=density_only and use_fused is True,
+            view_embed_state=params.get("embed_view"),
         )
     x_pts, x_views, _ = encode_inputs(cfg, params, pts, rays_d, ctx)
     frame_idx = None

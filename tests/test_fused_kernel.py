@@ -195,3 +195,123 @@ def test_density_only_kernel_sigma_exact():
         assert float(jnp.abs(raw_full[..., :3]).max()) > 0.0
     finally:
         field.MM_DTYPE = orig
+
+
+def test_supports_fused_every_reference_config():
+    """supports_fused_config is true for ALL shipped reference workload
+    definitions — incl. surreal_single (multires_views = 0, single_net) and
+    any freq_schedule (BARF) variant (VERDICT r2 #5)."""
+    import glob
+
+    from posegen_tpu.cli.config import (
+        args_to_raycast_config, nerf_config_parser, parse_with_config,
+    )
+    from posegen_tpu.kernels.field import supports_fused_config
+
+    paths = sorted(glob.glob("/root/reference/configs/*/*.txt"))
+    assert len(paths) == 8
+    for p in paths:
+        args = parse_with_config(nerf_config_parser(), ["--config", p])
+        cfg = args_to_raycast_config(args, n_framecodes=4)
+        assert supports_fused_config(cfg), f"kernel rejects {p}"
+    assert supports_fused_config(RaycastConfig(freq_schedule=True))
+
+
+@pytest.mark.slow
+def test_fused_no_view_pe_matches_xla():
+    """multires_views = 0 (surreal_single): the view branch has no PE
+    ladder (72 gated dn channels only); kernel == XLA path."""
+    from posegen_tpu.models import nerf as nerf_mod
+    from posegen_tpu.render.raycast import encode_inputs
+    import posegen_tpu.kernels.field as field
+
+    orig = field.MM_DTYPE
+    field.MM_DTYPE = jnp.float32
+    try:
+        cfg, params, ctx, ro, rd = make_problem(
+            RaycastConfig(multires_views=0, single_net=True, N_samples=8,
+                          N_importance=4),
+            n_rays=8,
+        )
+        n, s = 8, 8
+        z = jnp.sort(
+            jax.random.uniform(jax.random.PRNGKey(3), (n, s), minval=0.5, maxval=2.0),
+            axis=-1,
+        )
+        pts = ro[:, None] + rd[:, None] * z[..., None]
+        x_pts, x_views, _ = encode_inputs(cfg, params, pts, rd, ctx)
+        assert x_views.shape[-1] == 72
+        raw_ref = nerf_mod.nerf_apply(cfg.nerf_cfg, params["coarse"], x_pts, x_views)
+        raw_k = fused_run_net(
+            cfg, params["coarse"], params["embed_kp"], pts, rd, ctx, interpret=True
+        )
+        np.testing.assert_allclose(  # f32 accumulation-order tolerance
+            np.asarray(raw_k), np.asarray(raw_ref), rtol=1e-3, atol=5e-4
+        )
+    finally:
+        field.MM_DTYPE = orig
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("trainable", [False, True])
+def test_fused_freq_schedule_matches_xla(trainable):
+    """BARF freq_schedule: mid-window alphas scale each sin/cos octave
+    in-kernel exactly like the XLA embedding (+ gradients through the
+    scheduled encodings on the trainable path)."""
+    from posegen_tpu.models import nerf as nerf_mod
+    from posegen_tpu.render.raycast import encode_inputs
+    import posegen_tpu.kernels.field as field
+
+    orig = field.MM_DTYPE
+    field.MM_DTYPE = jnp.float32
+    try:
+        cfg, params, ctx, ro, rd = make_problem(
+            RaycastConfig(freq_schedule=True, init_freq=0.0, N_samples=8,
+                          N_importance=4),
+            n_rays=8,
+        )
+        # mid-anneal: fractional window on both ladders
+        params = dict(params)
+        params["embed_kp"] = {**params["embed_kp"], "alpha": jnp.asarray(2.3)}
+        params["embed_view"] = {**params["embed_view"], "alpha": jnp.asarray(1.7)}
+        n, s = 8, 8
+        z = jnp.sort(
+            jax.random.uniform(jax.random.PRNGKey(3), (n, s), minval=0.5, maxval=2.0),
+            axis=-1,
+        )
+        pts = ro[:, None] + rd[:, None] * z[..., None]
+        x_pts, x_views, _ = encode_inputs(cfg, params, pts, rd, ctx)
+        raw_ref = nerf_mod.nerf_apply(cfg.nerf_cfg, params["coarse"], x_pts, x_views)
+        raw_k = fused_run_net(
+            cfg, params["coarse"], params["embed_kp"], pts, rd, ctx,
+            interpret=True, trainable=trainable,
+            view_embed_state=params["embed_view"],
+        )
+        np.testing.assert_allclose(  # f32 accumulation-order tolerance
+            np.asarray(raw_k), np.asarray(raw_ref), rtol=1e-3, atol=5e-4
+        )
+        if trainable:
+            wgt = jax.random.normal(jax.random.PRNGKey(7), (n, s, 4))
+
+            def loss_xla(net):
+                xp, xv, _ = encode_inputs(cfg, {**params, "coarse": net}, pts, rd, ctx)
+                return jnp.sum(nerf_mod.nerf_apply(cfg.nerf_cfg, net, xp, xv) * wgt)
+
+            def loss_fused(net):
+                raw = fused_run_net(
+                    cfg, net, params["embed_kp"], pts, rd, ctx,
+                    interpret=True, trainable=True,
+                    view_embed_state=params["embed_view"],
+                )
+                return jnp.sum(raw * wgt)
+
+            g_xla = jax.grad(loss_xla)(params["coarse"])
+            g_fus = jax.grad(loss_fused)(params["coarse"])
+            for lay in range(len(g_xla["pts_linears"])):
+                np.testing.assert_allclose(
+                    np.asarray(g_fus["pts_linears"][lay]["w"]),
+                    np.asarray(g_xla["pts_linears"][lay]["w"]),
+                    rtol=2e-3, atol=5e-4,
+                )
+    finally:
+        field.MM_DTYPE = orig

@@ -356,3 +356,52 @@ def test_full_render_rays_parity(rng):
         a = np.asarray(ours[key])
         b = ref_out[ref_key].numpy()
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5, err_msg=key)
+
+
+def test_barf_schedule_parity_under_training(rng):
+    """BARF freq_schedule golden: alpha annealing (reference update_alpha,
+    cutoff_embedder.py:185-190) + the octave window (get_schedule_w, :192-198)
+    + the full scheduled embedding output, at several training steps."""
+    from core.cutoff_embedder import get_embedder
+
+    n, s, j = 4, 8, 24
+    v = rng.uniform(0.0, 1.5, (n, s, j)).astype(np.float32)
+
+    cutoff_kwargs = {
+        "cutoff": True, "cutoff_dim": j, "cutoff_dist": torch.ones(j) * 0.5,
+        "cutoff_inputs": True, "opt_cutoff": False, "cut_to_dist": False,
+        "dist_inputs": False, "shift_inputs": False,
+        "freq_schedule": True, "init_alpha": 0.0, "normalize": False,
+    }
+    ref_embed, _ = get_embedder(
+        7, input_dims=j, skel_type=None, cutoff_kwargs=cutoff_kwargs
+    )
+    cfg = emb.EmbedConfig(
+        num_freqs=7, input_dims=j, cutoff=True, cutoff_dim=j,
+        cutoff_inputs=True, dist_inputs=False, freq_schedule=True,
+        init_alpha=0.0,
+    )
+    # anneal to target = multires - 1 over freq_schedule_step kilo-steps
+    # (reference raycasters.py passes alpha_target; trainer uses
+    # freq_schedule_step) — compare at several global steps incl. mid-window
+    for gstep in (0, 900, 2500, 5000, 12000):
+        ref_embed.update_alpha(gstep, step=5, target=torch.tensor(6.0))
+        alpha = emb.update_alpha(cfg, gstep, step=5, target=6.0)
+        np.testing.assert_allclose(
+            float(alpha), float(ref_embed.sched_alpha), rtol=1e-6
+        )
+        ref_w = ref_embed.get_schedule_w().flatten().numpy()
+        our_w = np.asarray(emb._schedule_w(cfg, alpha)).flatten()
+        np.testing.assert_allclose(our_w, ref_w, rtol=1e-6)
+
+        ref_out, _ = ref_embed(torch.tensor(v), dists=torch.tensor(v))
+        state = {
+            "tau": jnp.asarray(float(ref_embed.tau)),
+            "alpha": alpha,
+            "cutoff_dist": jnp.ones((j,)) * 0.5,
+        }
+        ours, _ = emb.embed(cfg, jnp.asarray(v), dists=jnp.asarray(v), state=state)
+        np.testing.assert_allclose(
+            np.asarray(ours), ref_out.detach().numpy(), rtol=1e-3, atol=2e-4,
+            err_msg=f"step {gstep}",
+        )
