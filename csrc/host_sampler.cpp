@@ -134,4 +134,97 @@ void pg_gather_rays(const int64_t* idx, int64_t n,
   }
 }
 
+// Assemble a WHOLE training batch in one call: for each of n_images images
+// (mmapped pointers, no H5 copies), draw n_rays pixels without replacement
+// from its sampling mask (or a precomputed valid-index list) and gather
+// rays/targets into the flat (n_images*n_rays, ...) batch buffers.
+//
+// Replaces 64 x ~10 Python/ctypes round-trips per batch with one; combined
+// with mmapped H5 arrays this removes the per-batch full-image reads that
+// capped the loader (reference DataLoader did the same work in 16 worker
+// processes, core/load_data.py:78).
+//
+//   img_addr / mask_addr / bkgd_addr: per-image base pointers (0 = absent)
+//   valid_addr / valid_cnt: per-image int32 valid-pixel lists (0 = scan
+//                           the mask here instead; scratch: n_pixels i64)
+//   c2ws (n_images, 12) row-major top-3x4; fx/fy per image
+//   out_*: flat batch buffers; out_idx: sampled flat pixel indices
+void pg_assemble_batch(
+    int64_t n_images, int64_t n_rays, int64_t n_pixels,
+    const uint64_t* img_addr, const uint64_t* mask_addr,
+    const uint64_t* smask_addr, const uint64_t* bkgd_addr,
+    const uint64_t* valid_addr, const int64_t* valid_cnt,
+    const float* pix_dirs, const float* c2ws,
+    const float* fx, const float* fy,
+    uint64_t seed, int64_t* scratch,
+    float* rays_o, float* rays_d, float* target, float* fg, float* bg,
+    int64_t* out_idx) {
+  Rng rng(seed);
+  for (int64_t im = 0; im < n_images; ++im) {
+    const uint8_t* img = reinterpret_cast<const uint8_t*>(img_addr[im]);
+    const uint8_t* mask = reinterpret_cast<const uint8_t*>(mask_addr[im]);
+    const uint8_t* bkgd =
+        bkgd_addr ? reinterpret_cast<const uint8_t*>(bkgd_addr[im]) : nullptr;
+    int64_t* idx = out_idx + im * n_rays;
+
+    const int32_t* valid32 =
+        valid_addr ? reinterpret_cast<const int32_t*>(valid_addr[im]) : nullptr;
+    if (valid32) {
+      // read-only precomputed list: Floyd's sampling without replacement
+      const int64_t nv = valid_cnt[im];
+      if (nv <= 0) {
+        for (int64_t i = 0; i < n_rays; ++i)
+          idx[i] = (int64_t)rng.below((uint64_t)n_pixels);
+      } else if (nv <= n_rays) {
+        for (int64_t i = 0; i < n_rays; ++i)
+          idx[i] = valid32[rng.below((uint64_t)nv)];
+      } else {
+        for (int64_t i = 0; i < n_rays; ++i) {
+          const int64_t lim = nv - n_rays + i + 1;
+          int64_t t = (int64_t)rng.below((uint64_t)lim);
+          bool seen = false;
+          for (int64_t k = 0; k < i; ++k)
+            if (idx[k] == valid32[t]) { seen = true; break; }
+          idx[i] = seen ? valid32[lim - 1] : valid32[t];
+        }
+      }
+    } else {
+      // scan the sampling mask here (shares pg_sample_pixels's path);
+      // 64 x 512^2 scans are ~10 ms/batch — still far under step time
+      const uint8_t* smask = reinterpret_cast<const uint8_t*>(smask_addr[im]);
+      pg_sample_pixels(smask, n_pixels, n_rays, rng.next(), scratch, idx);
+    }
+    const float* c2w = c2ws + im * 12;
+    const float r00 = c2w[0], r01 = c2w[1], r02 = c2w[2], tx = c2w[3];
+    const float r10 = c2w[4], r11 = c2w[5], r12 = c2w[6], ty = c2w[7];
+    const float r20 = c2w[8], r21 = c2w[9], r22 = c2w[10], tz = c2w[11];
+    const float ifx = 1.0f / fx[im], ify = 1.0f / fy[im];
+    const float inv255 = 1.0f / 255.0f;
+    const int64_t o = im * n_rays;
+    for (int64_t i = 0; i < n_rays; ++i) {
+      const int64_t p = idx[i];
+      const float dx = pix_dirs[p * 3 + 0] * ifx;
+      const float dy = pix_dirs[p * 3 + 1] * ify;
+      const float dz = pix_dirs[p * 3 + 2];
+      rays_d[(o + i) * 3 + 0] = r00 * dx + r01 * dy + r02 * dz;
+      rays_d[(o + i) * 3 + 1] = r10 * dx + r11 * dy + r12 * dz;
+      rays_d[(o + i) * 3 + 2] = r20 * dx + r21 * dy + r22 * dz;
+      rays_o[(o + i) * 3 + 0] = tx;
+      rays_o[(o + i) * 3 + 1] = ty;
+      rays_o[(o + i) * 3 + 2] = tz;
+      target[(o + i) * 3 + 0] = img[p * 3 + 0] * inv255;
+      target[(o + i) * 3 + 1] = img[p * 3 + 1] * inv255;
+      target[(o + i) * 3 + 2] = img[p * 3 + 2] * inv255;
+      fg[o + i] = mask[p] > 0 ? 1.0f : 0.0f;
+      if (bkgd) {
+        bg[(o + i) * 3 + 0] = bkgd[p * 3 + 0] * inv255;
+        bg[(o + i) * 3 + 1] = bkgd[p * 3 + 1] * inv255;
+        bg[(o + i) * 3 + 2] = bkgd[p * 3 + 2] * inv255;
+      } else {
+        bg[(o + i) * 3 + 0] = bg[(o + i) * 3 + 1] = bg[(o + i) * 3 + 2] = 0.0f;
+      }
+    }
+  }
+}
+
 }  // extern "C"

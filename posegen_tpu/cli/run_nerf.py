@@ -92,7 +92,13 @@ def save_spiral_video(
         kps=render_data["kp3d"][:1], skts=render_data["skts"][:1],
         bones=render_data["bones"][:1], cyls=render_data["cyls"][:1],
     )
-    out = render_path(cfg, params, c2ws, (H, W, focal), [ctx], chunk=chunk)
+    from posegen_tpu.parallel.mesh import auto_render_fn
+
+    render_fn, chunk = auto_render_fn(cfg, chunk)
+    out = render_path(
+        cfg, params, c2ws, (H, W, focal), [ctx], chunk=chunk,
+        render_fn=render_fn,
+    )
     rgb_path = os.path.join(log_dir, f"spiral_{step:06d}_rgb.gif")
     imageio.mimwrite(
         rgb_path, (np.clip(out["rgbs"], 0, 1) * 255).astype(np.uint8), fps=5,

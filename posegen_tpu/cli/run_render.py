@@ -356,9 +356,14 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
         ctxs = [ctx_for(i) for i in range(n)]
         c2ws = render_data["c2ws"]
 
+    # multi-chip: shard each chunk's rays over the mesh (reference
+    # DataParallel's render-path role, core/raycasters.py:157)
+    from posegen_tpu.parallel.mesh import auto_render_fn
+
+    render_fn, chunk = auto_render_fn(cfg, args.chunk)
     out = render_path(
         cfg, variables, c2ws, (H, W, focal), ctxs,
-        chunk=args.chunk, white_bkgd=args.white_bkgd,
+        chunk=chunk, white_bkgd=args.white_bkgd, render_fn=render_fn,
     )
 
     import imageio.v2 as imageio

@@ -84,6 +84,15 @@ class H5RayDataset:
             self.has_bkgd = "bkgds" in f
             self.ext_scale = float(f["ext_scale"][()]) if "ext_scale" in f else 0.001
             self._img_paths = f["img_paths"][:] if "img_paths" in f else None
+            # zero-copy fast path: per-row byte offsets into the raw file
+            # for the uncompressed image-like datasets (mmapped lazily)
+            self._filemap = None
+            self._row_offs: Optional[Dict[str, np.ndarray]] = None
+            self._sidx_off = None  # (byte_off, (N+1,) elem offsets) valid lists
+            try:
+                self._init_fast(f)
+            except Exception:
+                self._row_offs = None
 
         # single-camera training subset (reference --camera,
         # load_h36m.py camera_name variants): remap per-image metadata and
@@ -138,10 +147,150 @@ class H5RayDataset:
         self._pixel_dirs = self._make_pixel_dirs()
 
     def __getstate__(self):
-        # picklable for loader worker processes: drop the open h5 handle
+        # picklable for loader worker processes: drop the open h5 handle and
+        # the mmap (both reopened lazily in the child)
         state = dict(self.__dict__)
         state["_file"] = None
+        state["_filemap"] = None
         return state
+
+    # -- zero-copy batch assembly ------------------------------------------
+    def _init_fast(self, f: h5py.File) -> None:
+        """Record per-row byte offsets of the uncompressed image datasets.
+
+        The H5s our writer produces store imgs/masks/sampling_masks/bkgds
+        uncompressed in per-image chunks (data/writer.py), so every image is
+        one contiguous byte range: the loader can mmap the file once and
+        pass raw pointers to the native batch assembler — no h5py reads, no
+        copies. Falls back silently for compressed/foreign files."""
+        offs: Dict[str, np.ndarray] = {}
+        for name in ("imgs", "masks", "sampling_masks", "bkgds"):
+            if name not in f:
+                continue
+            ds = f[name]
+            if ds.compression is not None or ds.dtype != np.uint8:
+                return
+            n = ds.shape[0]
+            rowbytes = int(np.prod(ds.shape[1:]))
+            if ds.chunks is None:
+                off = ds.id.get_offset()
+                if off is None:
+                    return
+                offs[name] = off + np.arange(n, dtype=np.int64) * rowbytes
+            elif tuple(ds.chunks) == (1, *ds.shape[1:]):
+                if ds.id.get_num_chunks() != n:
+                    return
+                arr = np.full(n, -1, np.int64)
+                for ci in range(n):
+                    info = ds.id.get_chunk_info(ci)
+                    if info.filter_mask != 0 or info.size != rowbytes:
+                        return
+                    arr[info.chunk_offset[0]] = info.byte_offset
+                if (arr < 0).any():
+                    return
+                offs[name] = arr
+            else:
+                return
+        if not {"imgs", "masks", "sampling_masks"} <= set(offs):
+            return
+        if self.has_bkgd and "bkgds" not in offs:
+            return
+        self._row_offs = offs
+        # optional ingest-time valid-pixel index lists (data/writer.py)
+        if "sampling_idxs" in f and "sampling_idx_offsets" in f:
+            ds = f["sampling_idxs"]
+            if (
+                ds.compression is None
+                and ds.chunks is None
+                and ds.dtype == np.int32
+                and ds.id.get_offset() is not None
+            ):
+                self._sidx_off = (
+                    int(ds.id.get_offset()),
+                    f["sampling_idx_offsets"][:].astype(np.int64),
+                )
+
+    @property
+    def filemap(self) -> Optional[np.memmap]:
+        if self._filemap is None and self._row_offs is not None:
+            self._filemap = np.memmap(self.h5_path, dtype=np.uint8, mode="r")
+        return self._filemap
+
+    def sample_batch(self, idxs, seed: int) -> Optional[Dict[str, np.ndarray]]:
+        """Assemble a whole (G * rays_per_image) batch in ONE native call
+        over the mmapped file; None when the fast path does not apply."""
+        if (
+            self._row_offs is None
+            or self.patch_size > 1
+            or self.n_box_rays > 0
+            or self.centers is not None
+        ):
+            return None
+        from posegen_tpu.data import native
+
+        if native.get_lib() is None or self.filemap is None:
+            return None
+        idxs = np.asarray(idxs, np.int64)
+        rows = self._img_map[idxs] if self._img_map is not None else idxs
+        base = self.filemap.ctypes.data
+        offs = self._row_offs
+        img_addr = (base + offs["imgs"][rows]).astype(np.uint64)
+        mask_addr = (base + offs["masks"][rows]).astype(np.uint64)
+        smask_addr = (base + offs["sampling_masks"][rows]).astype(np.uint64)
+        bkgd_addr = (
+            (base + offs["bkgds"][self.bkgd_idxs[idxs]]).astype(np.uint64)
+            if self.has_bkgd
+            else None
+        )
+        valid_addr = valid_cnt = None
+        if self._sidx_off is not None:
+            byte0, eoffs = self._sidx_off
+            valid_addr = (base + byte0 + 4 * eoffs[rows]).astype(np.uint64)
+            valid_cnt = (eoffs[rows + 1] - eoffs[rows]).astype(np.int64)
+
+        focals = self.focals
+        if focals.ndim == 0:
+            fx = np.full(len(idxs), float(focals), np.float32)
+            fy = fx
+        elif focals.ndim == 1:
+            fx = focals[idxs].astype(np.float32)
+            fy = fx
+        else:
+            fx = focals[idxs, 0].astype(np.float32)
+            fy = focals[idxs, 1].astype(np.float32)
+
+        out = native.assemble_batch(
+            img_addr, mask_addr, smask_addr, bkgd_addr, valid_addr, valid_cnt,
+            self._pixel_dirs.reshape(-1, 3),
+            self.c2ws[idxs][:, :3, :4].reshape(len(idxs), 12),
+            fx, fy, self.H * self.W,
+            self.n_rays, seed,
+        )
+        if out is None:
+            return None
+        target, fg, bg = out["target_s"], out["fgs"], out["bgs"]
+        if self.white_bkgd and not self.has_bkgd:
+            bg = np.ones_like(bg)
+        if self.mask_image or self.white_bkgd:
+            target = target * fg + bg * (1.0 - fg)
+        kp_rows = self.kp_idxs[idxs]
+        n_rays = self.n_rays
+        return {
+            "rays_o": out["rays_o"],
+            "rays_d": out["rays_d"],
+            "target_s": target,
+            "fgs": fg,
+            "bgs": bg,
+            "kp3d": self.kp3d[kp_rows],
+            "bones": self.bones[kp_rows],
+            "skts": self.skts[kp_rows],
+            "cyls": self.cyls[kp_rows],
+            "kp_idx": kp_rows.astype(np.int32),
+            "temp_val": self.temp_val[idxs].astype(np.float32),
+            "cam_idxs": np.repeat(
+                self.cam_idxs[idxs].astype(np.int32), n_rays
+            )[:, None],
+        }
 
     # -- reference PoseRefinedDataset (dataset.py:544-568) ------------------
     def _load_refined(self, ckpt_path: str):
@@ -449,7 +598,15 @@ class RayBatchLoader:
         return idxs
 
     def make_batch(self) -> Dict[str, np.ndarray]:
-        parts = [self.dataset.sample_image(int(i)) for i in self._next_idxs()]
+        return self._batch_for(self._next_idxs(), self.rng)
+
+    def _batch_for(self, idxs, rng) -> Dict[str, np.ndarray]:
+        fast = getattr(self.dataset, "sample_batch", None)
+        if fast is not None:
+            out = fast(idxs, int(rng.integers(0, 2**63 - 1)))
+            if out is not None:
+                return out
+        parts = [self.dataset.sample_image(int(i)) for i in idxs]
         return {
             k: np.concatenate([p[k] for p in parts], axis=0) for k in parts[0]
         }
@@ -478,11 +635,16 @@ class RayBatchLoader:
                 return
             bid, idxs = item
             try:
-                parts = [dataset.sample_image(int(i)) for i in idxs]
-                batch = {
-                    k: np.concatenate([p[k] for p in parts], axis=0)
-                    for k in parts[0]
-                }
+                fast = getattr(dataset, "sample_batch", None)
+                batch = (
+                    fast(idxs, seed * 600011 + bid) if fast is not None else None
+                )
+                if batch is None:
+                    parts = [dataset.sample_image(int(i)) for i in idxs]
+                    batch = {
+                        k: np.concatenate([p[k] for p in parts], axis=0)
+                        for k in parts[0]
+                    }
             except Exception:  # surface the error in the parent, don't die
                 import traceback
 

@@ -56,6 +56,15 @@ def get_lib(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.c_float, ctypes.c_float,
         _F32P, _F32P, _F32P, _F32P, _F32P,
     ]
+    _U64P = ctypes.POINTER(ctypes.c_uint64)
+    lib.pg_assemble_batch.restype = None
+    lib.pg_assemble_batch.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _U64P, _U64P, _U64P, _U64P, _U64P, _I64P,
+        _F32P, _F32P, _F32P, _F32P,
+        ctypes.c_uint64, _I64P,
+        _F32P, _F32P, _F32P, _F32P, _F32P, _I64P,
+    ]
     _lib = lib
     return lib
 
@@ -112,6 +121,78 @@ def sample_and_gather(
         ctypes.c_float(fx), ctypes.c_float(fy),
         _ptr(rays_o, _F32P), _ptr(rays_d, _F32P),
         _ptr(target, _F32P), _ptr(fg, _F32P), _ptr(bg, _F32P),
+    )
+    return {
+        "idx": idx, "rays_o": rays_o, "rays_d": rays_d,
+        "target_s": target, "fgs": fg, "bgs": bg,
+    }
+
+
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+
+
+def assemble_batch(
+    img_addr: np.ndarray,  # (G,) uint64 per-image base pointers
+    mask_addr: np.ndarray,  # (G,) uint64 fg masks
+    smask_addr: np.ndarray,  # (G,) uint64 sampling masks
+    bkgd_addr: Optional[np.ndarray],  # (G,) uint64 or None
+    valid_addr: Optional[np.ndarray],  # (G,) uint64 int32 idx lists or None
+    valid_cnt: Optional[np.ndarray],  # (G,) int64
+    pix_dirs: np.ndarray,  # (H*W, 3) f32
+    c2ws: np.ndarray,  # (G, 12) f32
+    fx: np.ndarray,  # (G,) f32
+    fy: np.ndarray,  # (G,) f32
+    n_pixels: int,
+    n_rays: int,
+    seed: int,
+) -> Optional[Dict[str, np.ndarray]]:
+    """Whole-batch sample+gather over mmapped images; None if lib missing.
+
+    The addr arrays hold raw base pointers (np.memmap slices); the caller
+    must keep the owning buffers alive across the call."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    g = int(img_addr.shape[0])
+    n = g * n_rays
+    img_addr = np.ascontiguousarray(img_addr, np.uint64)
+    mask_addr = np.ascontiguousarray(mask_addr, np.uint64)
+    smask_addr = np.ascontiguousarray(smask_addr, np.uint64)
+    pix_dirs = np.ascontiguousarray(pix_dirs, np.float32)
+    c2ws = np.ascontiguousarray(c2ws, np.float32)
+    fx = np.ascontiguousarray(fx, np.float32)
+    fy = np.ascontiguousarray(fy, np.float32)
+    scratch = np.empty(n_pixels, np.int64)
+    rays_o = np.empty((n, 3), np.float32)
+    rays_d = np.empty((n, 3), np.float32)
+    target = np.empty((n, 3), np.float32)
+    fg = np.empty((n, 1), np.float32)
+    bg = np.empty((n, 3), np.float32)
+    idx = np.empty(n, np.int64)
+    # keep the address arrays alive in locals across the call (a bare
+    # _ptr(temporary) would let the GC free the buffer mid-call)
+    bk_arr = (
+        np.ascontiguousarray(bkgd_addr, np.uint64) if bkgd_addr is not None else None
+    )
+    va_arr = (
+        np.ascontiguousarray(valid_addr, np.uint64) if valid_addr is not None else None
+    )
+    vc_arr = (
+        np.ascontiguousarray(valid_cnt, np.int64) if valid_cnt is not None else None
+    )
+    bk = _ptr(bk_arr, _U64P) if bk_arr is not None else None
+    va = _ptr(va_arr, _U64P) if va_arr is not None else None
+    vc = _ptr(vc_arr, _I64P) if vc_arr is not None else None
+    lib.pg_assemble_batch(
+        g, n_rays, n_pixels,
+        _ptr(img_addr, _U64P), _ptr(mask_addr, _U64P), _ptr(smask_addr, _U64P),
+        bk, va, vc,
+        _ptr(pix_dirs, _F32P), _ptr(c2ws, _F32P),
+        _ptr(fx, _F32P), _ptr(fy, _F32P),
+        np.uint64(seed), _ptr(scratch, _I64P),
+        _ptr(rays_o, _F32P), _ptr(rays_d, _F32P),
+        _ptr(target, _F32P), _ptr(fg, _F32P), _ptr(bg, _F32P),
+        _ptr(idx, _I64P),
     )
     return {
         "idx": idx, "rays_o": rays_o, "rays_d": rays_d,

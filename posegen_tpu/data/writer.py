@@ -35,7 +35,13 @@ _PER_IMAGE_KEYS = ("imgs", "masks", "sampling_masks", "bkgds")
 
 
 def write_pose_h5(path: str, data: Dict[str, np.ndarray]) -> str:
-    """Write the dataset dict to H5 with per-image chunking."""
+    """Write the dataset dict to H5 with per-image chunking.
+
+    Also precomputes per-image sampling-mask valid-pixel index lists
+    (`sampling_idxs` int32 ragged concat + `sampling_idx_offsets`): they are
+    static, and storing them lets the loader's native batch assembler skip
+    the per-batch mask scans entirely (the cost the reference re-pays every
+    epoch in sample_pixels, core/dataset.py:277-322)."""
     img_shape = np.asarray(data["imgs"].shape[1:], dtype=np.int64)
     with h5py.File(path, "w") as f:
         f.create_dataset("img_shape", data=img_shape)
@@ -47,6 +53,17 @@ def write_pose_h5(path: str, data: Dict[str, np.ndarray]) -> str:
                 f.create_dataset(k, data=v, chunks=(1, *v.shape[1:]))
             else:
                 f.create_dataset(k, data=v)
+        if "sampling_masks" in data and "sampling_idxs" not in data:
+            sm = np.asarray(data["sampling_masks"])
+            flat = sm.reshape(sm.shape[0], -1)
+            lists = [np.flatnonzero(r > 0).astype(np.int32) for r in flat]
+            offsets = np.zeros(len(lists) + 1, np.int64)
+            np.cumsum([len(l) for l in lists], out=offsets[1:])
+            f.create_dataset(
+                "sampling_idxs",
+                data=np.concatenate(lists) if offsets[-1] else np.empty(0, np.int32),
+            )
+            f.create_dataset("sampling_idx_offsets", data=offsets)
     return path
 
 

@@ -87,14 +87,19 @@ class NeRFRenderer:
         self.hw = hw
         self.focal = focal
         self.pose_scale = pose_scale
-        self.chunk = chunk
+        from posegen_tpu.parallel.mesh import auto_render_fn
         from posegen_tpu.render.raycast import render_rays
 
-        self._render_fn = jax.jit(
-            lambda p, o, d, c: render_rays(
-                cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0, eval_mean_code=True
+        # multi-chip: the feedback renderer shards its 512^2 ray set over
+        # the mesh (reference DataParallel covered run_gan's render too)
+        self._render_fn, self.chunk = auto_render_fn(cfg, chunk)
+        if self._render_fn is None:
+            self._render_fn = jax.jit(
+                lambda p, o, d, c: render_rays(
+                    cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0,
+                    eval_mean_code=True,
+                )
             )
-        )
 
     def render_poses(self, bones: np.ndarray, c2ws: np.ndarray) -> np.ndarray:
         """Render one image per pose -> (K, H, W, 3) float [0, 1]

@@ -158,6 +158,23 @@ def make_shardmap_render(cfg, mesh: Mesh, axis: str = "data", use_fused=None):
     return jax.jit(sharded)
 
 
+def auto_render_fn(cfg, chunk: int, use_fused=None):
+    """(render_fn, chunk) for the current topology: on a multi-chip host,
+    a shard_map renderer over all devices + a mesh-divisible chunk; on one
+    chip (None, chunk) so callers keep the memoized single-device jit.
+
+    Covers every eval/render surface the reference ran under
+    nn.DataParallel (core/raycasters.py:157): run_render, the GAN feedback
+    renderer, i_video, evaluate_testset."""
+    import jax as _jax
+
+    if _jax.device_count() <= 1:
+        return None, chunk
+    mesh = make_mesh()
+    chunk = chunk - (chunk % mesh.size) or mesh.size
+    return make_shardmap_render(cfg, mesh, use_fused=use_fused), chunk
+
+
 def make_shardmap_train_step(
     cfg,
     tcfg,

@@ -163,15 +163,21 @@ def render_path(
     bgs=None,
     white_bkgd: bool = False,
     verbose: bool = False,
+    render_fn=None,
 ) -> Dict[str, np.ndarray]:
     """Render a sequence of (camera, pose) pairs (reference run_nerf.py:28-147).
 
     When there are fewer pose contexts than cameras, pose i%len(ctxs) is used
     (matching kp_to_valid_rays' cyl_idx convention).
-    """
+
+    render_fn: optional override — e.g. parallel.mesh.make_shardmap_render
+    to spread each chunk's rays across a device mesh (the multi-chip role
+    reference nn.DataParallel played on the render path,
+    core/raycasters.py:157)."""
     H, W, focal = hwf
     rgbs, accs, disps, bboxes = [], [], [], []
-    render_fn = _default_render_fn(cfg)
+    if render_fn is None:
+        render_fn = _default_render_fn(cfg)
     t0 = time.time()
     for i, c2w in enumerate(render_poses):
         ctx = ctxs[i % len(ctxs)]

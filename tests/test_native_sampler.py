@@ -101,3 +101,102 @@ def test_native_vs_numpy_throughput(lib, tmp_path, rng):
     ds._sample_image_native = native_fn
     ds.close()
     assert t_native < t_numpy * 1.5, (t_native, t_numpy)
+
+
+def test_assemble_batch_correctness(lib, tmp_path, rng):
+    """The one-call whole-batch assembler over the mmapped H5: pixels come
+    from the sampling mask WITHOUT replacement, targets/fg/bg match the
+    actual image bytes, rays match the numpy construction, and the
+    dataset-level fast batch equals the per-image slow path structurally."""
+    import h5py
+
+    from posegen_tpu.data.h5dataset import H5RayDataset, RayBatchLoader
+    from posegen_tpu.data.synthetic import make_synthetic_h5
+
+    path = make_synthetic_h5(str(tmp_path / "a.h5"), n_images=6, H=64, W=64)
+    ds = H5RayDataset(path, n_rays_per_image=32)
+    assert ds._row_offs is not None, "fast path did not initialize"
+    assert ds._sidx_off is not None, "writer did not store sampling idx lists"
+
+    idxs = np.asarray([3, 0, 5, 2])
+    base = ds.filemap.ctypes.data
+    offs = ds._row_offs
+    byte0, eoffs = ds._sidx_off
+    out = native.assemble_batch(
+        (base + offs["imgs"][idxs]).astype(np.uint64),
+        (base + offs["masks"][idxs]).astype(np.uint64),
+        (base + offs["sampling_masks"][idxs]).astype(np.uint64),
+        (base + offs["bkgds"][ds.bkgd_idxs[idxs]]).astype(np.uint64)
+        if ds.has_bkgd else None,
+        (base + byte0 + 4 * eoffs[idxs]).astype(np.uint64),
+        (eoffs[idxs + 1] - eoffs[idxs]).astype(np.int64),
+        ds._pixel_dirs.reshape(-1, 3),
+        ds.c2ws[idxs][:, :3, :4].reshape(4, 12),
+        np.full(4, float(np.ravel(ds.focals)[0]), np.float32),
+        np.full(4, float(np.ravel(ds.focals)[0]), np.float32),
+        ds.H * ds.W, 32, seed=99,
+    )
+    with h5py.File(path, "r") as f:
+        imgs = np.asarray(f["imgs"]).reshape(6, -1, 3)
+        masks = np.asarray(f["masks"]).reshape(6, -1)
+        smasks = np.asarray(f["sampling_masks"]).reshape(6, -1)
+    for g, im in enumerate(idxs):
+        pix = out["idx"][g * 32 : (g + 1) * 32]
+        assert len(set(pix.tolist())) == 32, "duplicate draws (w/o replacement)"
+        assert (smasks[im][pix] > 0).all(), "drew outside the sampling mask"
+        np.testing.assert_allclose(
+            out["target_s"][g * 32 : (g + 1) * 32],
+            imgs[im][pix] / 255.0, atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            out["fgs"][g * 32 : (g + 1) * 32, 0], (masks[im][pix] > 0).astype(np.float32)
+        )
+        # rays: match the numpy path construction for a couple of pixels
+        c2w = ds.c2ws[im]
+        d = ds._pixel_dirs.reshape(-1, 3)[pix].copy()
+        fx = float(np.ravel(ds.focals)[0])
+        d[:, 0] /= fx
+        d[:, 1] /= fx
+        np.testing.assert_allclose(
+            out["rays_d"][g * 32 : (g + 1) * 32], d @ c2w[:3, :3].T, rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            out["rays_o"][g * 32 : (g + 1) * 32],
+            np.broadcast_to(c2w[:3, 3], (32, 3)), rtol=1e-6,
+        )
+
+    # dataset-level: fast batch == slow batch in structure; loader uses it
+    fast = ds.sample_batch(idxs, seed=1)
+    assert fast is not None
+    loader = RayBatchLoader(ds, n_images_per_batch=4)
+    slow_parts = [ds.sample_image(int(i)) for i in idxs]
+    slow = {k: np.concatenate([p[k] for p in slow_parts]) for k in slow_parts[0]}
+    assert set(fast) == set(slow)
+    for k in fast:
+        assert fast[k].shape == slow[k].shape, k
+        assert fast[k].dtype == slow[k].dtype, (k, fast[k].dtype, slow[k].dtype)
+    # identical pose/meta rows (sampling differs only in drawn pixels)
+    for k in ("kp3d", "bones", "skts", "cyls", "kp_idx", "temp_val", "cam_idxs"):
+        np.testing.assert_array_equal(fast[k], slow[k], err_msg=k)
+    ds.close()
+
+
+def test_assemble_batch_scan_fallback(lib, tmp_path, rng):
+    """Without stored index lists the assembler scans masks in C and still
+    draws valid pixels."""
+    import h5py
+
+    from posegen_tpu.data.h5dataset import H5RayDataset
+    from posegen_tpu.data.synthetic import make_synthetic_h5
+
+    path = make_synthetic_h5(str(tmp_path / "b.h5"), n_images=3, H=48, W=48)
+    with h5py.File(path, "a") as f:
+        del f["sampling_idxs"], f["sampling_idx_offsets"]
+    ds = H5RayDataset(path, n_rays_per_image=16)
+    assert ds._row_offs is not None and ds._sidx_off is None
+    out = ds.sample_batch(np.asarray([0, 1, 2]), seed=5)
+    assert out is not None
+    with h5py.File(path, "r") as f:
+        smasks = np.asarray(f["sampling_masks"]).reshape(3, -1)
+    assert out["fgs"].shape == (48, 1)
+    ds.close()
