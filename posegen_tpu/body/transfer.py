@@ -32,6 +32,11 @@ class FitConfig:
     vertex_steps: int = 400
     lr: float = 0.05
     betas_weight: float = 1e-3  # shape prior (keep betas near zero)
+    # staged schedule mirroring the reference run_fitting
+    # (smplx/transfer_model/transfer_model.py:308-380):
+    per_part: bool = True  # stage A optimizes one body-pose joint at a time
+    part_steps: int = 40  # Adam steps per joint in the per-part stage
+    transl_steps: int = 100  # translation-only vertex stage
 
 
 def apply_deformation_transfer(def_matrix: np.ndarray, vertices: np.ndarray) -> np.ndarray:
@@ -72,11 +77,24 @@ def run_fitting(
     faces: Optional[np.ndarray] = None,
     cfg: FitConfig = FitConfig(),
     def_matrix: Optional[np.ndarray] = None,
+    mask_ids: Optional[np.ndarray] = None,
 ) -> Tuple[Dict[str, jax.Array], Dict[str, float]]:
     """Fit `model` params to target vertices (B, V_tgt, 3).
 
+    Staged schedule mirroring the reference run_fitting
+    (smplx/transfer_model/transfer_model.py:257-380):
+      A. per-part edge fitting — each body-pose joint's 3 axis-angle params
+         are optimized alone (others frozen, sequentially), expressed as a
+         lax.scan over joints with gradient masking inside one jit instead
+         of 24 separate LBFGS loops;
+      B. translation-only vertex fitting;
+      C. full vertex fitting over all variables (+ betas prior).
+
     def_matrix: optional (V_tgt, V_src) mapping when targets come from a
-    different topology. Returns (params, {'edge_loss', 'vertex_loss'}).
+    different topology. mask_ids: optional vertex-id subset — the vertex
+    loss sums over it and the edge loss keeps only faces touching it
+    (reference f_sel, transfer_model.py:283-290).
+    Returns (params, {'edge_loss', 'vertex_loss'}).
     """
     if def_matrix is not None:
         target_vertices = apply_deformation_transfer(def_matrix, target_vertices)
@@ -86,7 +104,16 @@ def run_fitting(
     faces = faces if faces is not None else model.faces
     if faces is None:
         raise ValueError("need faces for the edge objective")
-    edges = jnp.asarray(_edges_from_faces(np.asarray(faces)))
+    faces = np.asarray(faces)
+    if mask_ids is not None:
+        sel = np.isin(faces, np.asarray(mask_ids)).any(axis=1)
+        faces = faces[sel]
+        vmask = np.zeros(target.shape[1], np.float32)
+        vmask[np.asarray(mask_ids)] = 1.0
+        vmask = jnp.asarray(vmask)[None, :, None]
+    else:
+        vmask = None
+    edges = jnp.asarray(_edges_from_faces(faces))
 
     params = init_variables(B, model, model.shapedirs.shape[-1])
     opt = optax.adam(cfg.lr)
@@ -99,37 +126,75 @@ def run_fitting(
 
     def vertex_loss_fn(p):
         v = _forward(model, p)
-        return (
-            jnp.mean(jnp.sum((v - target) ** 2, -1))
-            + cfg.betas_weight * jnp.mean(p["betas"] ** 2)
-        )
+        sq = jnp.sum((v - target) ** 2, -1, keepdims=True)
+        if vmask is not None:
+            sq = sq * vmask
+        return jnp.mean(sq) + cfg.betas_weight * jnp.mean(p["betas"] ** 2)
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(2, 3))
-    def fit_stage(params, opt_state, use_vertex: bool, n_steps: int):
+    def _masked_scan(loss_fn, params, mask, n_steps):
+        """Adam on `mask`-selected gradient entries (others frozen)."""
+        opt_state = opt.init(params)
+
         def body(carry, _):
             p, s = carry
-            loss, g = jax.value_and_grad(
-                vertex_loss_fn if use_vertex else edge_loss_fn
-            )(p)
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            g = jax.tree_util.tree_map(lambda gg, m: gg * m, g, mask)
             updates, s = opt.update(g, s, p)
             return (optax.apply_updates(p, updates), s), loss
 
-        (params, opt_state), losses = jax.lax.scan(
+        (params, _), losses = jax.lax.scan(
             body, (params, opt_state), None, length=n_steps
         )
-        return params, opt_state, losses
+        return params, losses
 
-    # stage 1: edge objective settles the pose (translation-invariant)
-    opt_state = opt.init(params)
-    params, _, e_losses = fit_stage(params, opt_state, False, cfg.edge_steps)
-    # stage 2: full vertex objective for shape + translation
-    opt_state = opt.init(params)
-    params, _, v_losses = fit_stage(params, opt_state, True, cfg.vertex_steps)
+    ones_mask = jax.tree_util.tree_map(jnp.ones_like, params)
+    zeros_mask = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    @jax.jit
+    def stage_a_per_part(params):
+        """Sequential per-joint edge fits (reference Parts/Joints loops,
+        transfer_model.py:308-333) as one compiled scan over joints."""
+        n_pose = params["body_pose"].shape[-1]
+
+        def per_joint(params, j):
+            m = dict(zeros_mask)
+            jm = (jnp.arange(n_pose) // 3) == j
+            m["body_pose"] = jnp.broadcast_to(
+                jm.astype(jnp.float32), params["body_pose"].shape
+            )
+            params, losses = _masked_scan(edge_loss_fn, params, m, cfg.part_steps)
+            return params, losses[-1]
+
+        return jax.lax.scan(per_joint, params, jnp.arange(n_pose // 3))
+
+    @jax.jit
+    def stage_a_joint(params):
+        return _masked_scan(edge_loss_fn, params, ones_mask, cfg.edge_steps)
+
+    @jax.jit
+    def stage_b_transl(params):
+        m = dict(zeros_mask)
+        m["transl"] = jnp.ones_like(params["transl"])
+        return _masked_scan(vertex_loss_fn, params, m, cfg.transl_steps)
+
+    @jax.jit
+    def stage_c_full(params):
+        return _masked_scan(vertex_loss_fn, params, ones_mask, cfg.vertex_steps)
+
+    if cfg.per_part and cfg.part_steps > 0:
+        params, e_losses = stage_a_per_part(params)
+        e_last = e_losses[-1]
+    else:
+        params, e_losses = stage_a_joint(params)
+        e_last = e_losses[-1]
+    if cfg.transl_steps > 0:
+        params, _ = stage_b_transl(params)
+    params, v_losses = stage_c_full(params)
 
     return params, {
-        "edge_loss": float(e_losses[-1]),
+        "edge_loss": float(e_last),
         "vertex_loss": float(v_losses[-1]),
     }
 

@@ -260,16 +260,21 @@ UNSUPPORTED_NONDEFAULT = {
     "i_embed": 0,              # alternative embedders
     "use_yuv": False,          # dead in the reference too: rgb_to_yuv is
                                # called but never defined (trainer.py:13)
-    "precrop_iters": 0,        # center-crop warmup
-    "opt_posecode": False,     # per-pose codes
-    "opt_cutoff": False,       # learned cutoff distances
     "use_bgnet": False,        # background network
     "use_bgfill": False,       # background fill
     "use_lbsnet": False,       # LBS blending network
-    "pts_tr_type": "local",    # alternative point transforms
-    "rand_train_kps": None,    # random kp subset selection
-    "multiview": False,        # multiview kp sharing in the CLI
+    "pts_tr_type": "local",    # non-'local' raises NotImplementedError in
+                               # the reference too (raycasters.py:244-247)
 }
+
+# Flags the REFERENCE parses but never reads — accepted here with the same
+# no-op semantics (verified by grep over /root/reference):
+#   precrop_iters/precrop_frac  argparse-only (no consumer in run_nerf.py)
+#   opt_posecode                argparse-only (run_nerf.py:322)
+#   opt_cutoff                  stored on CutoffEmbedder but cutoff_dist is
+#                               always requires_grad=False and the flag is
+#                               never read again (cutoff_embedder.py:83-91)
+REFERENCE_DEAD_FLAGS = ("precrop_iters", "opt_posecode", "opt_cutoff")
 
 # Flags that parse and may diverge from their reference default without
 # changing this rebuild's output semantics (dissolved memory tiling, loader
@@ -317,6 +322,12 @@ def validate_args(args: argparse.Namespace, strict: bool = True) -> List[str]:
                 f"in the TPU rebuild (supported value: {default!r})"
             )
     warnings: List[str] = []
+    for key in REFERENCE_DEAD_FLAGS:
+        if getattr(args, key, None) not in (None, 0, False, 0.0):
+            warnings.append(
+                f"--{key}: parsed but runtime-inert — exactly as in the "
+                "reference, where this flag has no consumer"
+            )
     defaults = nerf_config_parser().parse_args([])
     for key, msg in WARN_DIVERGENT.items():
         if getattr(args, key, None) != getattr(defaults, key, None):
@@ -463,6 +474,27 @@ def args_to_data_config(args):
     box_frac = args.P_nms or 0.0
     if args.fg_ratio is not None:
         box_frac = max(box_frac, 1.0 - args.fg_ratio)
+    def _resolve_rand_kps(args):
+        """--rand_train_kps: train on a precomputed kp-index subset
+        (reference SurrealDataset N_rand_kps, load_surreal.py:320-364 loads
+        side .npy files of kp ids). Accepts a path or a name resolved under
+        <data_root>/<dataset>/<name>.npy; missing files error loudly."""
+        import os as _os
+
+        val = getattr(args, "rand_train_kps", None)
+        if not val:
+            return None
+        if _os.path.exists(val):
+            return val
+        cand = _os.path.join(
+            _resolve_data_root(args), _scalar(args.dataset_type), f"{val}.npy"
+        )
+        if _os.path.exists(cand):
+            return cand
+        raise SystemExit(
+            f"--rand_train_kps={val!r}: no such kp-subset file ({val} or {cand})"
+        )
+
     return DataConfig(
         dataset=_scalar(args.dataset_type),
         subject=subjects[0],
@@ -476,6 +508,8 @@ def args_to_data_config(args):
         white_bkgd=args.white_bkgd,
         load_refined=args.load_refined,
         camera=args.camera,
+        multiview=args.multiview,
+        subset_kps=_resolve_rand_kps(args),
         num_workers=args.num_workers,
         seed=args.seed,
     )

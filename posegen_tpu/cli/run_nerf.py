@@ -138,12 +138,18 @@ def train(argv: Optional[Sequence[str]] = None) -> str:
     )
     pose_params = anchors = None
     pcfg = None
+    kp_map = attrs.get("kp_map")
+    if kp_map is not None:
+        kp_map = jnp.asarray(kp_map)
     if args.opt_pose:
         pcfg = PoseOptConfig(
             use_rot6d=args.opt_rot6d, opt_pose_tol=args.opt_pose_tol,
             opt_pose_type=args.opt_pose_type, ext_scale=args.ext_scale,
         )
-        pose_params, anchors = init_pose_params(pcfg, attrs["bones"], attrs["kp3d"])
+        pose_params, anchors = init_pose_params(
+            pcfg, attrs["bones"], attrs["kp3d"],
+            kp_map=attrs.get("kp_map"), kp_uidxs=attrs.get("kp_uidxs"),
+        )
         if args.init_poseopt:
             # initialize the poseopt layer from a specific checkpoint
             # (reference --init_poseopt, pose_opt.py:212)
@@ -195,13 +201,14 @@ def train(argv: Optional[Sequence[str]] = None) -> str:
         state = replicate(state, mesh)
         pstep = make_shardmap_train_step(
             cfg, tcfg, pcfg, mesh=mesh,
-            rest_pose=rest_pose, n_frames=attrs["n_kps"],
+            rest_pose=rest_pose, kp_map=kp_map, n_frames=attrs["n_kps"],
         )
         prep = lambda b: shard_batch(b, mesh)
     else:
         mesh = None
         step_fn = make_train_step(
-            cfg, tcfg, pcfg, rest_pose=rest_pose, n_frames=attrs["n_kps"],
+            cfg, tcfg, pcfg, rest_pose=rest_pose, kp_map=kp_map,
+            n_frames=attrs["n_kps"],
         )
         pstep = jax.jit(step_fn, donate_argnums=(0,))
         prep = lambda b: {k: jnp.asarray(v) for k, v in b.items()}

@@ -55,6 +55,8 @@ class DataConfig:
     multi_subjects: Optional[Sequence[str]] = None
     num_val_images: int = 2
     camera: Optional[int] = None
+    multiview: bool = False
+    subset_kps: Optional[str] = None  # --rand_train_kps kp-id .npy
     num_workers: int = 0
     seed: int = 0
 
@@ -89,6 +91,8 @@ def load_data(cfg: DataConfig) -> Tuple[RayBatchLoader, Dict[str, Any], Dict[str
             white_bkgd=cfg.white_bkgd,
             load_refined=cfg.load_refined,
             camera=cfg.camera,
+            multiview=cfg.multiview,
+            subset_kps=cfg.subset_kps,
             seed=seed,
         )
 
@@ -127,5 +131,7 @@ def load_data(cfg: DataConfig) -> Tuple[RayBatchLoader, Dict[str, Any], Dict[str
         "hwf": (base.H, base.W, base.focals),
         "bones": ds.bones if hasattr(ds, "bones") else base.bones,
         "kp3d": ds.kp3d if hasattr(ds, "kp3d") else base.kp3d,
+        "kp_map": getattr(base, "kp_map", None),
+        "kp_uidxs": getattr(base, "kp_uidxs", None),
     }
     return loader, render_data, data_attrs

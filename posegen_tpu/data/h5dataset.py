@@ -43,6 +43,8 @@ class H5RayDataset:
         white_bkgd: bool = False,
         load_refined: Optional[str] = None,
         camera: Optional[int] = None,
+        multiview: bool = False,
+        subset_kps=None,
         seed: int = 0,
     ):
         self.h5_path = h5_path
@@ -94,9 +96,11 @@ class H5RayDataset:
             except Exception:
                 self._row_offs = None
 
-        # single-camera training subset (reference --camera,
-        # load_h36m.py camera_name variants): remap per-image metadata and
-        # keep a file-row map for the pixel reads
+        # image subsetting (reference --camera single-camera variants,
+        # load_h36m.py camera_name; --rand_train_kps kp-subset files,
+        # load_surreal.py:320-364): remap per-image metadata and keep a
+        # file-row map for the pixel reads
+        self._img_map = None
         if camera is not None:
             sel = np.flatnonzero(self.cam_idxs == camera)
             if sel.size == 0:
@@ -104,20 +108,18 @@ class H5RayDataset:
                     f"camera {camera} selects no images (cam ids: "
                     f"{np.unique(self.cam_idxs)})"
                 )
-            self._img_map = sel
-            self.n_images = sel.size
-            self.c2ws = self.c2ws[sel]
-            if self.focals.ndim:
-                self.focals = self.focals[sel]
-            if self.centers is not None:
-                self.centers = self.centers[sel]
-            self.kp_idxs = self.kp_idxs[sel]
-            self.cam_idxs = self.cam_idxs[sel]
-            self.bkgd_idxs = self.bkgd_idxs[sel]
-        else:
-            self._img_map = None
+            self._select_images(sel)
+        if subset_kps is not None:
+            keys = (
+                np.load(subset_kps) if isinstance(subset_kps, str)
+                else np.asarray(subset_kps)
+            )
+            sel = np.flatnonzero(np.isin(self.kp_idxs, np.unique(keys)))
+            if sel.size == 0:
+                raise ValueError("subset_kps selects no images")
+            self._select_images(sel)
 
-        if camera is not None and self._img_paths is not None:
+        if self._img_map is not None and self._img_paths is not None:
             self._img_paths = self._img_paths[self._img_map]
 
         # per-image temporal validity for --use_temp_loss (reference
@@ -139,12 +141,44 @@ class H5RayDataset:
         self.temp_validity = valid
         self.temp_val = (valid + np.roll(valid, -1)).astype(np.int64) // 2
 
+        # multiview pose sharing (reference _load_multiview_pose,
+        # load_h36m.py:422-431): frames of the same motion set map onto
+        # shared pose rows; non-root joints averaged across views
+        self.kp_map = self.kp_uidxs = None
+        if multiview:
+            if self._img_paths is None:
+                raise ValueError("--multiview needs img_paths in the H5")
+            if self.kp3d.shape[0] != self.n_images:
+                raise ValueError(
+                    "multiview expects one pose row per image "
+                    "(reference asserts no idx_map, dataset.py:198)"
+                )
+            from posegen_tpu.data.multiview import map_data_to_n_views
+
+            (self.kp_map, self.kp_uidxs, self.kp3d, self.bones,
+             self.skts) = map_data_to_n_views(
+                self._img_paths, self.kp3d, self.bones, self.rest_pose
+            )
+
         if load_refined is not None:
             self._load_refined(load_refined)
 
         # precomputed camera-frame pixel directions (reference init_meta,
         # dataset.py:125-182): one (H, W, 3) table reused by every image
         self._pixel_dirs = self._make_pixel_dirs()
+
+    def _select_images(self, sel: np.ndarray) -> None:
+        """Keep the `sel` image rows (composable: camera + kp subsets)."""
+        self._img_map = sel if self._img_map is None else self._img_map[sel]
+        self.n_images = sel.size
+        self.c2ws = self.c2ws[sel]
+        if self.focals.ndim:
+            self.focals = self.focals[sel]
+        if self.centers is not None:
+            self.centers = self.centers[sel]
+        self.kp_idxs = self.kp_idxs[sel]
+        self.cam_idxs = self.cam_idxs[sel]
+        self.bkgd_idxs = self.bkgd_idxs[sel]
 
     def __getstate__(self):
         # picklable for loader worker processes: drop the open h5 handle and

@@ -87,30 +87,6 @@ def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh, axis: str = "data") -> 
     }
 
 
-def make_parallel_train_step(train_step, mesh: Mesh, axis: str = "data"):
-    """jit the train step with replicated state and dim-0-sharded batch.
-
-    The per-ray loss mean over a sharded axis becomes an ICI psum; gradients
-    (functions of replicated params) come out replicated — data-parallel
-    training without any explicit collective in user code.
-    """
-    repl = NamedSharding(mesh, P())
-
-    def spec_for_batch(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] > 1 and x.shape[0] % mesh.size == 0:
-            return NamedSharding(mesh, P(axis))
-        return repl
-
-    def step(state, batch, key):
-        batch = {
-            k: jax.lax.with_sharding_constraint(v, spec_for_batch(v))
-            for k, v in batch.items()
-        }
-        return train_step(state, batch, key)
-
-    return jax.jit(step, donate_argnums=(0,))
-
-
 def make_parallel_render(render_fn, mesh: Mesh, axis: str = "data"):
     """jit a `(params, rays_o, rays_d, ctx) -> maps` render with rays sharded
     across chips and outputs gathered (the all_gather replaces DataParallel's

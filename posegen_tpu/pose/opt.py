@@ -49,22 +49,55 @@ def init_pose_params(
     bones: np.ndarray,
     kp3d: np.ndarray,
     skel: Skeleton = SMPL_SKELETON,
+    kp_map: Optional[np.ndarray] = None,
+    kp_uidxs: Optional[np.ndarray] = None,
 ) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
     """Build (params, anchors) from estimated poses.
 
     bones: (F, J, 3) axis-angle estimates; kp3d: (F, J, 3) world joints —
     the pelvis param is kp3d[:, root] (reference create_popt pose_opt.py:14-83).
+
+    Multiview (kp_map/kp_uidxs set — reference PoseOptLayer.init_kp_params,
+    pose_opt.py:277-296): the pelvis AND root bone stay per-view (F rows)
+    while the non-root bones are shared — one (U, J-1, D) table indexed by
+    kp_map[frame]; several cameras then optimize one pose.
+
     Returns (trainable params, frozen anchor copies for the reg loss).
     """
     pelvis = np.asarray(kp3d)[:, skel.root_id].astype(np.float32)
     b = np.asarray(bones, dtype=np.float32)
     if cfg.use_rot6d:
         b = np.asarray(rot_to_rot6d(axisang_to_rot(jnp.asarray(b))))
-    params = {"pelvis": jnp.asarray(pelvis), "bones": jnp.asarray(b)}
+    if kp_map is not None:
+        params = {
+            "pelvis": jnp.asarray(pelvis),
+            "root_bones": jnp.asarray(b[:, skel.root_id]),
+            "bones": jnp.asarray(b[np.asarray(kp_uidxs), skel.root_id + 1 :]),
+        }
+    else:
+        params = {"pelvis": jnp.asarray(pelvis), "bones": jnp.asarray(b)}
     # real copies, not aliases: anchors live alongside params in a (donatable)
     # train state, and XLA rejects donating one buffer twice
     anchors = jax.tree_util.tree_map(jnp.copy, params)
     return params, anchors
+
+
+def gather_pose_rows(
+    params: Dict[str, jax.Array],
+    idx: jax.Array,
+    kp_map: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """(pelvis (B, 3), bones (B, J, D)) for frame indices, resolving the
+    multiview layout (reference idx_to_params, pose_opt.py:322-333:
+    per-view root bone + kp_map-shared non-root bones)."""
+    pelvis = jnp.take(params["pelvis"], idx, axis=0)
+    if "root_bones" in params:
+        if kp_map is None:
+            raise ValueError("multiview pose params need kp_map")
+        rb = jnp.take(params["root_bones"], idx, axis=0)[:, None]
+        other = jnp.take(params["bones"], jnp.take(kp_map, idx), axis=0)
+        return pelvis, jnp.concatenate([rb, other], axis=1)
+    return pelvis, jnp.take(params["bones"], idx, axis=0)
 
 
 def pose_apply(
@@ -76,13 +109,11 @@ def pose_apply(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Gather pose rows for frame indices and run FK.
 
-    idx: (B,) dataset frame indices. kp_map: optional (N_dataset,) mapping to
-    shared pose rows. Returns (kps (B,J,3), bones, skts, l2ws).
+    idx: (B,) dataset frame indices. kp_map: optional (N_dataset,) mapping
+    to shared non-root bone rows (multiview layout, see init_pose_params).
+    Returns (kps (B,J,3), bones, skts, l2ws).
     """
-    if kp_map is not None:
-        idx = jnp.take(kp_map, idx)
-    pelvis = jnp.take(params["pelvis"], idx, axis=0)
-    bones = jnp.take(params["bones"], idx, axis=0)
+    pelvis, bones = gather_pose_rows(params, idx, kp_map)
     kps, skts, l2ws, _ = pose_to_kinematic(bones, pelvis, rest_pose, skel)
     return kps, bones, skts, l2ws
 
@@ -120,12 +151,11 @@ def kp_reg_loss(
 
     Returns the UNSCALED loss; the caller multiplies by opt_pose_coef.
     """
-    if kp_map is not None:
-        idx = jnp.take(kp_map, idx)
-    b = _canon_bones(jnp.take(params["bones"], idx, axis=0))
+    _, b = gather_pose_rows(params, idx, kp_map)
     # anchors are created from axis-angle estimates via rot_to_rot6d(R), so
     # they are already orthonormal — no re-canonicalization needed
-    b0 = jnp.take(anchors["bones"], idx, axis=0)
+    _, b0 = gather_pose_rows(anchors, idx, kp_map)
+    b = _canon_bones(b)
 
     kp_loss = ((b0 - b) ** 2)[:, 1:]  # exclude root (reference trainer.py:398)
     kp_loss = jnp.maximum(kp_loss - cfg.opt_pose_tol, 0.0)
@@ -280,13 +310,17 @@ def pose_params_to_pose_data(
     params: Dict[str, jax.Array],
     rest_pose: jax.Array,
     skel: Skeleton = SMPL_SKELETON,
+    kp_map: Optional[jax.Array] = None,
 ) -> Dict[str, np.ndarray]:
     """Export refined poses for the data layer
-    (reference pose_ckpt_to_pose_data, pose_opt.py:523-581)."""
+    (reference pose_ckpt_to_pose_data, pose_opt.py:523-581). Multiview
+    params are expanded back to per-frame rows via kp_map."""
+    n = params["pelvis"].shape[0]
+    _, bones_full = gather_pose_rows(params, jnp.arange(n), kp_map)
     kps, skts, l2ws, _ = pose_to_kinematic(
-        params["bones"], params["pelvis"], rest_pose, skel
+        bones_full, params["pelvis"], rest_pose, skel
     )
-    bones = params["bones"]
+    bones = bones_full
     if bones.shape[-1] == 6:  # rot6d params -> axis-angle bones
         from posegen_tpu.skeleton.rotations import rot6d_to_rot, rot_to_axisang
 

@@ -230,3 +230,28 @@ def test_camera_subset(h5_path):
     with pytest.raises(ValueError, match="selects no images"):
         H5RayDataset(h5_path, n_rays_per_image=8, camera=10**6)
     sub.close(), full.close()
+
+
+def test_subset_kps_selection(tmp_path, rng):
+    """--rand_train_kps analog: training restricted to a kp-index subset
+    (reference SurrealDataset N_rand_kps side-files, load_surreal.py:320-364)."""
+    import numpy as np
+
+    from posegen_tpu.data.h5dataset import H5RayDataset
+    from posegen_tpu.data.synthetic import make_synthetic_h5
+
+    path = make_synthetic_h5(str(tmp_path / "s.h5"), n_images=8, H=32, W=32)
+    keys = np.asarray([1, 3, 5])
+    np.save(tmp_path / "subset.npy", keys)
+    ds = H5RayDataset(
+        path, n_rays_per_image=8, subset_kps=str(tmp_path / "subset.npy")
+    )
+    assert ds.n_images == 3
+    assert set(ds.kp_idxs.tolist()) <= set(keys.tolist())
+    # sampling works through the remap (both fast and slow paths)
+    out = ds.sample_image(0)
+    assert out["rays_o"].shape == (8, 3)
+    fast = ds.sample_batch(np.asarray([0, 1, 2]), seed=0)
+    if fast is not None:
+        assert fast["kp_idx"].tolist() == ds.kp_idxs.tolist()
+    ds.close()

@@ -129,3 +129,49 @@ def test_spin_finetune_driver(tmp_path, rng):
     # weights change only when some sample passes — accept either, but the
     # driver must run end-to-end without error
     assert w0.shape == np.asarray(params["fc1"]["w"]).shape
+
+
+@pytest.mark.slow
+def test_gan_train_epochs_feedback_then_spin_finetune(rng, tmp_path):
+    """Epoch-level integration of the WHOLE PoseGen pipeline at tiny
+    shapes: GanTrainer.train_epoch with the real render path and SPIN
+    feedback across epochs, then one spin_driver.train_spin epoch on the
+    generated (image, pose) sink (reference run_gan.py train() ->
+    train_spin(), :2259-2297 + :1849-1952)."""
+    from posegen_tpu.gen.spin_driver import train_spin
+
+    nerf_params = init_raycaster(jax.random.PRNGKey(0), TINY_NERF)
+    renderer = NeRFRenderer(TINY_NERF, nerf_params, hw=96, focal=120.0, chunk=4608)
+    spin_params, spin_state = init_hmr(jax.random.PRNGKey(1))
+
+    sink = str(tmp_path / "render_output")
+    cfg = GanLoopConfig(
+        n_epochs=3, rpi=1, df=2, feedback_every=2, feedback_start_epoch=0,
+        crop=(16, 80), output_dir=sink,
+    )
+    trainer = GanTrainer(
+        cfg, renderer, spin_params, spin_state, gen_cfg=TINY_GEN, steps_per_epoch=2
+    )
+    pool = (rng.standard_normal((4, 2, 24, 3)) * 0.2).astype(np.float32)
+    curves = []
+    for _ in range(3):
+        stats = trainer.train_epoch(list(pool))
+        curves.append(stats["gen_loss"])
+    assert np.isfinite(curves).all(), curves
+    assert trainer.iter_num == 12
+    # the sink accumulated renders over the feedback calls
+    import glob
+
+    pngs = glob.glob(f"{sink}/image/*.png")
+    assert len(pngs) >= 2, pngs
+
+    # one SPIN fine-tune epoch on the generated dataset
+    new_params, history = train_spin(
+        spin_params, spin_state, render_dir=sink, epochs=1, batch_size=2,
+        crop=(16, 80),
+    )
+    assert np.isfinite(history[-1]["loss"])
+    # weights moved
+    leaf0 = jax.tree_util.tree_leaves(spin_params)[0]
+    leaf1 = jax.tree_util.tree_leaves(new_params)[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))

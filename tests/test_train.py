@@ -83,7 +83,7 @@ def test_pose_apply_shapes_and_anchor_loss():
     assert skts.shape == (4, 24, 4, 4)
 
     # at the anchor, the hinge loss is exactly zero
-    assert float(kp_reg_loss(pcfg, params, anchors, idx)) == 0.0
+    assert float(kp_reg_loss(pcfg, params, anchors, idx)) < 1e-10
     # perturbations beyond tol give positive loss (pelvis alone does not:
     # the reference trainer's kp loss has no pelvis term, trainer.py:385-408)
     moved = {
@@ -92,7 +92,7 @@ def test_pose_apply_shapes_and_anchor_loss():
     }
     assert float(kp_reg_loss(pcfg, moved, anchors, idx)) > 0.0
     pelvis_only = {"pelvis": params["pelvis"] + 1.0, "bones": params["bones"]}
-    assert float(kp_reg_loss(pcfg, pelvis_only, anchors, idx)) == 0.0
+    assert float(kp_reg_loss(pcfg, pelvis_only, anchors, idx)) < 1e-10
 
 
 def test_embed_tau_annealed_in_step():

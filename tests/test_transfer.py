@@ -120,3 +120,90 @@ def test_transfer_cli_end_to_end(tmp_path):
     )
     v2v = float(np.sqrt(((np.asarray(rec["vertices"]) - np.asarray(out["vertices"])) ** 2).sum(-1)).mean())
     assert v2v < 0.05, f"CLI fit v2v too high: {v2v}"
+
+
+@pytest.mark.slow
+def test_fitting_noisy_targets_and_perturbed_template(rng):
+    """Harsher benchmark (VERDICT r2 #7): the source meshes come from a
+    PERTURBED template (simulating a different body model's surface) with
+    per-vertex noise — the staged per-part pipeline must still recover the
+    pose to a v2v error of the same order as the corruption."""
+    import dataclasses
+
+    model = _with_faces(make_random_model(n_vertices=48, n_joints=6, n_betas=4))
+    gt = {
+        "betas": jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32)) * 0.5,
+        "global_orient": jnp.asarray((rng.standard_normal((2, 3)) * 0.3).astype(np.float32)),
+        "body_pose": jnp.asarray((rng.standard_normal((2, 15)) * 0.3).astype(np.float32)),
+        "transl": jnp.asarray(rng.standard_normal((2, 3)).astype(np.float32)) * 0.3,
+    }
+    # "foreign" source model: template shifted by a smooth field
+    src_model = dataclasses.replace(
+        model,
+        v_template=model.v_template
+        + jnp.asarray((rng.standard_normal((48, 3)) * 2e-3).astype(np.float32)),
+    )
+    target = src_model(
+        betas=gt["betas"], body_pose=gt["body_pose"],
+        global_orient=gt["global_orient"], transl=gt["transl"],
+    )["vertices"]
+    noise = rng.standard_normal(target.shape).astype(np.float32) * 1e-3
+    noisy = np.asarray(target) + noise
+
+    params, losses = run_fitting(
+        model, noisy,
+        cfg=FitConfig(vertex_steps=400, lr=0.03, per_part=True, part_steps=30,
+                      transl_steps=80),
+    )
+    fit_v = model(
+        betas=params["betas"], body_pose=params["body_pose"],
+        global_orient=params["global_orient"], transl=params["transl"],
+    )["vertices"]
+    # v2v error bounded by the corruption scale (template 2e-3 + noise 1e-3),
+    # the "mm-level" criterion at this model's unit scale
+    err = float(jnp.mean(jnp.linalg.norm(fit_v - jnp.asarray(noisy), axis=-1)))
+    assert err < 8e-3, f"v2v error {err} vs corruption ~3e-3"
+    # and pose params land near the ground truth
+    pose_err = float(jnp.abs(params["body_pose"] - gt["body_pose"]).mean())
+    assert pose_err < 0.15, pose_err
+
+
+@pytest.mark.slow
+def test_fitting_mask_ids(rng):
+    """mask_ids restricts the vertex objective to a subset (reference
+    f_sel/mask_ids, transfer_model.py:283-290): corrupting vertices OUTSIDE
+    the mask must not disturb the fit."""
+    # faces partitioned at the mask boundary (like a real body part split:
+    # reference f_sel keeps faces touching mask ids, so edges never reach
+    # the excluded region when no face crosses it)
+    import dataclasses
+
+    base = make_random_model(n_vertices=48, n_joints=6, n_betas=4)
+    r2 = np.random.default_rng(7)
+    f_in = r2.choice(40, (120, 3))
+    f_out = 40 + r2.choice(8, (24, 3))
+    faces = np.concatenate([f_in, f_out])
+    ok = (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) & (
+        faces[:, 0] != faces[:, 2]
+    )
+    model = dataclasses.replace(base, faces=faces[ok].astype(np.int64))
+    gt_pose = jnp.asarray((rng.standard_normal((1, 15)) * 0.2).astype(np.float32))
+    target = np.asarray(
+        model(betas=jnp.zeros((1, 4)), body_pose=gt_pose)["vertices"]
+    )
+    mask_ids = np.arange(40)  # fit on the first 40 vertices
+    corrupted = target.copy()
+    corrupted[:, 40:] += 10.0  # garbage outside the mask
+
+    params, losses = run_fitting(
+        model, corrupted, mask_ids=mask_ids,
+        cfg=FitConfig(vertex_steps=300, lr=0.03, per_part=False,
+                      edge_steps=200, transl_steps=50),
+    )
+    fit_v = np.asarray(
+        model(betas=params["betas"], body_pose=params["body_pose"],
+              global_orient=params["global_orient"], transl=params["transl"]
+              )["vertices"]
+    )
+    err = float(np.linalg.norm(fit_v[:, :40] - target[:, :40], axis=-1).mean())
+    assert err < 0.02, f"masked fit error {err}"
