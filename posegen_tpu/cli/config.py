@@ -255,14 +255,9 @@ def nerf_config_parser() -> argparse.ArgumentParser:
 # mode this guards against: a config with e.g. use_bgnet=True "working" while
 # rendering something else entirely).
 UNSUPPORTED_NONDEFAULT = {
-    "nerf_type": "nerf",       # graph/DNeRF variants not rebuilt
-    "use_uncertainty": False,  # uncertainty density head
-    "i_embed": 0,              # alternative embedders
-    "use_yuv": False,          # dead in the reference too: rgb_to_yuv is
-                               # called but never defined (trainer.py:13)
-    "use_bgnet": False,        # background network
-    "use_bgfill": False,       # background fill
-    "use_lbsnet": False,       # LBS blending network
+    "use_yuv": False,          # setting it CRASHES the reference too:
+                               # rgb_to_yuv is called but never defined
+                               # (core/trainer.py:13)
     "pts_tr_type": "local",    # non-'local' raises NotImplementedError in
                                # the reference too (raycasters.py:244-247)
 }
@@ -274,7 +269,15 @@ UNSUPPORTED_NONDEFAULT = {
 #   opt_cutoff                  stored on CutoffEmbedder but cutoff_dist is
 #                               always requires_grad=False and the flag is
 #                               never read again (cutoff_embedder.py:83-91)
-REFERENCE_DEAD_FLAGS = ("precrop_iters", "opt_posecode", "opt_cutoff")
+#   nerf_type                   passed into render_kwargs and never read
+#                               (raycasters.py:167; NeRF(**kwargs) is built
+#                               unconditionally, :96)
+#   use_uncertainty/use_bgnet/  argparse-only across the whole reference
+#   use_bgfill/use_lbsnet       (grep: no consumer outside run_nerf argparse)
+REFERENCE_DEAD_FLAGS = (
+    "precrop_iters", "opt_posecode", "opt_cutoff", "nerf_type",
+    "use_uncertainty", "use_bgnet", "use_bgfill", "use_lbsnet",
+)
 
 # Flags that parse and may diverge from their reference default without
 # changing this rebuild's output semantics (dissolved memory tiling, loader
@@ -322,13 +325,13 @@ def validate_args(args: argparse.Namespace, strict: bool = True) -> List[str]:
                 f"in the TPU rebuild (supported value: {default!r})"
             )
     warnings: List[str] = []
+    defaults = nerf_config_parser().parse_args([])
     for key in REFERENCE_DEAD_FLAGS:
-        if getattr(args, key, None) not in (None, 0, False, 0.0):
+        if getattr(args, key, None) != getattr(defaults, key, None):
             warnings.append(
                 f"--{key}: parsed but runtime-inert — exactly as in the "
                 "reference, where this flag has no consumer"
             )
-    defaults = nerf_config_parser().parse_args([])
     for key, msg in WARN_DIVERGENT.items():
         if getattr(args, key, None) != getattr(defaults, key, None):
             warnings.append(f"--{key}: {msg}")
@@ -368,6 +371,7 @@ def args_to_raycast_config(args, n_framecodes: int = 0):
     if getattr(args, "n_framecodes", None):
         n_framecodes = args.n_framecodes  # explicit override (reference flag)
     return RaycastConfig(
+        i_embed=args.i_embed,
         kp_dist_type=args.kp_dist_type,
         view_type=args.view_type,
         bone_type=args.bone_type,

@@ -81,6 +81,7 @@ def supports_fused_config(cfg) -> bool:
     fused."""
     return (
         cfg.kp_dist_type == "reldist"
+        and getattr(cfg, "i_embed", 0) == 0
         and cfg.view_type == "relray"
         and cfg.bone_type == "reldir"
         and cfg.multires_bones == 0

@@ -26,6 +26,7 @@ from posegen_tpu.models import nerf as nerf_mod
 from posegen_tpu.models.nerf import NeRFConfig, density_activation, init_nerf, nerf_apply
 from posegen_tpu.ops import embedding as emb_mod
 from posegen_tpu.ops import encoders as enc
+from posegen_tpu.ops.embedding import identity_config as emb_identity
 from posegen_tpu.ops import sampling as samp
 from posegen_tpu.ops.embedding import EmbedConfig
 from posegen_tpu.skeleton.skeleton import SMPL_SKELETON, Skeleton
@@ -50,6 +51,7 @@ class RaycastConfig:
     """
 
     n_joints: int = 24
+    i_embed: int = 0  # -1 = identity (no PE, no cutoff; reference get_embedder i==-1)
     kp_dist_type: str = "reldist"
     view_type: str = "relray"
     bone_type: str = "reldir"
@@ -95,6 +97,8 @@ class RaycastConfig:
     @property
     def embed_kp_cfg(self) -> EmbedConfig:
         input_dims, cutoff_dims = self.kp_dims
+        if self.i_embed == -1:
+            return emb_identity(input_dims)
         return EmbedConfig(
             num_freqs=self.multires,
             input_dims=input_dims,
@@ -114,6 +118,8 @@ class RaycastConfig:
         dims = enc.bone_encoder_dims(self.bone_type, self.n_joints)
         if dims == 0:
             return None
+        if self.i_embed == -1:
+            return emb_identity(dims)
         return EmbedConfig(
             num_freqs=self.multires_bones,
             input_dims=dims,
@@ -130,6 +136,8 @@ class RaycastConfig:
         if not self.use_viewdirs:
             return None
         dims = enc.view_encoder_dims(self.view_type, self.n_joints)
+        if self.i_embed == -1:
+            return emb_identity(dims)
         return EmbedConfig(
             num_freqs=self.multires_views,
             input_dims=dims,

@@ -149,15 +149,45 @@ def test_unknown_args_txt_key_is_loud(tmp_path):
 
 
 def test_unsupported_nondefault_rejected():
-    args = parse_with_config(nerf_config_parser(), ["--use_bgnet"])
-    with pytest.raises(SystemExit, match="use_bgnet"):
+    # use_yuv CRASHES the reference (rgb_to_yuv undefined, trainer.py:13);
+    # we reject it loudly instead
+    args = parse_with_config(nerf_config_parser(), ["--use_yuv"])
+    with pytest.raises(SystemExit, match="use_yuv"):
         validate_args(args)
-    args = parse_with_config(nerf_config_parser(), ["--nerf_type", "graph"])
-    with pytest.raises(SystemExit, match="nerf_type"):
+    # pts_tr_type != local raises NotImplementedError in the reference too
+    args = parse_with_config(nerf_config_parser(), ["--pts_tr_type", "bone"])
+    with pytest.raises(SystemExit, match="pts_tr_type"):
         validate_args(args)
     args = parse_with_config(nerf_config_parser(), ["--reg_fn", "L1"])
     with pytest.raises(SystemExit, match="reg_fn"):
         validate_args(args)
+
+
+def test_reference_dead_flags_warn_not_fail():
+    """Flags the reference parses but never reads (grep-verified:
+    nerf_type/use_bgnet/use_uncertainty/use_lbsnet/use_bgfill/precrop_iters/
+    opt_posecode/opt_cutoff) are accepted as runtime-inert with a warning —
+    exactly the reference's behavior."""
+    args = parse_with_config(
+        nerf_config_parser(),
+        ["--use_bgnet", "--use_uncertainty", "--precrop_iters", "500",
+         "--opt_cutoff", "--nerf_type", "graph"],
+    )
+    warnings = validate_args(args)
+    assert any("use_bgnet" in w for w in warnings)
+    assert any("precrop_iters" in w for w in warnings)
+
+
+def test_i_embed_identity_runs():
+    """i_embed = -1 (identity embedder, reference get_embedder i==-1,
+    cutoff_embedder.py:203-204): accepted and produces raw-input channels."""
+    from posegen_tpu.cli.config import args_to_raycast_config
+
+    args = parse_with_config(nerf_config_parser(), ["--i_embed", "-1"])
+    validate_args(args)
+    cfg = args_to_raycast_config(args)
+    assert cfg.embed_kp_cfg.out_dim == 24  # no PE ladder, no cutoff
+    assert cfg.embed_kp_cfg.cutoff is False
 
 
 def test_divergent_flags_warn_not_fail():
