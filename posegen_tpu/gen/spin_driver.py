@@ -33,6 +33,7 @@ def train_spin(
     res: int = 224,
     ckpt_dir: Optional[str] = None,
     evaluator=None,
+    hinge: Optional[float] = 0.02,  # reference run_gan.py:1890-1914 filter
     seed: int = 0,
 ):
     """Fine-tune SPIN; returns (params, opt metrics history)."""
@@ -45,7 +46,7 @@ def train_spin(
         else None
     )
 
-    opt_h, step_hinge = make_spin_finetune_step(lr=lr, pose_scale=pose_scale, hinge=0.02)
+    opt_h, step_hinge = make_spin_finetune_step(lr=lr, pose_scale=pose_scale, hinge=hinge)
     _, step_plain = make_spin_finetune_step(lr=lr, pose_scale=pose_scale, hinge=None)
     opt_state = opt_h.init(spin_params)
 

@@ -168,10 +168,16 @@ def test_gan_train_epochs_feedback_then_spin_finetune(rng, tmp_path):
     # one SPIN fine-tune epoch on the generated dataset
     new_params, history = train_spin(
         spin_params, spin_state, render_dir=sink, epochs=1, batch_size=2,
-        crop=(16, 80),
+        crop=(16, 80), hinge=None,  # random-init SPIN: every sample would
+        # fall outside the 0.02 hinge band, zeroing the epoch
     )
-    assert np.isfinite(history[-1]["loss"])
-    # weights moved
-    leaf0 = jax.tree_util.tree_leaves(spin_params)[0]
-    leaf1 = jax.tree_util.tree_leaves(new_params)[0]
-    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+    assert np.isfinite(history[-1]["spin_loss"])
+    # weights moved somewhere in the tree (BN params stay frozen)
+    moved = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(spin_params),
+            jax.tree_util.tree_leaves(new_params),
+        )
+    )
+    assert moved > 0.0, "no SPIN weight moved during fine-tuning"

@@ -130,16 +130,17 @@ def main(n_rays: int = 1024, iters_ref: int = 4, iters_ours: int = 8) -> None:
         np.tile(np.asarray(a), (n,) + (1,) * (np.asarray(a).ndim - 1))
     )
     kwargs = dict(
-        kp_batch=tile(ctx.kps), skts=tile(ctx.skts), bones=tile(ctx.bones),
-        cyls=tile(ctx.cyls), N_samples=cfg.N_samples,
+        skts=tile(ctx.skts), bones=tile(ctx.bones),
+        cyls=tile(ctx.cyls),
         N_importance=cfg.N_importance, perturb=0.0, raw_noise_std=0.0,
-        netchunk=1024 * 64, **preproc,
+        preproc_kwargs=preproc,
     )
+    kp = tile(ctx.kps)
     with torch.no_grad():
-        caster.render_rays(ray_batch, **kwargs)  # warmup
+        caster.render_rays(ray_batch, cfg.N_samples, kp, **kwargs)  # warmup
         t0 = time.perf_counter()
         for _ in range(iters_ref):
-            caster.render_rays(ray_batch, **kwargs)
+            caster.render_rays(ray_batch, cfg.N_samples, kp, **kwargs)
         ref_dt = (time.perf_counter() - t0) / iters_ref
     ref_rps = n_rays / ref_dt
 
