@@ -284,7 +284,7 @@ REFERENCE_DEAD_FLAGS = (
 # internals, output-artifact cadence). Changing them never corrupts a run.
 INERT_FLAGS = (
     "chunk", "netchunk", "render_factor", "save_image",
-    "debug", "use_val", "n_subjects", "ext_scale",
+    "debug", "n_subjects", "ext_scale",
     "image_batching", "multires_pts",
     "bgnet_stop", "bgnet_reg", "lbsnet_type", "n_lbs", "multires_lbs",
     "multires_lbsviews", "loss_beta",
@@ -295,6 +295,9 @@ INERT_FLAGS = (
 WARN_DIVERGENT = {
     "val_seq": "validation views are evenly spaced over the dataset, not "
                "taken from --val_seq",
+    "use_val": "train/val splitting is applied at H5 processing time; the "
+               "loader holds out evenly spaced validation views "
+               "(reference load_data.py:117 picks a 'train' split file)",
     "train_skip": "frame skipping is applied at H5 processing time, not by "
                   "the loader",
     "view_skip": "view skipping is applied at H5 processing time, not by "

@@ -583,6 +583,27 @@ class ConcatRayDataset:
         out["subject_idxs"] = np.full_like(out["kp_idx"], d_i)
         return out
 
+    def sample_batch(self, idxs, seed: int) -> Optional[Dict[str, np.ndarray]]:
+        """Zero-copy path for multi-subject batches: one per-image native
+        call into the owning child's mmapped file (ray order preserved)."""
+        idxs = np.asarray(idxs, np.int64)
+        parts = []
+        for k, gi in enumerate(idxs):
+            d_i = int(np.searchsorted(self._offsets, gi, side="right") - 1)
+            local = int(gi - self._offsets[d_i])
+            out = self.datasets[d_i].sample_batch(
+                np.asarray([local]), seed + 9973 * k
+            )
+            if out is None:
+                return None  # caller falls back to the per-image slow path
+            out["kp_idx"] = out["kp_idx"] + np.int32(self._kp_offsets[d_i])
+            out["cam_idxs"] = out["cam_idxs"] + np.int32(self._cam_offsets[d_i])
+            out["subject_idxs"] = np.full_like(out["kp_idx"], d_i)
+            parts.append(out)
+        return {
+            k: np.concatenate([p[k] for p in parts], axis=0) for k in parts[0]
+        }
+
 
 class RayBatchLoader:
     """Batches of N_images x rays_per_image flattened rays, prefetched.

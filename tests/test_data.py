@@ -255,3 +255,29 @@ def test_subset_kps_selection(tmp_path, rng):
     if fast is not None:
         assert fast["kp_idx"].tolist() == ds.kp_idxs.tolist()
     ds.close()
+
+
+def test_concat_dataset_fast_batch(tmp_path, rng):
+    """ConcatRayDataset routes batches through the children's zero-copy
+    native path with kp/cam offsets and subject ids preserved."""
+    import numpy as np
+
+    from posegen_tpu.data.h5dataset import ConcatRayDataset, H5RayDataset
+    from posegen_tpu.data.synthetic import make_synthetic_h5
+
+    ds = ConcatRayDataset([
+        H5RayDataset(
+            make_synthetic_h5(str(tmp_path / f"c{i}.h5"), n_images=4, H=32, W=32),
+            n_rays_per_image=8,
+        )
+        for i in range(2)
+    ])
+    idxs = np.asarray([0, 5, 3, 7])  # mixed children, arbitrary order
+    fast = ds.sample_batch(idxs, seed=11)
+    assert fast is not None
+    slow_parts = [ds.sample_image(int(i)) for i in idxs]
+    slow = {k: np.concatenate([p[k] for p in slow_parts]) for k in slow_parts[0]}
+    assert set(fast) == set(slow)
+    for k in ("kp_idx", "cam_idxs", "subject_idxs", "kp3d", "skts", "temp_val"):
+        np.testing.assert_array_equal(fast[k], slow[k], err_msg=k)
+    assert fast["rays_o"].shape == slow["rays_o"].shape
