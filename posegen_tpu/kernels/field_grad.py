@@ -116,14 +116,15 @@ def _encode_backward(it, rot, tau, g_e_pts, g_e_view,
     G0 = g_e_pts[0:NJ]
     g_v = G0 * w
     g_w = G0 * v
+    s_, c_ = jnp.sin(v), jnp.cos(v)  # double-angle ladder (see field.py)
     for f_idx in range(nf_kp):
         f = 2.0**f_idx
-        s_ = jnp.sin(v * f)
-        c_ = jnp.cos(v * f)
         Gs = g_e_pts[NJ * (1 + 2 * f_idx) : NJ * (2 + 2 * f_idx)] * sw_kp[f_idx]
         Gc = g_e_pts[NJ * (2 + 2 * f_idx) : NJ * (3 + 2 * f_idx)] * sw_kp[f_idx]
         g_v += (Gs * c_ - Gc * s_) * (f * w)
         g_w += Gs * s_ + Gc * c_
+        if f_idx + 1 < nf_kp:
+            s_, c_ = 2.0 * s_ * c_, 1.0 - 2.0 * s_ * s_
 
     # ---- reldir rows: XT*inv_v | YT*inv_v | ZT*inv_v ------------------------
     Gdx = g_e_pts[KC : KC + NJ]
@@ -142,16 +143,18 @@ def _encode_backward(it, rot, tau, g_e_pts, g_e_view,
         H0 = g_e_view[c * NJ : (c + 1) * NJ]
         g_dn.append(H0 * w)
         g_w += H0 * dn[c]
+    scv = [(jnp.sin(dn[c]), jnp.cos(dn[c])) for c in range(3)]
     for f_idx in range(nf_view):
         f = 2.0**f_idx
         base = 3 * NJ + f_idx * 6 * NJ
         for c in range(3):
             Hs = g_e_view[base + c * NJ : base + (c + 1) * NJ] * sw_view[f_idx]
             Hc = g_e_view[base + (3 + c) * NJ : base + (4 + c) * NJ] * sw_view[f_idx]
-            sq = jnp.sin(dn[c] * f)
-            cq = jnp.cos(dn[c] * f)
+            sq, cq = scv[c]
             g_dn[c] += (Hs * cq - Hc * sq) * (f * w)
             g_w += Hs * sq + Hc * cq
+        if f_idx + 1 < nf_view:
+            scv = [(2.0 * sq * cq, 1.0 - 2.0 * sq * sq) for sq, cq in scv]
 
     # ---- gate: w = 1 - sigmoid(tau (v - cut)) -------------------------------
     g_v += g_w * (-tau * sig * (1.0 - sig))
@@ -424,7 +427,7 @@ def make_trainable_field(
             cost_estimate=pl.CostEstimate(
                 flops=flops_per_pt * ns,
                 bytes_accessed=(3 + 3 + 4) * 4 * ns + 8_000_000,
-                transcendentals=(24 * (1 + 2 * nf_kp) + 72 * 2 * nf_view) * ns,
+                transcendentals=(24 * 3 + 72 * 2) * ns  # double-angle ladder,
             ),
             interpret=interpret,
         )(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, *weights, g)
