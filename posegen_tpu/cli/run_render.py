@@ -364,6 +364,9 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
     out = render_path(
         cfg, variables, c2ws, (H, W, focal), ctxs,
         chunk=chunk, white_bkgd=args.white_bkgd, render_fn=render_fn,
+        # u8 PNG outputs: f16 readback halves the device->host transfer
+        # that dominates frame latency on tunneled hosts; --eval keeps f32
+        half_readback=not getattr(args, "eval", False),
     )
 
     import imageio.v2 as imageio

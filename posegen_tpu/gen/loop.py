@@ -94,12 +94,11 @@ class NeRFRenderer:
         # the mesh (reference DataParallel covered run_gan's render too)
         self._render_fn, self.chunk = auto_render_fn(cfg, chunk)
         if self._render_fn is None:
-            self._render_fn = jax.jit(
-                lambda p, o, d, c: render_rays(
-                    cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0,
-                    eval_mean_code=True,
-                )
-            )
+            from posegen_tpu.render.image import _default_render_fn
+
+            # f16 readback: SPIN consumes ImageNet-normalized crops, far
+            # above f16 rounding; halves the per-frame transfer
+            self._render_fn = _default_render_fn(cfg, half_readback=True)
 
     def render_poses(self, bones: np.ndarray, c2ws: np.ndarray) -> np.ndarray:
         """Render one image per pose -> (K, H, W, 3) float [0, 1]

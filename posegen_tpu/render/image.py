@@ -55,16 +55,30 @@ KEEP_MAPS = ("rgb_map", "acc_map", "disp_map")
 
 
 @functools.lru_cache(maxsize=8)
-def _default_render_fn(cfg: RaycastConfig):
+def _default_render_fn(cfg: RaycastConfig, half_readback: bool = False):
     """Memoized jitted eval render. A fresh `jax.jit(lambda ...)` per call
     would defeat jit's compilation cache (keyed on function identity) and
-    silently recompile ~60 s per image."""
-    return jax.jit(
-        lambda p, o, d, c: render_rays(
+    silently recompile ~60 s per image.
+
+    half_readback=True casts the per-ray output maps to f16 on-device
+    before the host transfer: a 512x512 frame reads back ~5 MB of maps,
+    which dominates frame latency on tunneled/slow-PCIe hosts; f16's 5e-4
+    relative rounding is invisible in u8 PNGs and SPIN inputs (eval
+    metrics keep the f32 path)."""
+
+    def fn(p, o, d, c):
+        out = render_rays(
             cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0,
             eval_mean_code=True, coarse_rgb=False,
         )
-    )
+        if half_readback:
+            out = {
+                k: (v.astype(jnp.float16) if k in KEEP_MAPS else v)
+                for k, v in out.items()
+            }
+        return out
+
+    return jax.jit(fn)
 
 
 def _render_chunks(
@@ -76,6 +90,7 @@ def _render_chunks(
     chunk: int,
     render_fn=None,
     keys: Tuple[str, ...] = KEEP_MAPS,
+    half_readback: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Pad the ray set to a chunk multiple and run fixed-shape device batches.
 
@@ -90,7 +105,7 @@ def _render_chunks(
     rd = np.concatenate([rays_d, np.broadcast_to(rays_d[-1:], (n_pad, 3))]) if n_pad else rays_d
 
     if render_fn is None:
-        render_fn = _default_render_fn(cfg)
+        render_fn = _default_render_fn(cfg, half_readback)
 
     device_outs: List[Dict[str, jax.Array]] = []
     for i in range(0, ro.shape[0], chunk):
@@ -101,7 +116,7 @@ def _render_chunks(
     outs: Dict[str, List[np.ndarray]] = {}
     for ret in device_outs:
         for k, v in ret.items():
-            outs.setdefault(k, []).append(np.asarray(v))
+            outs.setdefault(k, []).append(np.asarray(v, np.float32))
     return {k: np.concatenate(v)[:n] for k, v in outs.items()}
 
 
@@ -118,6 +133,7 @@ def render_image(
     bg: Optional[np.ndarray] = None,
     white_bkgd: bool = False,
     render_fn=None,
+    half_readback: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Render one image (reference render_path inner loop, run_nerf.py:77-138).
 
@@ -127,7 +143,10 @@ def render_image(
     cyl = np.asarray(ctx.cyls)[0]
     rays_o, rays_d, valid_idx, (tl, br) = valid_rays_for_pose(H, W, focal, c2w, cyl, center)
 
-    ret = _render_chunks(cfg, params, rays_o, rays_d, ctx, chunk, render_fn)
+    ret = _render_chunks(
+        cfg, params, rays_o, rays_d, ctx, chunk, render_fn,
+        half_readback=half_readback,
+    )
 
     if white_bkgd and bg is None:
         bg = np.ones((H, W, 3), dtype=np.float32)
@@ -164,6 +183,7 @@ def render_path(
     white_bkgd: bool = False,
     verbose: bool = False,
     render_fn=None,
+    half_readback: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Render a sequence of (camera, pose) pairs (reference run_nerf.py:28-147).
 
@@ -177,7 +197,7 @@ def render_path(
     H, W, focal = hwf
     rgbs, accs, disps, bboxes = [], [], [], []
     if render_fn is None:
-        render_fn = _default_render_fn(cfg)
+        render_fn = _default_render_fn(cfg, half_readback)
     t0 = time.time()
     for i, c2w in enumerate(render_poses):
         ctx = ctxs[i % len(ctxs)]
