@@ -474,7 +474,7 @@ def fused_field(
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pt * ns,
             bytes_accessed=(3 + 3 + 4) * 4 * ns + 2_000_000,
-            transcendentals=(24 * 3 + 72 * 2) * ns  # double-angle ladder,
+            transcendentals=(24 * 3 + 72 * 2) * ns,  # double-angle ladder
         ),
         interpret=interpret,
     )(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, *weights)
@@ -503,23 +503,53 @@ def fused_run_net(
     additionally propagates cotangents into pts/dirs/skts (pose-opt
     training, reference core/pose_opt.py:372-445).
     """
-    from posegen_tpu.kernels.field_grad import TRAIN_TILE, make_trainable_field
+    from posegen_tpu.kernels.field_grad import (
+        TRAIN_TILE, make_trainable_field, pick_train_tile,
+    )
 
     N, S = pts.shape[:2]
     ns = N * S
-    tile = TRAIN_TILE if trainable else POINT_TILE
 
     G = ctx.skts.shape[0]  # pose groups (rays must be contiguous per group)
     if N % G != 0:
         raise ValueError(f"rays ({N}) not divisible into {G} pose groups")
-    if G > 1 and (ns // G) % tile != 0:
-        raise ValueError(
-            f"points per group ({ns // G}) not a multiple of tile {tile}"
-        )
-    pad = (-ns) % tile if G == 1 else 0
+    rpi = N // G
+    if trainable:
+        # large tiles amortize the weight-gradient HBM revisits in the
+        # backward kernel (measured ~4x step time 256 -> 1024); groups are
+        # ray-padded so every tile stays within one pose group
+        tile, rpi_p = pick_train_tile(rpi, S, G)
+    else:
+        tile, rpi_p = POINT_TILE, rpi
+        if G > 1 and (ns // G) % tile != 0:
+            # eval tiles don't pad groups; fall back to a group-divisible
+            # tile (the eval kernel's per-step overhead is small)
+            for t in (512, 256, 128):
+                if (ns // G) % t == 0:
+                    tile = t
+                    break
+            else:
+                raise ValueError(
+                    f"points per group ({ns // G}) not a multiple of any tile"
+                )
 
-    pts_t = pts.reshape(ns, 3).T
-    dirs = jnp.broadcast_to(rays_d[:, None], (N, S, 3)).reshape(ns, 3).T
+    if rpi_p != rpi:
+        # pad rays PER GROUP so per-group points divide the tile; jnp.pad
+        # is autodiff-transparent (padded cotangents drop on the slice below)
+        pts = jnp.pad(
+            pts.reshape(G, rpi, S, 3), ((0, 0), (0, rpi_p - rpi), (0, 0), (0, 0)),
+            constant_values=1.0,
+        ).reshape(G * rpi_p, S, 3)
+        rays_d = jnp.pad(
+            rays_d.reshape(G, rpi, 3), ((0, 0), (0, rpi_p - rpi), (0, 0)),
+            constant_values=1.0,
+        ).reshape(G * rpi_p, 3)
+    n_run = G * rpi_p
+    ns_run = n_run * S
+    pad = (-ns_run) % tile if G == 1 else 0
+
+    pts_t = pts.reshape(ns_run, 3).T
+    dirs = jnp.broadcast_to(rays_d[:, None], (n_run, S, 3)).reshape(ns_run, 3).T
     if pad:
         pts_t = jnp.pad(pts_t, ((0, 0), (0, pad)), constant_values=1.0)
         dirs = jnp.pad(dirs, ((0, 0), (0, pad)), constant_values=1.0)
@@ -572,7 +602,7 @@ def fused_run_net(
             nf_kp=nf_kp, nf_view=nf_view,
         )
         f = make_trainable_field(
-            depth=cfg.netdepth, skips=skips, interpret=interpret,
+            depth=cfg.netdepth, skips=skips, tile=tile, interpret=interpret,
             code_ch=code_ch, input_grads=input_grads,
             nf_kp=nf_kp, nf_view=nf_view, freq_sched=freq_sched,
         )
@@ -592,5 +622,8 @@ def fused_run_net(
             sched=sched_arr,
         )
     if pad:
-        raw_t = raw_t[:, :ns]
-    return raw_t.T.reshape(N, S, 4)
+        raw_t = raw_t[:, :ns_run]
+    raw = raw_t.T.reshape(n_run, S, 4)
+    if rpi_p != rpi:  # drop the per-group ray padding
+        raw = raw.reshape(G, rpi_p, S, 4)[:, :rpi].reshape(N, S, 4)
+    return raw

@@ -243,7 +243,6 @@ def make_train_step(
         multiples.
         """
         from posegen_tpu.kernels.field import supports_fused_config
-        from posegen_tpu.kernels.field_grad import TRAIN_TILE
 
         enabled = tcfg.fused_train
         if enabled is None:
@@ -266,10 +265,8 @@ def make_train_step(
             return mode  # single group: fused_run_net pads to the tile
         if n % g != 0:
             return False
-        rpi = n // g
-        for s in (cfg.N_samples, cfg.N_samples + cfg.N_importance):
-            if (rpi * s) % TRAIN_TILE != 0:
-                return False
+        # any group shape works: fused_run_net ray-pads each group to a
+        # tile-divisible point count (kernels/field_grad.pick_train_tile)
         return mode
 
     def loss_fn(params, pose_params, embeds, anchors, batch, key):
