@@ -228,7 +228,7 @@ def train(argv: Optional[Sequence[str]] = None) -> str:
         batch = prep(next(it))
         state, stats = pstep(state, batch, jax.random.fold_in(key, i))
 
-        if (i + 1) % args.i_print == 0:
+        if args.i_print > 0 and (i + 1) % args.i_print == 0:
             s = {k: float(v) for k, v in stats.items()}
             rate = args.i_print / (time.time() - t0)
             t0 = time.time()
@@ -240,11 +240,11 @@ def train(argv: Optional[Sequence[str]] = None) -> str:
                 for k, v in s.items():
                     writer.add_scalar(f"Train/{k}", v, i + 1)
 
-        if (i + 1) % args.i_weights == 0:
+        if args.i_weights > 0 and (i + 1) % args.i_weights == 0:
             path = save_checkpoint(log_dir, state, step=i + 1)
             print(f"saved {path}")
 
-        if args.opt_pose and (i + 1) % args.i_pose_weights == 0:
+        if args.opt_pose and args.i_pose_weights > 0 and (i + 1) % args.i_pose_weights == 0:
             from posegen_tpu.train.checkpoints import save_pose_checkpoint
 
             save_pose_checkpoint(log_dir, state, step=i + 1)
@@ -258,7 +258,7 @@ def train(argv: Optional[Sequence[str]] = None) -> str:
             except Exception as e:  # video output must never kill training
                 print(f"i_video render failed: {e}")
 
-        if (i + 1) % args.i_testset == 0:
+        if args.i_testset > 0 and (i + 1) % args.i_testset == 0:
             metrics, rgbs = evaluate_testset(
                 cfg, state, render_data, args.chunk, mesh=mesh
             )

@@ -302,7 +302,11 @@ def _field_bwd_kernel(
     if code_ch > 0:
         # code gradients: full (G, C) output block; zero once at the global
         # first grid step (TPU grids iterate sequentially), then every step
-        # adds its tile's contribution to its group's row
+        # adds its tile's contribution to its group's row. The d_codes ref
+        # sits right after the weight-grad refs — NOT at outs[-1], which is
+        # d_trn when input_grads is on (latent until the pose-opt +
+        # framecode + grouped combination started running fused).
+        d_code_ref = outs[n_w]
         cb = 256 + view_ch(nf_view)
         g_code = jnp.sum(g_hv_in[cb : cb + code_ch, :], axis=1)[None, :]
         gid = pl.program_id(0)
@@ -310,9 +314,9 @@ def _field_bwd_kernel(
 
         @pl.when(global_first)
         def _():
-            outs[-1][:, :] = jnp.zeros_like(outs[-1])
+            d_code_ref[:, :] = jnp.zeros_like(d_code_ref)
 
-        outs[-1][pl.ds(gid, 1), :] = outs[-1][pl.ds(gid, 1), :] + g_code
+        d_code_ref[pl.ds(gid, 1), :] = d_code_ref[pl.ds(gid, 1), :] + g_code
     # feature + alpha heads (both consume the trunk output h)
     acc(outs[k + 2], _mm_nt(g_feat, h))
     acc(outs[k + 3], jnp.sum(g_feat, axis=1, keepdims=True))

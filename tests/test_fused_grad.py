@@ -178,3 +178,64 @@ def test_fused_input_grads_grouped(f32_matmuls):
     gf = np.asarray(jax.grad(loss_fused)(ctx2.skts))
     scale = max(np.abs(gx).max(), 1e-3)
     assert np.abs(gf - gx).max() / scale < 1e-4
+
+
+@pytest.mark.slow
+def test_fused_framecode_grads_with_input_grads(f32_matmuls):
+    """Regression: with input_grads=True AND framecodes on (pose-opt +
+    opt_framecode training), d_codes must come from its own output ref.
+    It used to be read from outs[-1], which is d_trn in that combination —
+    corrupting BOTH the framecode-table and the skts gradients."""
+    from posegen_tpu.models import nerf as nerf_mod
+    from posegen_tpu.render.raycast import PoseCtx, encode_inputs
+    from posegen_tpu.utils.fixtures import make_pose_ctx, make_rays
+
+    cfg = RaycastConfig(opt_framecode=True, n_framecodes=4)
+    params = __import__(
+        "posegen_tpu.render.raycast", fromlist=["init_raycaster"]
+    ).init_raycaster(jax.random.PRNGKey(0), cfg)
+    base = make_pose_ctx(seed=0, n_poses=2)
+    cam_idxs = jnp.asarray([[0], [2]], dtype=jnp.int32)  # distinct rows
+    ro, rd = make_rays(8, seed=1)
+    n, s, G = 8, 64, 2
+    z = jnp.sort(
+        jax.random.uniform(jax.random.PRNGKey(5), (n, s), minval=0.5, maxval=2.0), -1
+    )
+    pts = ro[:, None] + rd[:, None] * z[..., None]
+    wgt = jax.random.normal(jax.random.PRNGKey(11), (n, s, 4))
+
+    def loss_xla(net, skts):
+        rep = n // G
+        ctx_r = PoseCtx(
+            kps=jnp.repeat(base.kps, rep, axis=0),
+            skts=jnp.repeat(skts, rep, axis=0),
+            bones=jnp.repeat(base.bones, rep, axis=0),
+            cyls=base.cyls,
+        )
+        x_pts, x_views, _ = encode_inputs(cfg, params, pts, rd, ctx_r)
+        frame_idx = jnp.broadcast_to(
+            jnp.repeat(cam_idxs, rep, axis=0)[:, None, :], (n, s, 1)
+        )
+        raw = nerf_mod.nerf_apply(cfg.nerf_cfg, net, x_pts, x_views, frame_idx)
+        return jnp.sum(raw * wgt)
+
+    def loss_fused(net, skts):
+        ctx_g = PoseCtx(
+            kps=base.kps, skts=skts, bones=base.bones, cyls=base.cyls,
+            cam_idxs=cam_idxs,
+        )
+        raw = fused_run_net(
+            cfg, net, params["embed_kp"], pts, rd, ctx_g,
+            interpret=True, trainable=True, input_grads=True,
+        )
+        return jnp.sum(raw * wgt)
+
+    gx_net, gx_skts = jax.grad(loss_xla, argnums=(0, 1))(params["coarse"], base.skts)
+    gf_net, gf_skts = jax.grad(loss_fused, argnums=(0, 1))(params["coarse"], base.skts)
+
+    gx_c, gf_c = np.asarray(gx_net["framecodes"]), np.asarray(gf_net["framecodes"])
+    assert np.abs(gx_c).max() > 0
+    np.testing.assert_allclose(gf_c, gx_c, rtol=1e-4, atol=1e-6)
+    gx_s, gf_s = np.asarray(gx_skts), np.asarray(gf_skts)
+    scale = max(np.abs(gx_s).max(), 1e-3)
+    assert np.abs(gf_s - gx_s).max() / scale < 1e-4
