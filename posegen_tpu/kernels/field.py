@@ -524,7 +524,7 @@ def fused_run_net(
         if G > 1 and (ns // G) % tile != 0:
             # eval tiles don't pad groups; fall back to a group-divisible
             # tile (the eval kernel's per-step overhead is small)
-            for t in (512, 256, 128):
+            for t in (896, 768, 640, 512, 384, 256, 128):
                 if (ns // G) % t == 0:
                     tile = t
                     break

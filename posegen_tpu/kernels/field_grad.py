@@ -61,7 +61,10 @@ def pick_train_tile(rpi: int, s: int, g: int):
         return MAX_TRAIN_TILE, rpi  # flat padding handles divisibility
     best = None
     K = 3.0  # fitted from the measured 256-vs-1024 sweep
-    for t in (MAX_TRAIN_TILE, 512, TRAIN_TILE):
+    # every multiple of 128 is lane-aligned; non-power-of-two tiles often
+    # divide s * rpi exactly (e.g. 768 = 48 rays x 16 at the flagship
+    # s = 80 shape -> zero ray padding; 640 = 8 rays x 80 exactly)
+    for t in range(MAX_TRAIN_TILE, TRAIN_TILE - 1, -128):
         step = t // math.gcd(s, t)
         rpi_p = -(-rpi // step) * step
         cost = rpi_p * (1.0 + K * 256.0 / t)
@@ -458,6 +461,12 @@ def make_trainable_field(
                 flops=flops_per_pt * ns,
                 bytes_accessed=(3 + 3 + 4) * 4 * ns + 8_000_000,
                 transcendentals=(24 * 3 + 72 * 2) * ns,  # double-angle ladder
+            ),
+            # input_grads adds per-point cotangent buffers: the backward
+            # kernel's stack is ~22 MB at tile 768, over mosaic's 16 MB
+            # default scoped-vmem limit (v5e VMEM is 128 MB)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=48 * 1024 * 1024
             ),
             interpret=interpret,
         )(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, *weights, g)
