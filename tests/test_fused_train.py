@@ -154,3 +154,25 @@ def test_fused_pose_opt_train_step_matches_xla(rng, monkeypatch):
             assert np.abs(a - b).max() < 5e-5, f"pose_params[{k}]"
     finally:
         field.MM_DTYPE = orig
+
+
+def test_pick_train_tile_invariants():
+    """Tile choices are lane-aligned, group-divisible after padding, and
+    zero-padding candidates win when the cost model says so (the measured
+    on-chip optimum at the flagship shape — RESULTS.md tile sweep)."""
+    from posegen_tpu.kernels.field_grad import (
+        MAX_TRAIN_TILE, TRAIN_TILE, pick_train_tile,
+    )
+
+    # single group: flat padding, always the max tile
+    assert pick_train_tile(2048, 80, 1) == (MAX_TRAIN_TILE, 2048)
+
+    for rpi, s in [(48, 80), (12, 80), (32, 64), (48, 65), (7, 80)]:
+        tile, rpi_p = pick_train_tile(rpi, s, 64)
+        assert tile % 128 == 0 and TRAIN_TILE <= tile <= MAX_TRAIN_TILE
+        assert rpi_p >= rpi
+        assert (rpi_p * s) % tile == 0, (rpi, s, tile, rpi_p)
+
+    # flagship 3072 rays / 64 groups / 80 samples: 768 = 48 rays x 16
+    # divides exactly (zero ray padding) and measured fastest on-chip
+    assert pick_train_tile(48, 80, 64) == (768, 48)
