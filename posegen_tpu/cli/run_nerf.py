@@ -40,10 +40,10 @@ def evaluate_testset(cfg, state, render_data, chunk: int = 4096, mesh=None):
 
     render_fn = None
     if mesh is not None and mesh.size > 1:
-        from posegen_tpu.parallel.mesh import make_shardmap_render
+        from posegen_tpu.parallel.mesh import make_shardmap_render_cam
 
         chunk = chunk - (chunk % mesh.size) or mesh.size
-        render_fn = make_shardmap_render(cfg, mesh)
+        render_fn = make_shardmap_render_cam(cfg, mesh, chunk)
 
     params = {**state.params, **state.embeds}
     H, W, _ = render_data["hwf"]
@@ -94,10 +94,11 @@ def save_spiral_video(
     )
     from posegen_tpu.parallel.mesh import auto_render_fn
 
-    render_fn, chunk = auto_render_fn(cfg, chunk)
+    # u8 GIF output: f16 readback is free accuracy-wise
+    render_fn, chunk = auto_render_fn(cfg, chunk, half_readback=True)
     out = render_path(
         cfg, params, c2ws, (H, W, focal), [ctx], chunk=chunk,
-        render_fn=render_fn,
+        render_fn=render_fn, half_readback=True,
     )
     rgb_path = os.path.join(log_dir, f"spiral_{step:06d}_rgb.gif")
     imageio.mimwrite(

@@ -360,13 +360,14 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
     # DataParallel's render-path role, core/raycasters.py:157)
     from posegen_tpu.parallel.mesh import auto_render_fn
 
-    render_fn, chunk = auto_render_fn(cfg, args.chunk)
+    # u8 PNG outputs: f16 readback halves the device->host transfer
+    # that dominates frame latency on tunneled hosts; --eval keeps f32
+    half_readback = not getattr(args, "eval", False)
+    render_fn, chunk = auto_render_fn(cfg, args.chunk, half_readback=half_readback)
     out = render_path(
         cfg, variables, c2ws, (H, W, focal), ctxs,
         chunk=chunk, white_bkgd=args.white_bkgd, render_fn=render_fn,
-        # u8 PNG outputs: f16 readback halves the device->host transfer
-        # that dominates frame latency on tunneled hosts; --eval keeps f32
-        half_readback=not getattr(args, "eval", False),
+        half_readback=half_readback,
     )
 
     import imageio.v2 as imageio

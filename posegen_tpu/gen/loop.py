@@ -91,14 +91,13 @@ class NeRFRenderer:
         from posegen_tpu.render.raycast import render_rays
 
         # multi-chip: the feedback renderer shards its 512^2 ray set over
-        # the mesh (reference DataParallel covered run_gan's render too)
-        self._render_fn, self.chunk = auto_render_fn(cfg, chunk)
-        if self._render_fn is None:
-            from posegen_tpu.render.image import _default_render_fn
-
-            # f16 readback: SPIN consumes ImageNet-normalized crops, far
-            # above f16 rounding; halves the per-frame transfer
-            self._render_fn = _default_render_fn(cfg, half_readback=True)
+        # the mesh (reference DataParallel covered run_gan's render too).
+        # f16 readback: SPIN consumes ImageNet-normalized crops, far above
+        # f16 rounding; halves the per-frame transfer. Single chip returns
+        # render_fn=None -> render_image's memoized in-graph-raygen jit.
+        self._render_fn, self.chunk = auto_render_fn(
+            cfg, chunk, half_readback=True
+        )
 
     def render_poses(self, bones: np.ndarray, c2ws: np.ndarray) -> np.ndarray:
         """Render one image per pose -> (K, H, W, 3) float [0, 1]
@@ -118,6 +117,7 @@ class NeRFRenderer:
             out = render_image(
                 self.cfg, self.params, self.hw, self.hw, self.focal,
                 c2ws[k], ctx, chunk=self.chunk, render_fn=self._render_fn,
+                half_readback=True,
             )
             imgs.append(out["rgb"])
         return np.stack(imgs)

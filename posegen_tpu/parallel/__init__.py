@@ -4,6 +4,7 @@ from posegen_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     make_parallel_render,
     make_shardmap_render,
+    make_shardmap_render_cam,
     make_shardmap_train_step,
     replicate,
     shard_batch,

@@ -134,10 +134,52 @@ def make_shardmap_render(cfg, mesh: Mesh, axis: str = "data", use_fused=None):
     return jax.jit(sharded)
 
 
-def auto_render_fn(cfg, chunk: int, use_fused=None):
+def make_shardmap_render_cam(
+    cfg, mesh: Mesh, chunk: int, axis: str = "data", use_fused=None,
+    half_readback: bool = False,
+):
+    """Multi-chip renderer with on-device ray generation: the host uploads a
+    ~60-byte cam pack + one i32 chunk offset; each chip generates its own
+    `chunk / mesh.size` ray slice in-graph (`rays_from_box`) and renders it.
+    Replaces both DataParallel's render scatter (core/raycasters.py:157) and
+    the per-chunk ray upload. Tagged `takes_cam` for `render_image`."""
+    from posegen_tpu.render.image import KEEP_MAPS, rays_from_box
+    from posegen_tpu.render.raycast import render_rays
+
+    local_n = chunk // mesh.size
+    if local_n * mesh.size != chunk:
+        raise ValueError(f"chunk {chunk} not divisible by mesh size {mesh.size}")
+
+    def per_device(params, cam, start, ctx):
+        lstart = start + jax.lax.axis_index(axis) * local_n
+        rays_o, rays_d = rays_from_box(cam, lstart, local_n)
+        out = render_rays(
+            cfg, params, rays_o, rays_d, ctx,
+            perturb=0.0, raw_noise_std=0.0, eval_mean_code=True,
+            use_fused=use_fused, coarse_rgb=False,
+        )
+        out = {k: out[k] for k in KEEP_MAPS}
+        if half_readback:
+            out = {k: v.astype(jnp.float16) for k, v in out.items()}
+        return out
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    jitted = jax.jit(sharded)
+    jitted.takes_cam = True
+    return jitted
+
+
+def auto_render_fn(cfg, chunk: int, use_fused=None, half_readback: bool = False):
     """(render_fn, chunk) for the current topology: on a multi-chip host,
-    a shard_map renderer over all devices + a mesh-divisible chunk; on one
-    chip (None, chunk) so callers keep the memoized single-device jit.
+    a shard_map renderer (on-device raygen) over all devices + a
+    mesh-divisible chunk; on one chip (None, chunk) so callers keep the
+    memoized single-device jit (which also raygens in-graph).
 
     Covers every eval/render surface the reference ran under
     nn.DataParallel (core/raycasters.py:157): run_render, the GAN feedback
@@ -148,7 +190,12 @@ def auto_render_fn(cfg, chunk: int, use_fused=None):
         return None, chunk
     mesh = make_mesh()
     chunk = chunk - (chunk % mesh.size) or mesh.size
-    return make_shardmap_render(cfg, mesh, use_fused=use_fused), chunk
+    return (
+        make_shardmap_render_cam(
+            cfg, mesh, chunk, use_fused=use_fused, half_readback=half_readback
+        ),
+        chunk,
+    )
 
 
 def make_shardmap_train_step(

@@ -54,6 +54,84 @@ def valid_rays_for_pose(
 KEEP_MAPS = ("rgb_map", "acc_map", "disp_map")
 
 
+def make_cam(
+    H: int,
+    W: int,
+    focal,
+    c2w: np.ndarray,
+    tl: np.ndarray,
+    br: np.ndarray,
+    center=None,
+) -> Dict[str, np.ndarray]:
+    """Pack the per-image camera + valid-ray box for on-device ray generation.
+
+    ~60 bytes per frame replace the ~6 MB of f32 ray origins/directions the
+    host path uploads for a 512^2 image — on tunneled/slow-PCIe hosts that
+    upload, not compute, dominates frame latency. Layout:
+      c2w  (3, 4) f32   camera-to-world
+      foff (4,)   f32   [focal_x, focal_y, off_x, off_y]
+      box  (4,)   i32   [tl_x, tl_y, box_width, n_valid]
+    """
+    f = np.reshape(np.asarray(focal, dtype=np.float32), (-1,))
+    fx = float(f[0])
+    fy = float(f[1]) if f.size > 1 else fx
+    if center is None:
+        off_x, off_y = W * 0.5, H * 0.5
+    else:
+        off_x, off_y = float(center[0]), float(center[1])
+    bw = int(br[0] - tl[0])
+    bh = int(br[1] - tl[1])
+    return {
+        "c2w": np.asarray(c2w, np.float32)[:3, :4],
+        "foff": np.asarray([fx, fy, off_x, off_y], np.float32),
+        "box": np.asarray([int(tl[0]), int(tl[1]), bw, bw * bh], np.int32),
+    }
+
+
+def rays_from_box(cam: Dict[str, jax.Array], start, n: int):
+    """Rays for flat box offsets [start, start+n) — the in-graph twin of
+    `get_rays_np` restricted to the valid-ray box (row-major, matching
+    `valid_rays_for_pose`'s valid_idx order). Offsets past n_valid clamp to
+    the last valid ray (same garbage-lane padding as the host path)."""
+    box = cam["box"]
+    foff = cam["foff"]
+    j = jnp.asarray(start, jnp.int32) + jnp.arange(n, dtype=jnp.int32)
+    j = jnp.minimum(j, box[3] - 1)
+    y = (box[1] + j // box[2]).astype(jnp.float32)
+    x = (box[0] + j % box[2]).astype(jnp.float32)
+    dirs = jnp.stack(
+        [(x - foff[2]) / foff[0], -(y - foff[3]) / foff[1], -jnp.ones_like(x)],
+        axis=-1,
+    )
+    c2w = cam["c2w"]
+    rays_d = jnp.sum(dirs[..., None, :] * c2w[:3, :3], axis=-1)
+    rays_o = jnp.broadcast_to(c2w[:3, -1], rays_d.shape)
+    return rays_o, rays_d
+
+
+@functools.lru_cache(maxsize=8)
+def _raygen_render_fn(cfg: RaycastConfig, chunk: int, half_readback: bool = False):
+    """Memoized jitted raygen+render: rays are generated in-graph from the
+    ~60-byte cam pack (XLA fuses the pinhole math into the render prologue),
+    so per-chunk host->device upload is two scalars instead of 2 x (chunk, 3)
+    f32 arrays."""
+
+    def fn(p, cam, start, c):
+        o, d = rays_from_box(cam, start, chunk)
+        out = render_rays(
+            cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0,
+            eval_mean_code=True, coarse_rgb=False,
+        )
+        out = {k: v for k, v in out.items() if k in KEEP_MAPS}
+        if half_readback:
+            out = {k: v.astype(jnp.float16) for k, v in out.items()}
+        return out
+
+    jitted = jax.jit(fn)
+    jitted.takes_cam = True
+    return jitted
+
+
 @functools.lru_cache(maxsize=8)
 def _default_render_fn(cfg: RaycastConfig, half_readback: bool = False):
     """Memoized jitted eval render. A fresh `jax.jit(lambda ...)` per call
@@ -120,6 +198,35 @@ def _render_chunks(
     return {k: np.concatenate(v)[:n] for k, v in outs.items()}
 
 
+def _render_chunks_cam(
+    cfg: RaycastConfig,
+    params: Dict[str, Any],
+    cam: Dict[str, np.ndarray],
+    ctx: PoseCtx,
+    chunk: int,
+    render_fn=None,
+    half_readback: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Device-raygen twin of `_render_chunks`: per chunk the host uploads one
+    i32 scalar (the chunk's flat box offset); rays never cross the link.
+    render_fn, if given, must take (params, cam, start, ctx) — factories tag
+    such functions with `takes_cam = True`."""
+    n = int(cam["box"][3])
+    if render_fn is None:
+        render_fn = _raygen_render_fn(cfg, chunk, half_readback)
+    cam_dev = {k: jnp.asarray(v) for k, v in cam.items()}
+
+    device_outs: List[Dict[str, jax.Array]] = []
+    for i in range(0, n + ((-n) % chunk), chunk):
+        ret = render_fn(params, cam_dev, jnp.asarray(i, jnp.int32), ctx)
+        device_outs.append({k: v for k, v in ret.items() if k in KEEP_MAPS})
+    outs: Dict[str, List[np.ndarray]] = {}
+    for ret in device_outs:
+        for k, v in ret.items():
+            outs.setdefault(k, []).append(np.asarray(v, np.float32))
+    return {k: np.concatenate(v)[:n] for k, v in outs.items()}
+
+
 def render_image(
     cfg: RaycastConfig,
     params: Dict[str, Any],
@@ -141,12 +248,27 @@ def render_image(
     Returns dict with 'rgb' (H, W, 3), 'acc' (H, W), 'disp' (H, W), 'bbox'.
     """
     cyl = np.asarray(ctx.cyls)[0]
-    rays_o, rays_d, valid_idx, (tl, br) = valid_rays_for_pose(H, W, focal, c2w, cyl, center)
-
-    ret = _render_chunks(
-        cfg, params, rays_o, rays_d, ctx, chunk, render_fn,
-        half_readback=half_readback,
-    )
+    device_raygen = render_fn is None or getattr(render_fn, "takes_cam", False)
+    if device_raygen:
+        # box + flat indices only on the host; rays are generated in-graph
+        w2c = nerf_c2w_to_extrinsic(np.asarray(c2w))
+        tl, br, _ = cylinder_to_box_2d(np.asarray(cyl), [H, W, focal], w2c, center=center)
+        yy, xx = np.meshgrid(
+            np.arange(tl[1], br[1]), np.arange(tl[0], br[0]), indexing="ij"
+        )
+        valid_idx = (yy * W + xx).reshape(-1)
+        cam = make_cam(H, W, focal, c2w, tl, br, center=center)
+        ret = _render_chunks_cam(
+            cfg, params, cam, ctx, chunk, render_fn, half_readback=half_readback
+        )
+    else:
+        rays_o, rays_d, valid_idx, (tl, br) = valid_rays_for_pose(
+            H, W, focal, c2w, cyl, center
+        )
+        ret = _render_chunks(
+            cfg, params, rays_o, rays_d, ctx, chunk, render_fn,
+            half_readback=half_readback,
+        )
 
     if white_bkgd and bg is None:
         bg = np.ones((H, W, 3), dtype=np.float32)
@@ -196,8 +318,6 @@ def render_path(
     core/raycasters.py:157)."""
     H, W, focal = hwf
     rgbs, accs, disps, bboxes = [], [], [], []
-    if render_fn is None:
-        render_fn = _default_render_fn(cfg, half_readback)
     t0 = time.time()
     for i, c2w in enumerate(render_poses):
         ctx = ctxs[i % len(ctxs)]
@@ -207,6 +327,7 @@ def render_path(
         out = render_image(
             cfg, params, H, W, f, c2w, ctx, chunk=chunk, center=center,
             bg=bg, white_bkgd=white_bkgd, render_fn=render_fn,
+            half_readback=half_readback,
         )
         rgbs.append(out["rgb"])
         accs.append(out["acc"])

@@ -273,3 +273,59 @@ def test_gan_feedback_renderer_multichip(rng):
     )
     imgs1 = single.render_poses(bones, c2w[None])
     np.testing.assert_allclose(imgs, imgs1, rtol=1e-3, atol=5e-4)
+
+
+def test_device_raygen_matches_host_rays(rng):
+    """`rays_from_box` (in-graph pinhole raygen from the ~60-byte cam pack)
+    reproduces the host `valid_rays_for_pose` rays, including the clamp-to-
+    last-valid padding convention."""
+    from posegen_tpu.render import image as IMG
+
+    H, W, focal = 24, 36, (30.0, 28.0)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, :3] = np.linalg.qr(rng.standard_normal((3, 3)))[0].astype(np.float32)
+    c2w[2, 3] = 3.0
+    kp = SMPL_REST_POSE[None] + rng.standard_normal((1, 24, 3)).astype(np.float32) * 0.05
+    cyl = np.asarray(get_kp_bounding_cylinder(jnp.asarray(kp)))[0]
+    center = (W * 0.5 - 1.0, H * 0.5 + 2.0)
+
+    ro, rd, valid_idx, (tl, br) = IMG.valid_rays_for_pose(H, W, focal, c2w, cyl, center)
+    cam = IMG.make_cam(H, W, focal, c2w, tl, br, center=center)
+    n = int(cam["box"][3])
+    assert n == ro.shape[0]
+
+    n_pad = 7
+    o2, d2 = jax.jit(lambda c: IMG.rays_from_box(c, 0, n + n_pad))(
+        {k: jnp.asarray(v) for k, v in cam.items()}
+    )
+    np.testing.assert_allclose(np.asarray(o2)[:n], ro, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2)[:n], rd, rtol=1e-6, atol=1e-6)
+    # padding lanes clamp to the last valid ray
+    np.testing.assert_allclose(
+        np.asarray(d2)[n:], np.broadcast_to(rd[-1], (n_pad, 3)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_render_image_device_raygen_matches_legacy(rng):
+    """The default render path (device raygen) matches the legacy host-ray
+    upload path on a full image."""
+    from posegen_tpu.render import image as IMG
+
+    cfg = RC.RaycastConfig(N_samples=8, N_importance=4, perturb=0.0, raw_noise_std=0.0)
+    params = RC.init_raycaster(jax.random.PRNGKey(0), cfg)
+    for net in ("coarse", "fine"):
+        params[net]["alpha_linear"]["b"] = params[net]["alpha_linear"]["b"] + 2.0
+    ctx = make_ctx(rng)
+    H = W = 32
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 3.0
+
+    new = IMG.render_image(cfg, params, H, W, 40.0, c2w, ctx, chunk=256)
+    legacy_fn = IMG._default_render_fn(cfg)  # no takes_cam -> host rays
+    legacy = IMG.render_image(
+        cfg, params, H, W, 40.0, c2w, ctx, chunk=256, render_fn=legacy_fn
+    )
+    np.testing.assert_allclose(new["rgb"], legacy["rgb"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(new["acc"], legacy["acc"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(new["disp"], legacy["disp"], rtol=1e-4, atol=1e-5)
