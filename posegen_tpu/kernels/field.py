@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 N_JOINTS = 24
 NF_KP = 7  # flagship defaults; the kernel is parametric over both
 NF_VIEW = 4
-POINT_TILE = 1024
+POINT_TILE = 2048  # eval tile; 2048 beats 1024 by ~4% on-chip (VMEM ~12 MB)
 
 
 def kp_ch(nf_kp: int = NF_KP) -> int:
@@ -349,10 +349,26 @@ def _field_kernel(
 
     h = e_pts
     x0 = e_pts
+    pc = e_pts.shape[0]
+    # Skip-concat is deferred: the consuming layer runs two matmuls
+    # (w[:, :pc] @ x0 + w[:, pc:] @ h) instead of materializing the
+    # (pc + 256, P) concat — saves a VPU copy per tile (~11% measured,
+    # tools/exp_kernel_variants.py). Weight column layout is unchanged.
+    h_split = False
     for i in range(depth):
-        h = jnp.maximum(mm_t(wrefs[2 * i][:, :], h) + wrefs[2 * i + 1][:, :], 0.0)
+        w = wrefs[2 * i]
+        if h_split:
+            acc = mm_t(w[:, :pc], x0) + mm_t(w[:, pc:], h)
+            h_split = False
+        else:
+            acc = mm_t(w[:, :], h)
+        h = jnp.maximum(acc + wrefs[2 * i + 1][:, :], 0.0)
         if i in skips:
-            h = jnp.concatenate([x0, h], axis=0)
+            h_split = True
+    if h_split:
+        # skip after the last layer (netdepth == 5): the heads consume the
+        # concat directly — rare shape, keep the materialized form
+        h = jnp.concatenate([x0, h], axis=0)
     k = 2 * depth
     alpha = mm_t(wrefs[k][:, :], h) + wrefs[k + 1][:, :]  # (1, P)
     if density_only:
@@ -524,7 +540,7 @@ def fused_run_net(
         if G > 1 and (ns // G) % tile != 0:
             # eval tiles don't pad groups; fall back to a group-divisible
             # tile (the eval kernel's per-step overhead is small)
-            for t in (896, 768, 640, 512, 384, 256, 128):
+            for t in (1536, 1024, 896, 768, 640, 512, 384, 256, 128):
                 if (ns // G) % t == 0:
                     tile = t
                     break
