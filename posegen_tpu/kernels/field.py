@@ -379,14 +379,20 @@ def _field_kernel(
         )
         return
     feat = mm_t(wrefs[k + 2][:, :], h) + wrefs[k + 3][:, :]  # (256, P)
-    parts = [feat, e_view]
+    # view head: the [feat | e_view | code] concat is never materialized —
+    # each segment gets its own matmul against its weight-column slice
+    # (same layout, ~3% measured; tools/exp_kernel_variants.py 'viewsplit')
+    wv = wrefs[k + 4]
+    vc = e_view.shape[0]
+    acc_v = mm_t(wv[:, :256], feat) + mm_t(wv[:, 256:256 + vc], e_view)
     if code_ch > 0:
-        # this group's framecode row broadcast across the tile (reference
-        # nerf.py:154-158 concatenates Optcodes output into the view branch)
+        # this group's framecode row (reference nerf.py:154-158 concatenates
+        # Optcodes output into the view branch) is constant across the tile:
+        # its head contribution is one (128, code_ch) @ (code_ch, 1) vector,
+        # broadcast-added instead of a (code_ch, P) matmul operand
         row = code_ref[pl.program_id(0)]
-        parts.append(jnp.broadcast_to(row[:, None], (code_ch, P)))
-    hv = jnp.concatenate(parts, axis=0)  # (904 + code_ch, P)
-    hv = jnp.maximum(mm_t(wrefs[k + 4][:, :], hv) + wrefs[k + 5][:, :], 0.0)  # (128, P)
+        acc_v = acc_v + mm_t(wv[:, 256 + vc:], row[:, None])
+    hv = jnp.maximum(acc_v + wrefs[k + 5][:, :], 0.0)  # (128, P)
     rgb = mm_t(wrefs[k + 6][:, :], hv) + wrefs[k + 7][:, :]  # (3, P)
 
     out_ref[:, :] = jnp.concatenate([rgb, alpha], axis=0)  # (4, P)
