@@ -90,9 +90,67 @@ def encode_bf16(pts_ref, dirs_ref, rot, trn, cut_ref, tau_ref,
     return e_pts, e_view
 
 
+def encode_mx(pts_ref, dirs_ref, rot, trn, cut_ref, tau_ref,
+              with_view=True, nf_kp=F.NF_KP, nf_view=F.NF_VIEW):
+    """encode_channels clone with the 24-joint transforms on the MXU:
+    one f32 (72, 4) @ (4, P) dot for points, (72, 3) @ (3, P) for dirs."""
+    P = pts_ref.shape[1]
+    R = rot[:, :]  # (24, 9)
+    t = trn[:, :]  # (24, 3)
+    # (72, 4): rows [Rj0 Rj1 Rj2 tj_c] grouped X(24) Y(24) Z(24)
+    RT = jnp.concatenate(
+        [
+            jnp.concatenate([R[:, 0:3], t[:, 0:1]], axis=1),
+            jnp.concatenate([R[:, 3:6], t[:, 1:2]], axis=1),
+            jnp.concatenate([R[:, 6:9], t[:, 2:3]], axis=1),
+        ],
+        axis=0,
+    )
+    ptsw = jnp.concatenate(
+        [pts_ref[:, :], jnp.ones((1, P), jnp.float32)], axis=0
+    )
+    XYZ = jax.lax.dot_general(
+        RT, ptsw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # f32 in, f32 out
+    XT, YT, ZT = XYZ[0:24], XYZ[24:48], XYZ[48:72]
+    v = jnp.sqrt(XT * XT + YT * YT + ZT * ZT)
+    w = 1.0 - jax.nn.sigmoid(tau_ref[0, 0] * (v - cut_ref[:, :]))
+    inv_v = 1.0 / jnp.maximum(v, 1e-12)
+    rows = [v * w]
+    sv, cv = jnp.sin(v), jnp.cos(v)
+    for f_idx in range(nf_kp):
+        rows.append(sv * w)
+        rows.append(cv * w)
+        if f_idx + 1 < nf_kp:
+            sv, cv = 2.0 * sv * cv, 1.0 - 2.0 * sv * sv
+    rows.extend([XT * inv_v, YT * inv_v, ZT * inv_v])
+    e_pts = jnp.concatenate(rows, axis=0)
+    if not with_view:
+        return e_pts, None
+    DXYZ = jax.lax.dot_general(
+        RT[:, :3], dirs_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    DX, DY, DZ = DXYZ[0:24], DXYZ[24:48], DXYZ[48:72]
+    dn_inv = jax.lax.rsqrt(jnp.maximum(DX * DX + DY * DY + DZ * DZ, 1e-24))
+    dnx, dny, dnz = DX * dn_inv, DY * dn_inv, DZ * dn_inv
+    vrows = [dnx * w, dny * w, dnz * w]
+    sc = [(jnp.sin(q), jnp.cos(q)) for q in (dnx, dny, dnz)]
+    for f_idx in range(nf_view):
+        for sq, _ in sc:
+            vrows.append(sq * w)
+        for _, cq in sc:
+            vrows.append(cq * w)
+        if f_idx + 1 < nf_view:
+            sc = [(2.0 * sq * cq, 1.0 - 2.0 * sq * sq) for sq, cq in sc]
+    e_view = jnp.concatenate(vrows, axis=0)
+    return e_pts, e_view
+
+
 def make_variant_kernel(depth, skips, nf_kp, nf_view, skipsplit, bf16act,
                         density_only, viewsplit=False, encode_only=False,
-                        bf16enc=False, halves=1):
+                        bf16enc=False, halves=1, mxenc=False):
     pc = F.pts_ch(nf_kp)
 
     def kernel(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref,
@@ -112,6 +170,12 @@ def make_variant_kernel(depth, skips, nf_kp, nf_view, skipsplit, bf16act,
             out_ref[:, :] = jnp.broadcast_to(s, (4, pts_ref.shape[1]))
             return
         def enc(half):
+            if mxenc:
+                return encode_mx(
+                    pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref,
+                    tau_ref, with_view=not density_only, nf_kp=nf_kp,
+                    nf_view=nf_view,
+                )
             if bf16enc:
                 return encode_bf16(
                     pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref,
@@ -199,21 +263,22 @@ def make_variant_kernel(depth, skips, nf_kp, nf_view, skipsplit, bf16act,
     jax.jit,
     static_argnames=("depth", "skips", "tile", "density_only",
                      "nf_kp", "nf_view", "skipsplit", "bf16act", "interpret",
-                     "viewsplit", "encode_only", "bf16enc", "halves"),
+                     "viewsplit", "encode_only", "bf16enc", "halves",
+                     "mxenc"),
 )
 def variant_field(pts_t, dirs_t, rot, trn, cut, tau, codes, params,
                   depth=8, skips=(4,), tile=1024, density_only=False,
                   nf_kp=F.NF_KP, nf_view=F.NF_VIEW,
                   skipsplit=False, bf16act=False, interpret=False,
                   viewsplit=False, encode_only=False, bf16enc=False,
-                  halves=1):
+                  halves=1, mxenc=False):
     ns = pts_t.shape[1]
     sched = jnp.ones((1, max(nf_kp + nf_view, 1)), jnp.float32)
     weights = F.flatten_weights(params, depth)
     kernel = make_variant_kernel(
         depth, skips, nf_kp, nf_view, skipsplit, bf16act, density_only,
         viewsplit=viewsplit, encode_only=encode_only, bf16enc=bf16enc,
-        halves=halves,
+        halves=halves, mxenc=mxenc,
     )
     grid, in_specs, out_spec, _ = F.grouped_specs(
         ns, rot.shape[0], tile, rot, trn, cut, sched, codes, weights
@@ -287,10 +352,9 @@ def main() -> None:
                        halves=2)),
         ("pipe4", dict(skipsplit=True, viewsplit=True, bf16enc=True,
                        halves=4)),
-        ("dens_bf16", dict(density_only=True, bf16enc=True, skipsplit=True)),
-        ("dens_pipe2", dict(density_only=True, bf16enc=True, skipsplit=True,
-                            halves=2)),
-        ("dens_base", dict(density_only=True)),
+        ("mxenc", dict(skipsplit=True, viewsplit=True, mxenc=True)),
+        ("dens_mxenc", dict(density_only=True, skipsplit=True, mxenc=True)),
+        ("dens_base", dict(density_only=True, skipsplit=True)),
     ]
     for name, kw in cases:
         for tile in tiles:
