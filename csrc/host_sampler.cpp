@@ -175,7 +175,11 @@ void pg_assemble_batch(
       if (nv <= 0) {
         for (int64_t i = 0; i < n_rays; ++i)
           idx[i] = (int64_t)rng.below((uint64_t)n_pixels);
-      } else if (nv <= n_rays) {
+      } else if (nv == n_rays) {
+        // exactly enough valid pixels: emit each once (the numpy slow path
+        // draws without replacement when valid.size >= n_rays)
+        for (int64_t i = 0; i < n_rays; ++i) idx[i] = valid32[i];
+      } else if (nv < n_rays) {
         for (int64_t i = 0; i < n_rays; ++i)
           idx[i] = valid32[rng.below((uint64_t)nv)];
       } else {

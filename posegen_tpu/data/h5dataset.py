@@ -332,23 +332,19 @@ class H5RayDataset:
         (native .npz from save_checkpoint or a torch .tar)."""
         from posegen_tpu.pose.opt import pose_params_to_pose_data
         from posegen_tpu.skeleton.geometry import get_kp_bounding_cylinder
+        from posegen_tpu.train.checkpoints import load_pose_params
 
-        if ckpt_path.endswith(".tar"):
-            from posegen_tpu.train.checkpoints import import_torch_checkpoint
-
-            _, extras = import_torch_checkpoint(ckpt_path)
-            pose_params = extras["pose_params"]
-        else:
-            flat = dict(np.load(ckpt_path))
-            pose_params = {
-                "pelvis": flat["pose_params//pelvis"],
-                "bones": flat["pose_params//bones"],
-            }
+        # load_pose_params keeps every key — multiview checkpoints carry
+        # {'pelvis', 'root_bones', 'bones'} and need the dataset's kp_map
+        # to expand the shared bone table back to per-frame rows
+        pose_params = load_pose_params(ckpt_path)
         import jax.numpy as jnp
 
+        kp_map = getattr(self, "kp_map", None)
         data = pose_params_to_pose_data(
             {k: jnp.asarray(v) for k, v in pose_params.items()},
             jnp.asarray(self.rest_pose),
+            kp_map=None if kp_map is None else jnp.asarray(kp_map),
         )
         self.kp3d = data["kp3d"]
         self.bones = np.asarray(data["bones"])

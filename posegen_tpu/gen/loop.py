@@ -88,7 +88,6 @@ class NeRFRenderer:
         self.focal = focal
         self.pose_scale = pose_scale
         from posegen_tpu.parallel.mesh import auto_render_fn
-        from posegen_tpu.render.raycast import render_rays
 
         # multi-chip: the feedback renderer shards its 512^2 ray set over
         # the mesh (reference DataParallel covered run_gan's render too).

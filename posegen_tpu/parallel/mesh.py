@@ -18,6 +18,8 @@ inserts the collectives (the scaling-book recipe), nothing is hand-scheduled.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Dict, Optional
 
 import jax
@@ -106,6 +108,7 @@ def make_parallel_render(render_fn, mesh: Mesh, axis: str = "data"):
     return jax.jit(render)
 
 
+@functools.lru_cache(maxsize=8)
 def make_shardmap_render(cfg, mesh: Mesh, axis: str = "data", use_fused=None):
     """Multi-chip renderer via shard_map: each chip runs the (Pallas-fused)
     render on its ray shard; outputs all_gather back to replicated.
@@ -113,6 +116,10 @@ def make_shardmap_render(cfg, mesh: Mesh, axis: str = "data", use_fused=None):
     XLA's jit partitioner cannot split a pallas_call, so the sharded fused
     path must be expressed as per-device code — exactly what shard_map is.
     ctx must be single-pose (leading dim 1, replicated across chips).
+
+    Memoized: jit's compile cache keys on function identity, so a fresh
+    jit(shard_map(...)) per call would recompile the full render at every
+    periodic eval (the bug render/image._default_render_fn fixed in r2).
     """
     from posegen_tpu.render.raycast import render_rays
 
@@ -134,6 +141,7 @@ def make_shardmap_render(cfg, mesh: Mesh, axis: str = "data", use_fused=None):
     return jax.jit(sharded)
 
 
+@functools.lru_cache(maxsize=8)
 def make_shardmap_render_cam(
     cfg, mesh: Mesh, chunk: int, axis: str = "data", use_fused=None,
     half_readback: bool = False,

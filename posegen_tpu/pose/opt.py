@@ -190,7 +190,9 @@ def temporal_loss(
     frames are temporal neighbors in the same sequence. Returns the
     UNSCALED loss; the caller multiplies by temp_coef.
     """
-    n = params["bones"].shape[0]
+    # frame count is the pelvis table's length: under --multiview the bones
+    # table is the U-row shared table (U = F / n_views), not per-frame
+    n = params["pelvis"].shape[0]
     prev_i = (idx - 1) % n  # torch negative indexing wraps (trainer.py:413)
     next_i = (idx + 1) % n
     pk, pb, _, _ = pose_apply(params, prev_i, rest_pose, skel, kp_map)

@@ -40,15 +40,25 @@ def valid_rays_for_pose(
     (tl, br) box corners).
     """
     rays_o, rays_d = get_rays_np(H, W, focal, c2w, center=center)
-    w2c = nerf_c2w_to_extrinsic(np.asarray(c2w))
-    tl, br, _ = cylinder_to_box_2d(np.asarray(cyl), [H, W, focal], w2c, center=center)
-    ys = np.arange(tl[1], br[1])
-    xs = np.arange(tl[0], br[0])
-    yy, xx = np.meshgrid(ys, xs, indexing="ij")
-    valid_idx = (yy * W + xx).reshape(-1)
+    tl, br, valid_idx = valid_box_for_pose(H, W, focal, c2w, cyl, center)
     ro = rays_o.reshape(-1, 3)[valid_idx]
     rd = rays_d.reshape(-1, 3)[valid_idx]
     return ro.astype(np.float32), rd.astype(np.float32), valid_idx, (tl, br)
+
+
+def valid_box_for_pose(
+    H: int, W: int, focal, c2w: np.ndarray, cyl: np.ndarray, center=None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(tl, br, valid_idx): the pose cylinder's 2D bbox and the flat pixel
+    indices inside it — the single source of the box convention for both
+    the host-ray and device-raygen render paths."""
+    w2c = nerf_c2w_to_extrinsic(np.asarray(c2w))
+    tl, br, _ = cylinder_to_box_2d(np.asarray(cyl), [H, W, focal], w2c, center=center)
+    yy, xx = np.meshgrid(
+        np.arange(tl[1], br[1]), np.arange(tl[0], br[0]), indexing="ij"
+    )
+    valid_idx = (yy * W + xx).reshape(-1)
+    return tl, br, valid_idx
 
 
 KEEP_MAPS = ("rgb_map", "acc_map", "disp_map")
@@ -251,12 +261,7 @@ def render_image(
     device_raygen = render_fn is None or getattr(render_fn, "takes_cam", False)
     if device_raygen:
         # box + flat indices only on the host; rays are generated in-graph
-        w2c = nerf_c2w_to_extrinsic(np.asarray(c2w))
-        tl, br, _ = cylinder_to_box_2d(np.asarray(cyl), [H, W, focal], w2c, center=center)
-        yy, xx = np.meshgrid(
-            np.arange(tl[1], br[1]), np.arange(tl[0], br[0]), indexing="ij"
-        )
-        valid_idx = (yy * W + xx).reshape(-1)
+        tl, br, valid_idx = valid_box_for_pose(H, W, focal, c2w, cyl, center)
         cam = make_cam(H, W, focal, c2w, tl, br, center=center)
         ret = _render_chunks_cam(
             cfg, params, cam, ctx, chunk, render_fn, half_readback=half_readback

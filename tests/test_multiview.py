@@ -181,3 +181,94 @@ def test_multiview_dataset_and_train_step(rng, tmp_path):
         "shared multiview bone table did not update"
     )
     ds.close()
+
+
+def test_multiview_temporal_loss_uses_frame_count(rng):
+    """temporal_loss neighbor wrap must use the FRAME count (pelvis rows),
+    not the shared bone table's U rows: for every batch index the multiview
+    layout must produce the same loss as the equivalent full-table layout
+    (regression: idx >= U used to wrap against unrelated frames)."""
+    from posegen_tpu.pose.opt import temporal_loss
+
+    n, u = 8, 2
+    kp_map = np.asarray([0, 1, 0, 1, 0, 1, 0, 1])
+    kp_uidxs = np.asarray([0, 1])
+    bones = (rng.standard_normal((n, 24, 3)) * 0.2).astype(np.float32)
+    for i in range(n):
+        bones[i, 1:] = bones[kp_uidxs[kp_map[i]], 1:]
+    kp3d = np.tile(SMPL_REST_POSE[None], (n, 1, 1)).astype(np.float32)
+    kp3d += rng.standard_normal(kp3d.shape).astype(np.float32) * 0.05
+
+    pcfg = PoseOptConfig(use_rot6d=True)
+    mv_params, _ = init_pose_params(
+        pcfg, bones, kp3d, kp_map=kp_map, kp_uidxs=kp_uidxs
+    )
+    full_params, _ = init_pose_params(pcfg, bones, kp3d)
+
+    rest = jnp.asarray(SMPL_REST_POSE)
+    km = jnp.asarray(kp_map)
+    temp_val = jnp.ones((4,), jnp.float32)
+    # indices beyond U=2, including the wrap edges 0 and n-1
+    idx = jnp.asarray([5, 7, 0, 3])
+
+    kps_f, bones_f, _, _ = pose_apply(full_params, idx, rest)
+    loss_full = temporal_loss(
+        full_params, idx, temp_val, rest, kps_f, bones_f
+    )
+    kps_mv, bones_mv, _, _ = pose_apply(mv_params, idx, rest, kp_map=km)
+    loss_mv = temporal_loss(
+        mv_params, idx, temp_val, rest, kps_mv, bones_mv, kp_map=km
+    )
+    np.testing.assert_allclose(
+        float(loss_mv), float(loss_full), rtol=1e-5,
+        err_msg="multiview temporal_loss diverged from the full-table layout",
+    )
+
+
+def test_load_refined_multiview_roundtrip(rng, tmp_path):
+    """--load_refined must round-trip a MULTIVIEW pose checkpoint
+    ({pelvis, root_bones, bones-with-U-rows}) through the dataset
+    (regression: root_bones was dropped and the U-row table frame-indexed)."""
+    from posegen_tpu.data.h5dataset import H5RayDataset
+    from posegen_tpu.data.synthetic import make_synthetic_h5
+
+    n_sets, n_views, n_frames = 1, 4, 2
+    n = n_sets * n_views * n_frames
+    path = make_synthetic_h5(str(tmp_path / "mv.h5"), n_images=n, H=32, W=32)
+    with h5py.File(path, "a") as f:
+        f.create_dataset(
+            "img_paths", data=np.asarray(_img_paths(n_sets, n_views, n_frames))
+        )
+
+    ds0 = H5RayDataset(path, n_rays_per_image=16, multiview=True)
+    pcfg = PoseOptConfig(use_rot6d=True)
+    mv_params, _ = init_pose_params(
+        pcfg, ds0.bones, ds0.kp3d, kp_map=ds0.kp_map, kp_uidxs=ds0.kp_uidxs
+    )
+    # refine: nudge the shared table + per-view root rows
+    mv_params = {
+        "pelvis": mv_params["pelvis"] + 0.01,
+        "root_bones": mv_params["root_bones"] + 0.02,
+        "bones": mv_params["bones"] + 0.03,
+    }
+    ckpt = str(tmp_path / "00000010.pose.npz")
+    np.savez(
+        ckpt,
+        **{f"pose_params//{k}": np.asarray(v) for k, v in mv_params.items()},
+    )
+    rest = jnp.asarray(ds0.rest_pose)
+    expect = pose_params_to_pose_data(
+        {k: jnp.asarray(v) for k, v in mv_params.items()},
+        rest, kp_map=jnp.asarray(ds0.kp_map),
+    )
+    ds0.close()
+
+    ds = H5RayDataset(
+        path, n_rays_per_image=16, multiview=True, load_refined=ckpt
+    )
+    np.testing.assert_allclose(
+        np.asarray(ds.kp3d), expect["kp3d"], atol=1e-5,
+        err_msg="refined multiview poses did not round-trip",
+    )
+    np.testing.assert_allclose(np.asarray(ds.bones), expect["bones"], atol=1e-5)
+    ds.close()
