@@ -255,39 +255,60 @@ def _field_bwd_kernel(
     e_pts, e_view = it["e_pts"], it["e_view"]
 
     # ---- forward recompute, keeping activations -----------------------------
+    # Skip-concat is deferred exactly as in the eval kernel (field.py
+    # _field_kernel): the consumer layer runs two matmuls on [:, :pc] /
+    # [:, pc:] weight-column slices instead of materializing the
+    # (pc + 256, P) concat; the backward then splits weight grads and
+    # cotangents along the same columns. Only the (rare) skip-at-last-layer
+    # shape keeps the concat (use_split False), since the heads would
+    # otherwise consume a split pair.
+    pc = e_pts.shape[0]
+    use_split = all(s < depth - 1 for s in skips)
     pre = []  # pre-ReLU activations of trunk layers
-    inputs = []  # input to each trunk layer
+    inputs = []  # input to each trunk layer; ("split", h_part) after a skip
     h = e_pts
+    split_next = False
     for i in range(depth):
-        inputs.append(h)
-        z = mm_t(wrefs[2 * i][:, :], h) + wrefs[2 * i + 1][:, :]
+        w, b = wrefs[2 * i], wrefs[2 * i + 1]
+        if split_next:
+            inputs.append(("split", h))
+            z = mm_t(w[:, :pc], e_pts) + mm_t(w[:, pc:], h) + b[:, :]
+            split_next = False
+        else:
+            inputs.append(h)
+            z = mm_t(w[:, :], h) + b[:, :]
         pre.append(z)
         h = jnp.maximum(z, 0.0)
         if i in skips:
-            h = jnp.concatenate([e_pts, h], axis=0)
+            if use_split:
+                split_next = True
+            else:
+                h = jnp.concatenate([e_pts, h], axis=0)
     k = 2 * depth
     feat = mm_t(wrefs[k + 2][:, :], h) + wrefs[k + 3][:, :]
-    parts = [feat, e_view]
+    # view head: [feat | e_view | code] never materialized (field.py)
+    wv = wrefs[k + 4]
+    vc = e_view.shape[0]
+    zv = mm_t(wv[:, :256], feat) + mm_t(wv[:, 256:256 + vc], e_view)
     if code_ch > 0:
         row = code_ref[pl.program_id(0)]
-        parts.append(
-            jnp.broadcast_to(row[:, None], (code_ch, e_pts.shape[1]))
-        )
-    hv_in = jnp.concatenate(parts, axis=0)  # (904 + code_ch, P)
-    zv = mm_t(wrefs[k + 4][:, :], hv_in) + wrefs[k + 5][:, :]
+        zv = zv + mm_t(wv[:, 256 + vc:], row[:, None])
+    zv = zv + wrefs[k + 5][:, :]
     hv = jnp.maximum(zv, 0.0)  # (128, P)
 
     # ---- backward ------------------------------------------------------------
     first = (pl.program_id(0) + pl.program_id(1)) == 0
 
-    def acc(ref, val):
+    def acc(ref, val, cols=None):
+        sl = slice(None) if cols is None else cols
+
         @pl.when(first)
         def _():
-            ref[:, :] = val
+            ref[:, sl] = val
 
         @pl.when(jnp.logical_not(first))
         def _():
-            ref[:, :] = ref[:, :] + val
+            ref[:, sl] = ref[:, sl] + val
 
     g_rgb = g_ref[0:3, :]
     g_alpha = g_ref[3:4, :]
@@ -297,11 +318,17 @@ def _field_bwd_kernel(
     acc(outs[k + 7], jnp.sum(g_rgb, axis=1, keepdims=True))
     g_hv = _mm_tn(wrefs[k + 6][:, :], g_rgb)  # (128, P)
     g_zv = jnp.where(zv > 0.0, g_hv, 0.0)
-    # view layer
-    acc(outs[k + 4], _mm_nt(g_zv, hv_in))
-    acc(outs[k + 5], jnp.sum(g_zv, axis=1, keepdims=True))
-    g_hv_in = _mm_tn(wrefs[k + 4][:, :], g_zv)  # (904 + code_ch, P)
-    g_feat = g_hv_in[0:256, :]
+    # view layer: weight grads per segment, matching the split forward
+    acc(outs[k + 4], _mm_nt(g_zv, feat), cols=slice(0, 256))
+    acc(outs[k + 4], _mm_nt(g_zv, e_view), cols=slice(256, 256 + vc))
+    g_zv_sum = jnp.sum(g_zv, axis=1, keepdims=True)  # (128, 1)
+    if code_ch > 0:
+        # code-column weight grad: the code input is constant across the
+        # tile, so g_zv @ code_col^T collapses to an outer product
+        acc(outs[k + 4], g_zv_sum * jnp.reshape(row, (1, code_ch)),
+            cols=slice(256 + vc, 256 + vc + code_ch))
+    acc(outs[k + 5], g_zv_sum)
+    g_feat = _mm_tn(wv[:, :256], g_zv)  # (256, P)
     if code_ch > 0:
         # code gradients: full (G, C) output block; zero once at the global
         # first grid step (TPU grids iterate sequentially), then every step
@@ -310,8 +337,8 @@ def _field_bwd_kernel(
         # d_trn when input_grads is on (latent until the pose-opt +
         # framecode + grouped combination started running fused).
         d_code_ref = outs[n_w]
-        cb = 256 + view_ch(nf_view)
-        g_code = jnp.sum(g_hv_in[cb : cb + code_ch, :], axis=1)[None, :]
+        # dL/d(code_c) = sum_o wv[o, cb+c] * sum_p g_zv[o, p]
+        g_code = _mm_tn(wv[:, 256 + vc:], g_zv_sum).T  # (1, code_ch)
         gid = pl.program_id(0)
         global_first = (pl.program_id(0) + pl.program_id(1)) == 0
 
@@ -330,24 +357,35 @@ def _field_bwd_kernel(
     # trunk, reversed (skip layers split their cotangent)
     g_e_pts = None
     for i in reversed(range(depth)):
-        if i in skips:
-            # forward did h = concat(e_pts, relu(z)); the e_pts part feeds
-            # the input cotangent, the relu part continues down the trunk
+        if (i in skips) and not use_split:
+            # legacy concat shape: forward did h = concat(e_pts, relu(z));
+            # the e_pts part feeds the input cotangent, the relu part
+            # continues down the trunk
             if input_grads:
-                part = g_h[: e_pts.shape[0], :]
+                part = g_h[:pc, :]
                 g_e_pts = part if g_e_pts is None else g_e_pts + part
-            g_h = g_h[e_pts.shape[0]:, :]
+            g_h = g_h[pc:, :]
         g_z = jnp.where(pre[i] > 0.0, g_h, 0.0)
-        acc(outs[2 * i], _mm_nt(g_z, inputs[i]))
-        acc(outs[2 * i + 1], jnp.sum(g_z, axis=1, keepdims=True))
-        if i > 0:
-            g_h = _mm_tn(wrefs[2 * i][:, :], g_z)
-        elif input_grads:
-            part = _mm_tn(wrefs[0][:, :], g_z)
-            g_e_pts = part if g_e_pts is None else g_e_pts + part
+        inp = inputs[i]
+        if isinstance(inp, tuple):  # split skip-consumer: input [e_pts | h]
+            acc(outs[2 * i], _mm_nt(g_z, e_pts), cols=slice(0, pc))
+            acc(outs[2 * i], _mm_nt(g_z, inp[1]), cols=slice(pc, None))
+            acc(outs[2 * i + 1], jnp.sum(g_z, axis=1, keepdims=True))
+            if input_grads:
+                part = _mm_tn(wrefs[2 * i][:, :pc], g_z)
+                g_e_pts = part if g_e_pts is None else g_e_pts + part
+            g_h = _mm_tn(wrefs[2 * i][:, pc:], g_z)
+        else:
+            acc(outs[2 * i], _mm_nt(g_z, inp))
+            acc(outs[2 * i + 1], jnp.sum(g_z, axis=1, keepdims=True))
+            if i > 0:
+                g_h = _mm_tn(wrefs[2 * i][:, :], g_z)
+            elif input_grads:
+                part = _mm_tn(wrefs[0][:, :], g_z)
+                g_e_pts = part if g_e_pts is None else g_e_pts + part
 
     if input_grads:
-        g_e_view = g_hv_in[256 : 256 + e_view.shape[0], :]
+        g_e_view = _mm_tn(wv[:, 256:256 + vc], g_zv)
         g_pts, g_dirs, g_rot, g_trn = _encode_backward(
             it, rot_ref[0], tau_ref[0, 0], g_e_pts, g_e_view,
             nf_kp=nf_kp, nf_view=nf_view,
