@@ -250,6 +250,34 @@ class SpinEvaluator:
             jnp.asarray(J_regressor, jnp.float32) if J_regressor is not None else None
         )
         self._step = jax.jit(self._batch_metrics)
+        self._agora_step = jax.jit(self._agora_forward)
+
+    def _require_jreg(self) -> None:
+        """Fail fast with a clear message instead of an einsum TypeError
+        deep inside the first jitted batch."""
+        if self.J_reg is None:
+            raise ValueError(
+                "SpinEvaluator needs J_regressor for joint metrics "
+                "(inference / inference_joints); only "
+                "export_agora_predictions works without it"
+            )
+
+    def _agora_forward(self, hmr_params, hmr_state, images):
+        """One compiled HMR + SMPL + FK forward for the AGORA export
+        (the per-image python loop used to dispatch it op-by-op eagerly).
+        Both output scales are the REFERENCE's: verts metric
+        (decode_smpl_params), allSmplJoints3d at pose scale 0.4
+        (get_smpl_l2ws_torch(scale=0.4)) — render_3dpw_testset.py:2961-2989
+        mixes them the same way."""
+        from posegen_tpu.skeleton.kinematics import smpl_l2ws_from_rots
+
+        pred_rotmat, pred_betas, _, _ = hmr_apply(hmr_params, hmr_state, images)
+        pred = self.smpl_neutral(
+            betas=pred_betas, body_pose=pred_rotmat[:, 1:],
+            global_orient=pred_rotmat[:, :1], pose2rot=False,
+        )
+        pose3d = smpl_l2ws_from_rots(pred_rotmat, scale=0.4)[..., :3, 3]
+        return pred["vertices"], pose3d
 
     def _joints14(self, vertices: jax.Array) -> jax.Array:
         j = jnp.einsum("jv,bvc->bjc", self.J_reg, vertices)
@@ -309,7 +337,10 @@ class SpinEvaluator:
         """Joints-vs-joints eval for sets with 3D-joint GT (SKI/3DHP):
         pred joints regressed from the predicted mesh, pelvis-centered by
         H36M joint 0, reordered by `pred_select` (reference evaluate_ski
-        :2590-2612 / evaluate_3dhp :2840-2870)."""
+        :2590-2612 / evaluate_3dhp :2840-2870). NOTE: the GT joints stay in
+        their raw dataset frame — the reference's gt-centering lines are
+        commented out (:2639-2641), so its MPJPE also measures the global
+        offset and PA-MPJPE is the meaningful number; kept for parity."""
         pred_rotmat, pred_betas, _, _ = hmr_apply(hmr_params, hmr_state, images)
         pred = self.smpl_neutral(
             betas=pred_betas, body_pose=pred_rotmat[:, 1:],
@@ -329,6 +360,7 @@ class SpinEvaluator:
     ) -> Dict[str, float]:
         """Evaluate on a joints-GT set (SkiDataset: pred_select=SKI_PRED_J14;
         Hp3dDataset: pred_select=H36M_TO_J17)."""
+        self._require_jreg()
         step = jax.jit(
             lambda p, s, im, gt: self._joint_metrics(p, s, im, gt, tuple(pred_select))
         )
@@ -344,7 +376,7 @@ class SpinEvaluator:
         results = {
             "mpjpe": float(np.mean(np.concatenate(acc["mpjpe"]))) * 1000.0,
             "pa_mpjpe": float(np.mean(np.concatenate(acc["pa_mpjpe"]))) * 1000.0,
-            "pck": float(np.mean(err_all < pck_thresh)),
+            "pck": float(pck(jnp.asarray(err_all), pck_thresh)),
         }
         print("== Final Results ==")
         for k, v in results.items():
@@ -358,23 +390,16 @@ class SpinEvaluator:
         render_3dpw_testset.py:2955-3016)."""
         import pickle
 
-        from posegen_tpu.skeleton.kinematics import smpl_l2ws_from_rots
-
         os.makedirs(out_dir, exist_ok=True)
         n = 0
         for i in range(len(dataset)):
             item = dataset[i]
             images = jnp.asarray(item["image"][None])
-            pred_rotmat, pred_betas, _, _ = hmr_apply(
+            verts, pose3d_b = self._agora_step(
                 self.hmr_params, self.hmr_state, images
             )
-            pred = self.smpl_neutral(
-                betas=pred_betas, body_pose=pred_rotmat[:, 1:],
-                global_orient=pred_rotmat[:, :1], pose2rot=False,
-            )
-            pose3d = np.asarray(
-                smpl_l2ws_from_rots(pred_rotmat, scale=0.4)
-            )[0, :, :3, -1]
+            pred = {"vertices": np.asarray(verts)}
+            pose3d = np.asarray(pose3d_b)[0]
 
             pose2d = item["pose2d"]
             root = 0.5 * (pose2d[11] + pose2d[12])
@@ -403,6 +428,7 @@ class SpinEvaluator:
 
     def inference(self, batches) -> Dict[str, float]:
         """Run the full set; prints Final Results like run_gan.py:1572-1581."""
+        self._require_jreg()
         acc: Dict[str, List[np.ndarray]] = {}
         for b in batches:
             out = self._step(

@@ -65,16 +65,19 @@ def per_joint_error(pred: jax.Array, gt: jax.Array, align: bool = False) -> jax.
 
 
 def pck(errors: jax.Array, threshold: float = 0.150) -> jax.Array:
-    """Percentage of joints under `threshold` (meters; reference uses 150mm,
-    evaluation_helpers.py:596-607)."""
-    return jnp.mean((errors <= threshold).astype(jnp.float32)) * 100.0
+    """Fraction of joints strictly under `threshold` (meters; the reference
+    computes `(pampjpe < 150).mean()` on mm errors and reports the raw
+    fraction — evaluation_helpers.py:592-595)."""
+    return jnp.mean((errors < threshold).astype(jnp.float32))
 
 
 def auc(errors: jax.Array, max_threshold: float = 0.150, steps: int = 31) -> jax.Array:
-    """Area under the PCK curve from 0 to max_threshold."""
+    """Mean PCK over `steps` thresholds linspaced on [0, max_threshold]
+    (the reference averages pck_at_t over linspace(0, 150, 31) rather than
+    integrating — evaluation_helpers.py:597-603); returns a fraction."""
     ths = jnp.linspace(0.0, max_threshold, steps)
-    pcks = jax.vmap(lambda t: jnp.mean((errors <= t).astype(jnp.float32)))(ths)
-    return jnp.trapezoid(pcks, dx=1.0 / (steps - 1)) * 100.0
+    pcks = jax.vmap(lambda t: jnp.mean((errors < t).astype(jnp.float32)))(ths)
+    return jnp.mean(pcks)
 
 
 def evaluate_pose_batch(

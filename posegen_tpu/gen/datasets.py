@@ -24,8 +24,11 @@ def load_amass_pool(path: str, subsample: int = 10) -> np.ndarray:
     """AMASS processed npz -> (N, 24, 3) axis-angle pool, 1/`subsample`
     (reference run_gan.py:2141-2142)."""
     data = np.load(path, allow_pickle=True)
-    key = "pose3d" if "pose3d" in getattr(data, "files", []) else None
-    poses = np.asarray(data[key] if key else data)
+    if hasattr(data, "files"):  # npz: 'pose3d' or fall back to the first array
+        key = "pose3d" if "pose3d" in data.files else data.files[0]
+        poses = np.asarray(data[key])
+    else:  # plain .npy
+        poses = np.asarray(data)
     poses = poses[::subsample]
     return poses.reshape(len(poses), -1)[:, : 24 * 3].reshape(-1, 24, 3).astype(np.float32)
 
@@ -68,9 +71,20 @@ class RenderedPoseDataset:
             if pose_files
             else np.zeros((0, 24, 3), np.float32)
         )
-        self.n = min(
-            len(self.bones), len(glob.glob(os.path.join(self.img_dir, "*.png")))
-        )
+        n_pngs = len(glob.glob(os.path.join(self.img_dir, "*.png")))
+        if self.bones.shape[0] != n_pngs:
+            # a reused output_dir pairs fresh images with stale pose files
+            # (the reference sink has the same hazard) — make it loud
+            import warnings
+
+            warnings.warn(
+                f"RenderedPoseDataset: {n_pngs} pngs but "
+                f"{self.bones.shape[0]} pose rows in {output_dir!r} — "
+                "stale files from a previous run? (image, pose) pairs may "
+                "be mismatched; clear the directory between runs",
+                stacklevel=2,
+            )
+        self.n = min(len(self.bones), n_pngs)
 
     def __len__(self) -> int:
         return self.n
@@ -142,7 +156,11 @@ class MPIIPoseDataset:
 
 
 class MixedSpinDataset:
-    """1:(frac-1) MPII:NeRF mix (reference mpii_nerf_dataset)."""
+    """1:(frac-1) MPII:NeRF mix (reference mpii_nerf_dataset,
+    run_gan.py:1657 — defined but never instantiated there either: the
+    reference's train_spin runs sequential NeRF-then-MPII phases per epoch,
+    which spin_driver mirrors; this class keeps the interleaved-mix
+    component available for parity)."""
 
     def __init__(self, mpii: MPIIPoseDataset, nerf: RenderedPoseDataset, frac: int = 10):
         self.mpii = mpii

@@ -127,6 +127,12 @@ def make_generator_step(
     def loss_fn(g_params, g_state, d_params, key, real_pose, spin_pred,
                 spin_sel, spin_active):
         out, new_state = pose_generator_apply(g_params, g_state, key, real_pose, cfg)
+        # Only pose_ba (bone angles) enters the loss — the reference's
+        # default train_gan behaves identically: its feedback render uses a
+        # FIXED hard-coded extrinsic (run_gan.py:2023-2029) and its adv/spin
+        # terms touch outputs_axis_angle only, so the R/T trunks receive no
+        # gradient there either; Pos2dDiscriminator is likewise built but
+        # unwired (SURVEY.md 2f).
         logits = pos3d_discriminator_apply(d_params, out["pose_ba"])
         adv = lsgan_loss(logits, 1.0) * 0.5
 

@@ -173,6 +173,18 @@ class GanTrainer:
         self._render_count = 0
         self._last_bones: Optional[np.ndarray] = None
 
+        def _spin_fwd(p, s, imgs):
+            # crop/normalize + ResNet-50 SPIN + FK in ONE compiled program —
+            # eager dispatch of the feedback forward dominated the path
+            from posegen_tpu.skeleton.kinematics import smpl_l2ws_from_rots
+
+            x = prepare_spin_input(imgs, self.cfg.crop)
+            rotmat, _, _, _ = hmr_apply(p, s, x)
+            l2ws = smpl_l2ws_from_rots(rotmat, scale=self.cfg.pose_scale)
+            return l2ws[..., :3, 3][:, jnp.asarray(SPIN_J14)]
+
+        self._spin_fwd = jax.jit(_spin_fwd)
+
     def _next_key(self) -> jax.Array:
         self.key, k = jax.random.split(self.key)
         return k
@@ -187,13 +199,10 @@ class GanTrainer:
         if self.cfg.output_dir:  # optional dataset sink
             self._save_renders(imgs, bones[sel])
 
-        x = prepare_spin_input(imgs, self.cfg.crop)
-        rotmat, betas, cam, _ = hmr_apply(self.spin_params, self.spin_state, x)
-        from posegen_tpu.skeleton.kinematics import smpl_l2ws_from_rots
-
-        l2ws = smpl_l2ws_from_rots(rotmat, scale=self.cfg.pose_scale)
-        joints = l2ws[..., :3, 3]
-        return jax.lax.stop_gradient(joints[:, jnp.asarray(SPIN_J14)])
+        joints14 = self._spin_fwd(
+            self.spin_params, self.spin_state, jnp.asarray(imgs)
+        )
+        return jax.lax.stop_gradient(joints14)
 
     def _save_renders(self, imgs: np.ndarray, bones: np.ndarray) -> None:
         """(image, pose) dataset export (reference run_gan.py:2049-2059,

@@ -3,8 +3,10 @@
 Capability parity with reference `train_spin` (run_gan.py:1849-1952):
 BN-frozen training (running stats fixed, weights trainable), loss =
 scale-normalized root-centred 14-joint position error x 0.1, with the
-hinge filter that keeps only samples already under 20mm-equivalent error
-(`rows1 = spin_loss < 0.02` — trains on clean renders, skips failures).
+hinge filter comparing that 0.1-SCALED per-sample loss against 0.02
+(i.e. keeping samples under 0.2 scene-scale units of raw joint error,
+exactly the reference's `rows1 = spin_loss < 0.0200`,
+run_gan.py:1906-1908 — trains on clean renders, skips failures).
 Rebuilt as one jitted step; the MPII-mix pass is the same step on MPII
 batches without the hinge.
 """

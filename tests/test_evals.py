@@ -85,10 +85,13 @@ def test_similarity_transform_recovers_pose(rng):
 
 
 def test_pck_auc(rng):
+    # reference convention: strict '<', raw fraction
+    # (evaluation_helpers.py:592-603)
     errs = jnp.asarray([0.0, 0.1, 0.2, 0.3])  # meters
-    assert float(pck(errs, 0.15)) == 50.0
+    assert float(pck(errs, 0.15)) == 0.5
+    assert float(pck(jnp.asarray([0.15]), 0.15)) == 0.0  # boundary excluded
     a = float(auc(errs, 0.15))
-    assert 0.0 < a < 100.0
+    assert 0.0 < a < 1.0
 
 
 def test_per_joint_error_root_align(rng):

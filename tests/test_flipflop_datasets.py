@@ -102,3 +102,39 @@ def test_rendered_and_mixed_datasets(tmp_path, rng):
     assert len(mixed) > 0
     a, b2 = mixed[0], mixed[1]  # mpii then nerf
     assert a["pose"].shape == (24, 3) and b2["pose"].shape == (24, 3)
+
+
+def test_amass_pool_fallback_key(tmp_path, rng):
+    """npz without a 'pose3d' key falls back to its first array (matching
+    load_target_2d) instead of crashing on a 0-d object array."""
+    poses = rng.standard_normal((40, 72)).astype(np.float32)
+    np.savez(tmp_path / "amass2.npz", poses=poses)
+    pool = load_amass_pool(str(tmp_path / "amass2.npz"), subsample=10)
+    assert pool.shape == (4, 24, 3)
+    # plain .npy also accepted
+    np.save(tmp_path / "amass3.npy", poses)
+    pool = load_amass_pool(str(tmp_path / "amass3.npy"), subsample=10)
+    assert pool.shape == (4, 24, 3)
+
+
+def test_rendered_dataset_warns_on_stale_sink(tmp_path, rng):
+    """A reused output_dir (more pose rows than pngs) warns loudly about
+    possibly mismatched (image, pose) pairs."""
+    import warnings
+
+    import imageio.v2 as imageio
+
+    out = tmp_path / "render_output"
+    (out / "image").mkdir(parents=True)
+    np.save(out / "poses_axis_angles0.npy",
+            (rng.standard_normal((6, 24, 3)) * 0.2).astype(np.float32))
+    for i in range(2):  # fewer pngs than pose rows
+        imageio.imwrite(
+            out / "image" / f"{i:05d}.png",
+            rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+        )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ds = RenderedPoseDataset(str(out), crop=(8, 56), res=32)
+    assert len(ds) == 2
+    assert any("stale" in str(x.message) for x in w)
