@@ -283,7 +283,7 @@ REFERENCE_DEAD_FLAGS = (
 # changing this rebuild's output semantics (dissolved memory tiling, loader
 # internals, output-artifact cadence). Changing them never corrupts a run.
 INERT_FLAGS = (
-    "chunk", "netchunk", "render_factor", "save_image",
+    "chunk", "netchunk", "save_image",
     "debug", "n_subjects", "ext_scale",
     "image_batching", "multires_pts",
     "bgnet_stop", "bgnet_reg", "lbsnet_type", "n_lbs", "multires_lbs",

@@ -29,7 +29,17 @@ def gan_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=1024)
     p.add_argument("--lr_g", type=float, default=1e-4)
     p.add_argument("--lr_d", type=float, default=1e-4)
+    p.add_argument("--lr_spin", type=float, default=5e-5,
+                   help="SPIN fine-tune lr (reference run_gan.py:79,1871)")
     p.add_argument("--df", type=int, default=2)
+    # parsed-but-dead reference flags, accepted with the same no-op
+    # semantics (grep-verified: args.decay_epoch / args.max_norm / args.lr_p
+    # have no consumer in the reference either — the grad clips at
+    # run_gan.py:1175,2106 use the literal max_norm=1)
+    p.add_argument("--decay_epoch", type=int, default=0)
+    p.add_argument("--lr_p", type=float, default=1e-4)
+    p.add_argument("--no_max", dest="max_norm", action="store_false")
+    p.set_defaults(max_norm=True)
     p.add_argument("--rpi", type=int, default=20)
     p.add_argument("--feedback_every", type=int, default=5)
     p.add_argument("--feedback_start_epoch", type=int, default=2)
@@ -54,7 +64,9 @@ def load_pose_pool(path: Optional[str], seed: int = 0, n: int = 4096) -> np.ndar
 
 
 def main(argv: Optional[Sequence[str]] = None):
-    args = gan_parser().parse_args(argv)
+    from posegen_tpu.cli.config import parse_with_config
+
+    args = parse_with_config(gan_parser(), argv)
 
     import jax
 
@@ -113,6 +125,7 @@ def main(argv: Optional[Sequence[str]] = None):
             epochs=args.train_spin_epochs,
             ckpt_dir=os.path.join(args.outputdir, args.runname, "spin_ckpts"),
             seed=args.seed,
+            lr=args.lr_spin,
         )
         print(f"SPIN fine-tuning done: {history[-1]}")
     return trainer

@@ -28,9 +28,17 @@ from posegen_tpu.cli.config import (
 )
 
 
-def evaluate_testset(cfg, state, render_data, chunk: int = 4096, mesh=None):
+def evaluate_testset(
+    cfg, state, render_data, chunk: int = 4096, mesh=None, render_factor: int = 0
+):
     """Render held-out views and compute PSNR/SSIM
     (reference render_testset + evaluate_metric, run_nerf.py:557-604).
+
+    Matches the reference's val conventions: real per-frame codes when
+    opt_framecode (cams_val, run_nerf.py:574), GT composited over the
+    stored backgrounds when the H5 has them (masked_gts, :580-584), and
+    render_factor > 0 renders at H//f then bilinear-upsamples back to GT
+    resolution for the metrics (evaluation_helpers.py:309-313).
 
     mesh: optional device mesh — val rays are then sharded across chips via
     the shard_map fused render (each device renders chunk/n_devices rays)."""
@@ -47,6 +55,8 @@ def evaluate_testset(cfg, state, render_data, chunk: int = 4096, mesh=None):
 
     params = {**state.params, **state.embeds}
     H, W, _ = render_data["hwf"]
+    RH, RW = (H, W) if render_factor <= 0 else (H // render_factor, W // render_factor)
+    bgs = render_data.get("bkgds")
     rgbs, gts = [], []
     for i in range(render_data["imgs"].shape[0]):
         ctx = PoseCtx(
@@ -59,12 +69,33 @@ def evaluate_testset(cfg, state, render_data, chunk: int = 4096, mesh=None):
             else None,
         )
         focal = float(np.ravel(render_data["focals"])[min(i, np.ravel(render_data["focals"]).size - 1)])
+        bg = None
+        if bgs is not None:
+            bg = bgs[min(i, len(bgs) - 1)]
+            if render_factor > 0:
+                import jax.image
+
+                bg = np.asarray(
+                    jax.image.resize(bg, (RH, RW, 3), "bilinear"), np.float32
+                )
         out = render_image(
-            cfg, params, H, W, focal, render_data["c2ws"][i], ctx, chunk=chunk,
-            render_fn=render_fn,
+            cfg, params, RH, RW, focal / max(render_factor, 1),
+            render_data["c2ws"][i], ctx, chunk=chunk, render_fn=render_fn,
+            bg=bg,
         )
-        rgbs.append(out["rgb"])
-        gts.append(render_data["imgs"][i] * render_data["masks"][i])
+        rgb = out["rgb"]
+        if render_factor > 0:
+            import jax.image
+
+            rgb = np.asarray(jax.image.resize(rgb, (H, W, 3), "bilinear"), np.float32)
+        rgbs.append(rgb)
+        mask = render_data["masks"][i]
+        if mask.ndim == 2:
+            mask = mask[..., None]
+        gt = render_data["imgs"][i] * mask
+        if bgs is not None:
+            gt = gt + (1.0 - mask) * bgs[min(i, len(bgs) - 1)]
+        gts.append(gt)
     metrics = evaluate_metric(np.stack(rgbs), np.stack(gts))
     return {k: float(np.mean(v)) for k, v in metrics.items()}, np.stack(rgbs)
 
@@ -261,7 +292,8 @@ def train(argv: Optional[Sequence[str]] = None) -> str:
 
         if args.i_testset > 0 and (i + 1) % args.i_testset == 0:
             metrics, rgbs = evaluate_testset(
-                cfg, state, render_data, args.chunk, mesh=mesh
+                cfg, state, render_data, args.chunk, mesh=mesh,
+                render_factor=args.render_factor,
             )
             print(f"iter {i + 1} val: {metrics}")
             if writer:

@@ -28,6 +28,28 @@ def render_parser() -> argparse.ArgumentParser:
                             "animate", "poserot", "selected", "bubble",
                             "correction"])
     p.add_argument("--selected_idxs", type=int, nargs="+", default=None)
+    p.add_argument("--dataset", type=str, default=None,
+                   help="override the trained run's dataset family "
+                        "(reference --dataset, run_render.py:44)")
+    p.add_argument("--entry", type=str, default=None,
+                   help="catalog entry/subject to render "
+                        "(reference --entry, run_render.py:46)")
+    p.add_argument("--fps", type=int, default=14,
+                   help="fps for the render_rgb video (reference :53)")
+    p.add_argument("--save_gt", action="store_true",
+                   help="save GT frames next to renders (reference :51)")
+    p.add_argument("--no_save", action="store_true",
+                   help="skip image/video writing, keep eval (reference :79)")
+    p.add_argument("--render_refined", action="store_true",
+                   help="render from refined poses: --refined_ckpt, the "
+                        "trained run's load_refined, or the checkpoint's own "
+                        "poseopt state (reference :136-152)")
+    p.add_argument("--selected_framecode", type=int, default=None,
+                   help="force every view's framecode index (reference "
+                        ":275-276)")
+    p.add_argument("--subject_idx", type=int, default=0,
+                   help="subject to render for multi-subject models "
+                        "(reference :282-284)")
     p.add_argument("--bullet_n", type=int, default=12)
     p.add_argument("--interp_n", type=int, default=5)
     p.add_argument("--n_step", type=int, default=5,
@@ -133,7 +155,9 @@ def _bullet_c2ws(center: np.ndarray, dist: float, n: int, y: float = 0.3):
 
 
 def run_render(argv: Optional[Sequence[str]] = None) -> str:
-    args = render_parser().parse_args(argv)
+    from posegen_tpu.cli.config import parse_with_config
+
+    args = parse_with_config(render_parser(), argv)
     targs, cfg, variables = load_trained(args.nerf_args, args.ckptpath)
 
     from posegen_tpu.cli.config import args_to_data_config
@@ -142,11 +166,53 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
     from posegen_tpu.render.raycast import PoseCtx
 
     dcfg = args_to_data_config(targs)
+    if args.dataset:  # render a different catalog entry than the trained one
+        dcfg.dataset = args.dataset
+    if args.entry:
+        dcfg.subject = args.entry
+    dcfg.subject_idx = args.subject_idx
     if args.render_type in ("animate",):
         dcfg.num_val_images = 10**9  # all frames (load_data clips to dataset size)
     else:
         dcfg.num_val_images = max(len(args.selected_idxs or [2, 2]), 2)
     _, render_data, attrs = load_data(dcfg)
+
+    if args.render_refined:
+        # swap the H5 poses for refined ones before any branch reads them
+        # (reference load_render_data, run_render.py:136-152); sources in
+        # priority order: explicit ckpt, the trained run's load_refined,
+        # the model checkpoint's own poseopt state
+        import jax.numpy as jnp
+
+        from posegen_tpu.pose.opt import pose_params_to_pose_data
+        from posegen_tpu.skeleton.geometry import get_kp_bounding_cylinder
+        from posegen_tpu.train.checkpoints import load_pose_params
+
+        ckpt = args.refined_ckpt or targs.load_refined or args.ckptpath
+        try:
+            pose_params = load_pose_params(ckpt)
+        except KeyError:
+            raise SystemExit(
+                f"--render_refined: {ckpt} carries no poseopt state; pass "
+                "--refined_ckpt pointing at a pose checkpoint"
+            )
+        kp_map = attrs.get("kp_map")
+        refined = pose_params_to_pose_data(
+            pose_params, jnp.asarray(attrs["rest_pose"]),
+            kp_map=jnp.asarray(kp_map) if kp_map is not None else None,
+        )
+        rows = np.asarray(render_data["kp_idxs"])
+        n_rows = refined["kp3d"].shape[0]
+        if rows.max() >= n_rows:
+            raise SystemExit(
+                f"--render_refined: pose ckpt has {n_rows} pose rows but the "
+                f"dataset needs row {rows.max()} — wrong checkpoint?"
+            )
+        for k in ("kp3d", "bones", "skts"):
+            render_data[k] = refined[k][rows]
+        render_data["cyls"] = np.asarray(
+            get_kp_bounding_cylinder(jnp.asarray(render_data["kp3d"]))
+        ).astype(np.float32)
 
     out_dir = os.path.join(args.outputdir, args.runname)
     os.makedirs(out_dir, exist_ok=True)
@@ -156,12 +222,25 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
         H, W = args.render_res
     focal = float(np.ravel(render_data["focals"])[0])
 
-    def ctx_for(i):
+    def code_row(i: Optional[int]) -> Optional[np.ndarray]:
+        """Framecode index for a source view (reference cam_idxs flow,
+        run_render.py:275-276): --selected_framecode wins; i = None -> mean
+        code (the reference's idx = -1 eval convention)."""
+        if not cfg.opt_framecode:
+            return None
+        if args.selected_framecode is not None:
+            return np.asarray([[args.selected_framecode]], np.int32)
+        if i is None:
+            return None
+        return np.asarray([[int(render_data["cam_idxs"][i])]], np.int32)
+
+    def ctx_for(i, code_i: Optional[int] = "same"):
         return PoseCtx(
             kps=render_data["kp3d"][i : i + 1],
             skts=render_data["skts"][i : i + 1],
             bones=render_data["bones"][i : i + 1],
             cyls=render_data["cyls"][i : i + 1],
+            cam_idxs=code_row(i if code_i == "same" else code_i),
         )
 
     if args.render_type == "mesh":
@@ -189,7 +268,8 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
         cyls = np.asarray(get_kp_bounding_cylinder(jnp.asarray(kps), ext_scale=0.001))
         ctxs = [
             PoseCtx(kps=kps[i : i + 1], skts=skts[i : i + 1],
-                    bones=bones[i : i + 1], cyls=cyls[i : i + 1].astype(np.float32))
+                    bones=bones[i : i + 1], cyls=cyls[i : i + 1].astype(np.float32),
+                    cam_idxs=code_row(None))  # generated poses: mean code
             for i in range(len(bones))
         ]
         c2ws = _bullet_c2ws(kps[0, 0], 2.5, len(bones))
@@ -215,7 +295,8 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
         cyls = np.asarray(get_kp_bounding_cylinder(jnp.asarray(kps), ext_scale=0.001))
         ctxs = [
             PoseCtx(kps=kps[i : i + 1], skts=skts[i : i + 1],
-                    bones=bones[i : i + 1], cyls=cyls[i : i + 1].astype(np.float32))
+                    bones=bones[i : i + 1], cyls=cyls[i : i + 1].astype(np.float32),
+                    cam_idxs=code_row(0))  # interpolated poses wear view 0's code
             for i in range(len(bones))
         ]
         c2ws = np.broadcast_to(render_data["c2ws"][0], (len(bones), 4, 4))
@@ -242,7 +323,8 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
         cyls = np.asarray(get_kp_bounding_cylinder(jnp.asarray(kps), ext_scale=0.001))
         ctxs = [
             PoseCtx(kps=kps[i : i + 1], skts=skts[i : i + 1],
-                    bones=bones[i : i + 1], cyls=cyls[i : i + 1].astype(np.float32))
+                    bones=bones[i : i + 1], cyls=cyls[i : i + 1].astype(np.float32),
+                    cam_idxs=code_row(0))
             for i in range(n)
         ]
         c2ws = np.broadcast_to(render_data["c2ws"][0], (n, 4, 4))
@@ -288,7 +370,8 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
                 ctxs.append(
                     PoseCtx(kps=kps[vi : vi + 1], skts=skts[vi : vi + 1],
                             bones=bones[vi : vi + 1],
-                            cyls=cyls[vi : vi + 1].astype(np.float32))
+                            cyls=cyls[vi : vi + 1].astype(np.float32),
+                            cam_idxs=code_row(int(idxs[vi])))
                 )
         c2ws = np.asarray(c2w_list, np.float32)
     elif args.render_type == "correction":
@@ -333,7 +416,8 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
         ctxs = [
             PoseCtx(kps=kps[i : i + 1], skts=skts[i : i + 1],
                     bones=interp[i : i + 1],
-                    cyls=cyls[i : i + 1].astype(np.float32))
+                    cyls=cyls[i : i + 1].astype(np.float32),
+                    cam_idxs=code_row(int(idxs[i // n_step])))
             for i in range(len(kps))
         ]
         c2ws = np.repeat(np.array(render_data["c2ws"])[idxs], n_step, axis=0)
@@ -353,7 +437,10 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
             c2ws = render_data["c2ws"][idxs]
     else:  # val
         n = render_data["imgs"].shape[0]
-        ctxs = [ctx_for(i) for i in range(n)]
+        # non-surreal val renders with the mean code (reference sets
+        # cam_idxs = -1, run_render.py:235-237); surreal keeps real codes
+        is_surreal = targs.dataset_type == "surreal"
+        ctxs = [ctx_for(i, code_i=i if is_surreal else None) for i in range(n)]
         c2ws = render_data["c2ws"]
 
     # multi-chip: shard each chunk's rays over the mesh (reference
@@ -372,6 +459,41 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
 
     import imageio.v2 as imageio
 
+    if args.eval and args.render_type == "val":
+        from posegen_tpu.evals.image import evaluate_metric
+
+        gts = np.asarray(render_data["imgs"] * render_data["masks"])
+        metrics = evaluate_metric(out["rgbs"], gts, bboxes=out["bboxes"])
+        means = {k: float(np.mean(v)) for k, v in metrics.items()}
+        print("eval:", means)
+        with open(os.path.join(out_dir, "psnr.txt"), "a") as f:
+            f.write(f"{means['psnr']:.4f}\n")
+        with open(os.path.join(out_dir, "ssim.txt"), "a") as f:
+            f.write(f"{means['ssim']:.4f}\n")
+        np.save(os.path.join(out_dir, "scores.npy"), metrics)
+
+    if args.save_gt and args.render_type in ("val", "animate", "selected"):
+        # GT frames for the rendered source views (reference run_render.py:
+        # 1026-1030; copies files there — the H5 pixels here ARE the GT)
+        gt_dir = os.path.join(out_dir, "gt")
+        os.makedirs(gt_dir, exist_ok=True)
+        if args.render_type == "val":
+            gt_idxs = list(range(render_data["imgs"].shape[0]))
+        else:
+            n_all = render_data["imgs"].shape[0]
+            gt_idxs = [
+                i for i in (args.selected_idxs or range(n_all)) if i < n_all
+            ]
+        for j, i in enumerate(gt_idxs):
+            imageio.imwrite(
+                os.path.join(gt_dir, f"{j:05d}.png"),
+                (np.clip(render_data["imgs"][i], 0, 1) * 255).astype(np.uint8),
+            )
+
+    if args.no_save:  # eval/GT only (reference :1032-1033)
+        print(f"rendered {len(out['rgbs'])} frames (not saved: --no_save)")
+        return out_dir
+
     img_dir = os.path.join(out_dir, "image")
     os.makedirs(img_dir, exist_ok=True)
     for i, rgb in enumerate(out["rgbs"]):
@@ -380,6 +502,19 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
             (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
         )
     np.save(os.path.join(out_dir, "bboxes.npy"), out["bboxes"])
+
+    # render_rgb video (reference :1050 mp4); gif fallback without ffmpeg
+    from posegen_tpu.utils.experiment import save_video
+
+    vid = save_video(
+        os.path.join(out_dir, "render_rgb.mp4"), out["rgbs"], fps=args.fps
+    )
+    if vid is None:
+        u8 = (np.clip(out["rgbs"], 0, 1) * 255).astype(np.uint8)
+        imageio.mimwrite(
+            os.path.join(out_dir, "render_rgb.gif"), list(u8), fps=args.fps,
+            loop=0,
+        )
 
     if args.save_extras:
         # acc / disp maps + skeleton overlays
@@ -414,18 +549,6 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
                 os.path.join(out_dir, "skel", f"{i:05d}.png"), overlay
             )
 
-    if args.eval and args.render_type == "val":
-        from posegen_tpu.evals.image import evaluate_metric
-
-        gts = np.asarray(render_data["imgs"] * render_data["masks"])
-        metrics = evaluate_metric(out["rgbs"], gts, bboxes=out["bboxes"])
-        means = {k: float(np.mean(v)) for k, v in metrics.items()}
-        print("eval:", means)
-        with open(os.path.join(out_dir, "psnr.txt"), "a") as f:
-            f.write(f"{means['psnr']:.4f}\n")
-        with open(os.path.join(out_dir, "ssim.txt"), "a") as f:
-            f.write(f"{means['ssim']:.4f}\n")
-        np.save(os.path.join(out_dir, "scores.npy"), metrics)
     print(f"wrote {len(out['rgbs'])} renders to {img_dir}")
     return out_dir
 

@@ -59,6 +59,8 @@ class DataConfig:
     subset_kps: Optional[str] = None  # --rand_train_kps kp-id .npy
     num_workers: int = 0
     seed: int = 0
+    subject_idx: int = 0  # which subject's views to render for multi-subject
+    #                       models (reference --subject_idx, run_render.py:60)
 
 
 def resolve_h5_path(cfg: DataConfig, subject: Optional[str] = None) -> str:
@@ -100,7 +102,12 @@ def load_data(cfg: DataConfig) -> Tuple[RayBatchLoader, Dict[str, Any], Dict[str
         ds = ConcatRayDataset(
             [make_ds(s, cfg.seed + i) for i, s in enumerate(cfg.multi_subjects)]
         )
-        base = ds.datasets[0]
+        if not 0 <= cfg.subject_idx < len(ds.datasets):
+            raise ValueError(
+                f"subject_idx {cfg.subject_idx} out of range for "
+                f"{len(ds.datasets)} subjects"
+            )
+        base = ds.datasets[cfg.subject_idx]
     else:
         ds = base = make_ds(cfg.subject, cfg.seed)
 
@@ -119,6 +126,12 @@ def load_data(cfg: DataConfig) -> Tuple[RayBatchLoader, Dict[str, Any], Dict[str
         )
     )
     render_data = base.get_render_data(list(val_idxs))
+    if cfg.multi_subjects:
+        # subject-local cam idxs -> global framecode rows (same offset
+        # ConcatRayDataset applies to training batches)
+        render_data["cam_idxs"] = (
+            render_data["cam_idxs"] + np.int64(ds._cam_offsets[cfg.subject_idx])
+        )
 
     data_attrs = {
         "n_images": ds.n_images,

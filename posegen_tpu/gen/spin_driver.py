@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from posegen_tpu.gen.datasets import MPIIPoseDataset, RenderedPoseDataset
-from posegen_tpu.gen.spin_train import make_spin_finetune_step
+from posegen_tpu.gen.spin_train import make_ski_finetune_step, make_spin_finetune_step
 
 
 def train_spin(
@@ -27,7 +27,7 @@ def train_spin(
     mpii_img_dir: Optional[str] = None,
     epochs: int = 10,
     batch_size: int = 32,
-    lr: float = 1e-5,
+    lr: float = 5e-5,  # reference --lr_spin default (run_gan.py:79)
     pose_scale: float = 0.4,
     crop=(100, 412),
     res: int = 224,
@@ -87,6 +87,64 @@ def train_spin(
 
             np.savez(
                 os.path.join(ckpt_dir, f"spin_{epoch:03d}.npz"),
+                **_flatten({"params": spin_params, "state": spin_state}),
+            )
+    return spin_params, history
+
+
+def train_ski(
+    spin_params: Dict,
+    spin_state: Dict,
+    ski_root: str,
+    smpl_neutral,
+    J_regressor,
+    split: str = "train2/train",  # reference's train split path (:2677)
+    epochs: int = 1,
+    batch_size: int = 32,
+    lr: float = 5e-5,
+    res: int = 224,
+    ckpt_dir: Optional[str] = None,
+    evaluator=None,
+    seed: int = 0,
+):
+    """Fine-tune SPIN on SKI-Pose 3D-joint GT (reference train_ski,
+    render_3dpw_testset.py:2659-2775): shuffled epochs over the SKI train
+    split with the mesh-regressed scale-matched MPJPE loss, per-epoch eval
+    hook (the reference calls evaluate_ski). Returns (params, history)."""
+    from posegen_tpu.evals.harness import SkiDataset
+
+    ds = SkiDataset(ski_root, split=split, res=res)
+    if len(ds) == 0:
+        raise FileNotFoundError(f"no SKI samples under {ski_root}/{split}")
+    opt, step = make_ski_finetune_step(smpl_neutral, J_regressor, lr=lr)
+    opt_state = opt.init(spin_params)
+
+    key = jax.random.PRNGKey(seed)
+    history = []
+    for epoch in range(epochs):
+        idxs = np.random.default_rng(seed + epoch).permutation(len(ds))
+        losses = []
+        for s in range(0, len(idxs) - batch_size + 1, batch_size) or [0]:
+            items = [ds[int(i)] for i in idxs[s : s + batch_size]]
+            images = np.stack([it["image"] for it in items])
+            gts = np.stack([it["pose_3d"] for it in items])
+            key, k = jax.random.split(key)
+            spin_params, opt_state, stats = step(
+                spin_params, spin_state, opt_state,
+                jnp.asarray(images), jnp.asarray(gts), k,
+            )
+            losses.append(float(stats["spin_loss"]))
+        entry = {"epoch": epoch, "ski_loss": float(np.mean(losses)) if losses else 0.0}
+        if evaluator is not None:  # reference: evaluate_ski per epoch (:2775)
+            entry["eval"] = evaluator(spin_params, spin_state)
+        history.append(entry)
+        print(f"ski epoch {epoch}: {entry}")
+        if ckpt_dir:
+            os.makedirs(ckpt_dir, exist_ok=True)
+            from posegen_tpu.train.checkpoints import _flatten
+
+            np.savez(
+                os.path.join(ckpt_dir, f"spin_ski_{epoch:03d}.npz"),
                 **_flatten({"params": spin_params, "state": spin_state}),
             )
     return spin_params, history

@@ -52,16 +52,11 @@ def spin_pose_loss(
     return loss, per_sample
 
 
-def make_spin_finetune_step(
-    lr: float = 1e-5,
-    pose_scale: float = 0.4,
-    hinge: Optional[float] = 0.02,
-    freeze_init_buffers: bool = True,
-):
-    """-> (optimizer, step). step(params, bn_state, opt_state, images, gt_joints,
-    key) with BN running stats FROZEN (reference set_bn_eval,
-    run_gan.py:1860-1869); init_pose/shape/cam mean-param buffers excluded
-    from updates (they are torch buffers, not parameters)."""
+def bn_frozen_adam(lr: float, freeze_init_buffers: bool = True):
+    """Adam over HMR weights with the init_pose/shape/cam mean-param buffers
+    excluded (they are torch BUFFERS, not parameters); BN running stats are
+    frozen separately by calling hmr_apply with bn_train=False (reference
+    set_bn_eval, run_gan.py:1860-1869)."""
 
     def label_fn(params):
         return jax.tree_util.tree_map_with_path(
@@ -77,9 +72,22 @@ def make_spin_finetune_step(
             params,
         )
 
-    opt = optax.multi_transform(
+    return optax.multi_transform(
         {"train": optax.adam(lr), "freeze": optax.set_to_zero()}, label_fn
     )
+
+
+def make_spin_finetune_step(
+    lr: float = 5e-5,  # reference --lr_spin default (run_gan.py:79)
+    pose_scale: float = 0.4,
+    hinge: Optional[float] = 0.02,
+    freeze_init_buffers: bool = True,
+):
+    """-> (optimizer, step). step(params, bn_state, opt_state, images, gt_joints,
+    key) with BN running stats FROZEN (reference set_bn_eval,
+    run_gan.py:1860-1869); init_pose/shape/cam mean-param buffers excluded
+    from updates (they are torch buffers, not parameters)."""
+    opt = bn_frozen_adam(lr, freeze_init_buffers)
 
     @jax.jit
     def step(params, bn_state, opt_state, images, gt_joints, key):
@@ -89,6 +97,69 @@ def make_spin_finetune_step(
             )
             loss, per_sample = spin_pose_loss(rotmat, gt_joints, pose_scale, hinge)
             return loss, per_sample
+
+        (loss, per_sample), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"spin_loss": loss, "per_sample": per_sample}
+
+    return opt, step
+
+
+# H36M-17 rows giving the SKI 14-joint order
+# (reference EVAL_JOINTS, render_3dpw_testset.py:2700)
+SKI_EVAL_J14 = (1, 4, 2, 5, 3, 6, 8, 10, 11, 14, 12, 15, 13, 16)
+
+
+def ski_pose_loss(
+    pred_rotmat: jax.Array,
+    pred_betas: jax.Array,
+    gt_joints14: jax.Array,
+    smpl,
+    J_reg: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """SKI fine-tune loss (reference train_ski,
+    render_3dpw_testset.py:2690-2714): 14 joints regressed from the
+    predicted MESH (H36M-17 rows SKI_EVAL_J14), pelvis-centered by regressed
+    joint 0 — the GT stays in its raw dataset frame exactly as the
+    reference leaves it — scales matched via the [6]-[0] joint distance,
+    then plain MPJPE. Returns (loss, per-sample errors)."""
+    pred = smpl(
+        betas=pred_betas, body_pose=pred_rotmat[:, 1:],
+        global_orient=pred_rotmat[:, :1], pose2rot=False,
+    )
+    j17 = jnp.einsum("jv,bvc->bjc", J_reg, pred["vertices"])
+    p14 = j17[:, jnp.asarray(SKI_EVAL_J14)] - j17[:, :1]
+    s_pred = jnp.linalg.norm(p14[:, 6:7] - p14[:, :1], axis=-1, keepdims=True)
+    s_gt = jnp.linalg.norm(
+        gt_joints14[:, 6:7] - gt_joints14[:, :1], axis=-1, keepdims=True
+    )
+    p14 = p14 * s_gt / jnp.maximum(s_pred, 1e-8)
+    per_sample = jnp.mean(
+        jnp.sqrt(jnp.sum((p14 - gt_joints14) ** 2, axis=-1) + 1e-12), axis=-1
+    )
+    return jnp.mean(per_sample), per_sample
+
+
+def make_ski_finetune_step(
+    smpl,
+    J_regressor,
+    lr: float = 5e-5,
+    freeze_init_buffers: bool = True,
+):
+    """-> (optimizer, step) fine-tuning SPIN on SKI 3D-joint GT with the
+    mesh-regressed loss above; BN stats frozen like make_spin_finetune_step
+    (reference train_ski, render_3dpw_testset.py:2659-2775)."""
+    opt = bn_frozen_adam(lr, freeze_init_buffers)
+    J_reg = jnp.asarray(J_regressor, jnp.float32)
+
+    @jax.jit
+    def step(params, bn_state, opt_state, images, gt_joints14, key):
+        def loss_fn(p):
+            rotmat, betas, _, _ = hmr_apply(
+                p, bn_state, images, train=True, bn_train=False, dropout_key=key
+            )
+            return ski_pose_loss(rotmat, betas, gt_joints14, smpl, J_reg)
 
         (loss, per_sample), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)

@@ -605,6 +605,12 @@ def fused_run_net(
         from posegen_tpu.models.nerf import framecode_lookup
 
         idxs = ctx.cam_idxs
+        if idxs is None:
+            # no frame index supplied -> mean code (the reference's idx < 0
+            # eval convention, networks/embedding.py:17-33); the zeros only
+            # provide the lookup's output shape
+            idxs = jnp.zeros((G, 1), jnp.int32)
+            eval_mean_code = True
         if idxs.shape[0] == N and G != N:
             idxs = idxs.reshape(G, N // G, -1)[:, 0]
         codes = framecode_lookup(

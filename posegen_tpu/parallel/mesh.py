@@ -124,9 +124,12 @@ def make_shardmap_render(cfg, mesh: Mesh, axis: str = "data", use_fused=None):
     from posegen_tpu.render.raycast import render_rays
 
     def per_device(params, rays_o, rays_d, ctx):
+        # mean code iff the ctx carries no frame index (reference
+        # render_testset passes cams=cam_idxs when opt_framecode)
         out = render_rays(
             cfg, params, rays_o, rays_d, ctx,
-            perturb=0.0, raw_noise_std=0.0, eval_mean_code=True,
+            perturb=0.0, raw_noise_std=0.0,
+            eval_mean_code=ctx.cam_idxs is None,
             use_fused=use_fused, coarse_rgb=False,
         )
         return {k: out[k] for k in ("rgb_map", "acc_map", "disp_map")}
@@ -163,7 +166,8 @@ def make_shardmap_render_cam(
         rays_o, rays_d = rays_from_box(cam, lstart, local_n)
         out = render_rays(
             cfg, params, rays_o, rays_d, ctx,
-            perturb=0.0, raw_noise_std=0.0, eval_mean_code=True,
+            perturb=0.0, raw_noise_std=0.0,
+            eval_mean_code=ctx.cam_idxs is None,
             use_fused=use_fused, coarse_rgb=False,
         )
         out = {k: out[k] for k in KEEP_MAPS}

@@ -128,9 +128,13 @@ def _raygen_render_fn(cfg: RaycastConfig, chunk: int, half_readback: bool = Fals
 
     def fn(p, cam, start, c):
         o, d = rays_from_box(cam, start, chunk)
+        # a ctx WITHOUT cam_idxs evals with the mean code; one WITH them
+        # uses the real per-frame codes (reference render_testset passes
+        # cams=cam_idxs when opt_framecode, run_nerf.py:574 — mean code is
+        # its idx = -1 convention, networks/embedding.py:17-33)
         out = render_rays(
             cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0,
-            eval_mean_code=True, coarse_rgb=False,
+            eval_mean_code=c.cam_idxs is None, coarse_rgb=False,
         )
         out = {k: v for k, v in out.items() if k in KEEP_MAPS}
         if half_readback:
@@ -155,9 +159,10 @@ def _default_render_fn(cfg: RaycastConfig, half_readback: bool = False):
     metrics keep the f32 path)."""
 
     def fn(p, o, d, c):
+        # mean code iff the ctx carries no frame index (see _raygen_render_fn)
         out = render_rays(
             cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0,
-            eval_mean_code=True, coarse_rgb=False,
+            eval_mean_code=c.cam_idxs is None, coarse_rgb=False,
         )
         if half_readback:
             out = {

@@ -298,10 +298,16 @@ def _run_net(
         )
     x_pts, x_views, _ = encode_inputs(cfg, params, pts, rays_d, ctx)
     frame_idx = None
-    if cfg.opt_framecode and ctx.cam_idxs is not None:
+    if cfg.opt_framecode:
         S = pts.shape[1]
+        idxs = ctx.cam_idxs
+        if idxs is None:
+            # mean code (reference idx < 0 eval path, embedding.py:17-33);
+            # the zeros only shape the lookup
+            idxs = jnp.zeros((pts.shape[0], 1), jnp.int32)
+            eval_mean_code = True
         frame_idx = jnp.broadcast_to(
-            ctx.cam_idxs[:, None, :], (pts.shape[0], S, ctx.cam_idxs.shape[-1])
+            idxs[:, None, :], (pts.shape[0], S, idxs.shape[-1])
         )
     if x_views is not None:
         return nerf_apply(

@@ -164,6 +164,67 @@ def test_ski_dataset_real_schema(tmp_path):
     assert results["pa_mpjpe"] <= results["mpjpe"] + 1e-6
 
 
+def _make_ski_tree(tmp_path, split="test", n=3, res=48, seed=2):
+    import h5py
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(seed)
+    root = tmp_path / "ski" / split
+    seqs, cams, frames = [1, 1, 2][:n], [0, 3, 1][:n], [5, 6, 2][:n]
+    for s, c, fr in zip(seqs, cams, frames):
+        d = root / f"seq_{s:03d}" / f"cam_{c:02d}"
+        d.mkdir(parents=True, exist_ok=True)
+        imageio.imwrite(
+            d / f"image_{fr:06d}.png",
+            rng.integers(0, 255, (res, res, 3), dtype=np.uint8),
+        )
+    with h5py.File(root / "labels.h5", "w") as f:
+        f["seq"] = np.asarray(seqs)
+        f["cam"] = np.asarray(cams)
+        f["frame"] = np.asarray(frames)
+        f["3D"] = rng.standard_normal((n, 17 * 3)).astype(np.float32)
+        f["2D"] = rng.uniform(0, 1, (n, 17 * 2)).astype(np.float32)
+    return str(tmp_path / "ski")
+
+
+def test_train_ski_step_and_driver(tmp_path):
+    """SKI fine-tuning (reference train_ski, render_3dpw_testset.py:
+    2659-2775): the mesh-regressed scale-matched loss takes a BN-frozen
+    gradient step and the driver runs an epoch over the SKI train split."""
+    from posegen_tpu.gen.spin_driver import train_ski
+    from posegen_tpu.gen.spin_train import make_ski_finetune_step, ski_pose_loss
+
+    root = _make_ski_tree(tmp_path, split="train2/train", res=32)
+    model = make_random_model(n_vertices=32, n_joints=24, n_betas=10)
+    rng = np.random.default_rng(1)
+    J_reg = rng.uniform(0, 1, (17, 32)).astype(np.float32)
+    J_reg /= J_reg.sum(-1, keepdims=True)
+    hmr_params, hmr_state = init_hmr(jax.random.PRNGKey(0))
+
+    # loss is finite + scale-invariant in the prediction's global scale
+    rotmat = jnp.tile(jnp.eye(3)[None, None], (2, 24, 1, 1))
+    betas = jnp.zeros((2, 10))
+    gt = jnp.asarray(rng.standard_normal((2, 14, 3)), jnp.float32)
+    loss, per = ski_pose_loss(rotmat, betas, gt, model, jnp.asarray(J_reg))
+    assert np.isfinite(float(loss)) and per.shape == (2,)
+
+    params2, history = train_ski(
+        hmr_params, hmr_state, root, model, J_reg,
+        epochs=1, batch_size=3, res=32,
+        ckpt_dir=str(tmp_path / "ckpts"),
+        evaluator=lambda p, s: {"probe": 1.0},
+    )
+    assert np.isfinite(history[0]["ski_loss"])
+    assert history[0]["eval"] == {"probe": 1.0}
+    assert os.path.exists(tmp_path / "ckpts" / "spin_ski_000.npz")
+    # the step actually moved the trainable weights
+    leaves0 = jax.tree_util.tree_leaves(hmr_params)
+    leaves1 = jax.tree_util.tree_leaves(params2)
+    assert any(
+        not np.allclose(a, b) for a, b in zip(leaves0, leaves1)
+    )
+
+
 def test_hp3d_dataset_real_schema(tmp_path):
     """3DHP in the SPIN dataset-extras npz schema (imgname/center/scale/S)
     (reference BaseDataset, render_3dpw_testset.py:2087-2170)."""
