@@ -160,7 +160,12 @@ def train(argv: Optional[Sequence[str]] = None) -> str:
     )
     from posegen_tpu.train.trainer import create_train_state, make_train_step
 
-    loader, render_data, attrs = load_data(args_to_data_config(args))
+    dcfg = args_to_data_config(args)
+    # multi-host pods: each host draws a disjoint image shard per epoch
+    # (the reference is single-process; this is the DCN input-sharding role)
+    dcfg.process_index = jax.process_index()
+    dcfg.process_count = jax.process_count()
+    loader, render_data, attrs = load_data(dcfg)
     cfg = args_to_raycast_config(args, n_framecodes=attrs["n_framecodes"])
     tcfg = args_to_train_config(args)
 

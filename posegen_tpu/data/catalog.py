@@ -61,6 +61,8 @@ class DataConfig:
     seed: int = 0
     subject_idx: int = 0  # which subject's views to render for multi-subject
     #                       models (reference --subject_idx, run_render.py:60)
+    process_index: int = 0  # multi-host input sharding: this host's rank and
+    process_count: int = 1  # host count (jax.process_index/process_count)
 
 
 def resolve_h5_path(cfg: DataConfig, subject: Optional[str] = None) -> str:
@@ -114,6 +116,7 @@ def load_data(cfg: DataConfig) -> Tuple[RayBatchLoader, Dict[str, Any], Dict[str
     loader = RayBatchLoader(
         ds, n_images_per_batch=cfg.n_sample_images, seed=cfg.seed,
         num_workers=cfg.num_workers,
+        process_index=cfg.process_index, process_count=cfg.process_count,
     )
 
     # held-out render/eval views: evenly spaced images

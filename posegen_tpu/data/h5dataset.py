@@ -614,6 +614,14 @@ class RayBatchLoader:
     training at a few it/s. Each worker reopens the H5 in-process and draws
     from its own RNG stream; batches are re-ordered by id so the sequence is
     deterministic for a fixed worker count.
+
+    Multi-host (process_count > 1): every host builds the SAME global image
+    permutation (seeded identically) and takes its strided
+    `process_index::process_count` slice, so data-parallel hosts draw
+    disjoint image subsets each epoch with no cross-host communication —
+    the input-sharding role DCN plays on multi-host TPU pods (the reference
+    is single-process, load_data.py:78). Pixel RNG streams are
+    host-distinct. Single-host (count = 1) sequences are unchanged.
     """
 
     def __init__(
@@ -623,12 +631,28 @@ class RayBatchLoader:
         prefetch: int = 2,
         seed: int = 0,
         num_workers: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.n_images = n_images_per_batch
         self.num_workers = num_workers
-        self.rng = np.random.default_rng(seed)
-        self.seed = seed
+        if not 0 <= process_index < process_count:
+            raise ValueError(
+                f"process_index {process_index} not in [0, {process_count})"
+            )
+        self.process_index = process_index
+        self.process_count = process_count
+        # the permutation stream must be IDENTICAL across hosts (each takes
+        # a disjoint slice of the same global order); the pixel-sampling
+        # stream must be host-distinct
+        self._perm_rng = np.random.default_rng(seed)
+        self.rng = (
+            np.random.default_rng(seed)
+            if process_count == 1
+            else np.random.default_rng((seed, process_index))
+        )
+        self.seed = seed + 100003 * process_index
         self._perm: np.ndarray = np.array([], dtype=np.int64)
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
@@ -642,9 +666,10 @@ class RayBatchLoader:
     def _next_idxs(self) -> np.ndarray:
         # full-permutation sampler (reference RandIntGenerator, dataset.py:730)
         while self._perm.size < self.n_images:
-            self._perm = np.concatenate(
-                [self._perm, self.rng.permutation(self.dataset.n_images)]
-            )
+            epoch = self._perm_rng.permutation(self.dataset.n_images)
+            if self.process_count > 1:  # this host's shard of the epoch
+                epoch = epoch[self.process_index :: self.process_count]
+            self._perm = np.concatenate([self._perm, epoch])
         idxs, self._perm = self._perm[: self.n_images], self._perm[self.n_images :]
         return idxs
 

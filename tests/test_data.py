@@ -281,3 +281,38 @@ def test_concat_dataset_fast_batch(tmp_path, rng):
     for k in ("kp_idx", "cam_idxs", "subject_idxs", "kp3d", "skts", "temp_val"):
         np.testing.assert_array_equal(fast[k], slow[k], err_msg=k)
     assert fast["rays_o"].shape == slow["rays_o"].shape
+
+
+def test_multihost_loader_sharding(h5_path):
+    """Multi-host input sharding (the DCN role on pods; the reference is
+    single-process): hosts share one global permutation and take disjoint
+    strided slices, so each epoch's images are partitioned across hosts;
+    pixel RNG streams are host-distinct; single-host behavior unchanged."""
+    ds = H5RayDataset(h5_path, 4)
+    n = ds.n_images  # 6
+
+    l0 = RayBatchLoader(ds, n_images_per_batch=3, seed=7,
+                        process_index=0, process_count=2)
+    l1 = RayBatchLoader(ds, n_images_per_batch=3, seed=7,
+                        process_index=1, process_count=2)
+    i0, i1 = l0._next_idxs(), l1._next_idxs()
+    # one global epoch (6 images) split 3/3, disjoint, covering everything
+    assert set(i0) | set(i1) == set(range(n))
+    assert set(i0) & set(i1) == set()
+    # next epoch partitions again
+    j0, j1 = l0._next_idxs(), l1._next_idxs()
+    assert set(j0) & set(j1) == set()
+
+    # host-distinct pixel streams: same image set, different rays
+    b0 = l0._batch_for(np.arange(3), l0.rng)
+    b1 = l1._batch_for(np.arange(3), l1.rng)
+    assert b0["rays_o"].shape == b1["rays_o"].shape
+    assert not np.allclose(b0["target_s"], b1["target_s"])
+
+    # single-host path: two identically-seeded loaders stay identical
+    a = RayBatchLoader(ds, n_images_per_batch=3, seed=7)
+    b = RayBatchLoader(ds, n_images_per_batch=3, seed=7)
+    np.testing.assert_array_equal(a._next_idxs(), b._next_idxs())
+    with pytest.raises(ValueError):
+        RayBatchLoader(ds, process_index=2, process_count=2)
+    ds.close()
