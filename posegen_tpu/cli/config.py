@@ -274,9 +274,20 @@ UNSUPPORTED_NONDEFAULT = {
 #                               unconditionally, :96)
 #   use_uncertainty/use_bgnet/  argparse-only across the whole reference
 #   use_bgfill/use_lbsnet       (grep: no consumer outside run_nerf argparse)
+#   val_seq/train_skip/         argparse-only (no args.<flag> consumer
+#   view_skip/training_res/     anywhere in the reference)
+#   cutoff_ancestors
+#   opt_pose_joint              only read by PoseOptFlipFlop, which the
+#                               reference never instantiates — its live
+#                               train loop ALWAYS optimizes NeRF and pose
+#                               jointly (trainer.py:453-485), which is
+#                               exactly this rebuild's behavior, so the six
+#                               flagship configs setting it run identically
 REFERENCE_DEAD_FLAGS = (
     "precrop_iters", "opt_posecode", "opt_cutoff", "nerf_type",
     "use_uncertainty", "use_bgnet", "use_bgfill", "use_lbsnet",
+    "val_seq", "train_skip", "view_skip", "training_res",
+    "cutoff_ancestors", "opt_pose_joint",
 )
 
 # Flags that parse and may diverge from their reference default without
@@ -293,21 +304,9 @@ INERT_FLAGS = (
 # Flags honored approximately: accepted with a loud warning describing the
 # divergence (data-selection knobs the H5 loader resolves differently).
 WARN_DIVERGENT = {
-    "val_seq": "validation views are evenly spaced over the dataset, not "
-               "taken from --val_seq",
     "use_val": "train/val splitting is applied at H5 processing time; the "
                "loader holds out evenly spaced validation views "
                "(reference load_data.py:117 picks a 'train' split file)",
-    "train_skip": "frame skipping is applied at H5 processing time, not by "
-                  "the loader",
-    "view_skip": "view skipping is applied at H5 processing time, not by "
-                 "the loader",
-    "N_cams": "camera-count limiting is applied at H5 processing time",
-    "training_res": "image resizing is applied at H5 processing time",
-    "cutoff_ancestors": "bone cutoff gates all joints per-joint, without an "
-                        "ancestor limit",
-    "opt_pose_joint": "NeRF and pose always train jointly (the flip-flop "
-                      "scheduler is available as a library: pose/flipflop.py)",
     "no_poseopt_reload": "pose state restores together with the full "
                          "checkpoint",
 }
@@ -515,6 +514,7 @@ def args_to_data_config(args):
         white_bkgd=args.white_bkgd,
         load_refined=args.load_refined,
         camera=args.camera,
+        n_cams=args.N_cams,
         multiview=args.multiview,
         subset_kps=_resolve_rand_kps(args),
         num_workers=args.num_workers,

@@ -55,6 +55,7 @@ class DataConfig:
     multi_subjects: Optional[Sequence[str]] = None
     num_val_images: int = 2
     camera: Optional[int] = None
+    n_cams: Optional[int] = None  # reference --N_cams surreal camera subset
     multiview: bool = False
     subset_kps: Optional[str] = None  # --rand_train_kps kp-id .npy
     num_workers: int = 0
@@ -95,6 +96,7 @@ def load_data(cfg: DataConfig) -> Tuple[RayBatchLoader, Dict[str, Any], Dict[str
             white_bkgd=cfg.white_bkgd,
             load_refined=cfg.load_refined,
             camera=cfg.camera,
+            n_cams=cfg.n_cams,
             multiview=cfg.multiview,
             subset_kps=cfg.subset_kps,
             seed=seed,

@@ -43,6 +43,7 @@ class H5RayDataset:
         white_bkgd: bool = False,
         load_refined: Optional[str] = None,
         camera: Optional[int] = None,
+        n_cams: Optional[int] = None,
         multiview: bool = False,
         subset_kps=None,
         seed: int = 0,
@@ -109,6 +110,22 @@ class H5RayDataset:
                     f"{np.unique(self.cam_idxs)})"
                 )
             self._select_images(sel)
+        if n_cams is not None:
+            uniq = np.unique(self.cam_idxs)
+            if n_cams < uniq.size:
+                # the reference's --N_cams camera subset is the FIXED trio
+                # [0, 3, 6] whenever fewer than all cameras are requested
+                # (load_surreal.py:364 selected_cams, ignoring the actual
+                # count); honor that for n_cams = 3 and take its prefix for
+                # smaller counts
+                keep = np.asarray([0, 3, 6])[:n_cams]
+                sel = np.flatnonzero(np.isin(self.cam_idxs, keep))
+                if sel.size == 0:
+                    raise ValueError(
+                        f"--N_cams={n_cams} (cameras {keep.tolist()}) selects "
+                        f"no images (cam ids: {uniq})"
+                    )
+                self._select_images(sel)
         if subset_kps is not None:
             keys = (
                 np.load(subset_kps) if isinstance(subset_kps, str)

@@ -316,3 +316,22 @@ def test_multihost_loader_sharding(h5_path):
     with pytest.raises(ValueError):
         RayBatchLoader(ds, process_index=2, process_count=2)
     ds.close()
+
+
+def test_n_cams_subset(h5_path):
+    """--N_cams keeps the reference's fixed camera trio [0, 3, 6]
+    (load_surreal.py:364 selected_cams) instead of only warning."""
+    ds_all = H5RayDataset(h5_path, 8)
+    ds3 = H5RayDataset(h5_path, 8, n_cams=3)
+    # synthetic demo: cam_idxs = arange(6) -> cams {0, 3} survive
+    assert set(ds3.cam_idxs.tolist()) == (
+        set(ds_all.cam_idxs.tolist()) & {0, 3, 6}
+    )
+    assert ds3.n_images < ds_all.n_images
+    s = ds3.sample_image(0)
+    assert np.isfinite(s["rays_o"]).all()
+    # n_cams >= total cameras is a no-op
+    ds_full = H5RayDataset(h5_path, 8, n_cams=99)
+    assert ds_full.n_images == ds_all.n_images
+    for d in (ds_all, ds3, ds_full):
+        d.close()
