@@ -6,7 +6,9 @@ buffers. That makes the backward pass a pure dense-layer backprop whose
 activations can be RECOMPUTED in VMEM — so the backward kernel, like the
 forward one, touches HBM only for the (3, P) inputs, the (4, P) output
 cotangent and the weight tensors. Weight gradients accumulate across the
-sequential grid in revisited output blocks (init at step 0, += after).
+sequential grid in revisited output blocks (init at step 0, += after);
+Mosaic keeps those constant-index blocks VMEM-resident, so the += is not
+HBM traffic (verified by a neutral VMEM-scratch A/B — see pick_train_tile).
 
 The XLA autodiff path moves ~3x the forward's ~53 GB per batch; this pair
 keeps the whole train-step field evaluation compute-bound.
@@ -48,13 +50,18 @@ MAX_TRAIN_TILE = 1024
 def pick_train_tile(rpi: int, s: int, g: int):
     """-> (tile, padded rays-per-group) for the trainable kernels.
 
-    The backward kernel accumulates weight gradients in revisited HBM
-    output blocks, so its per-grid-step cost is dominated by the ~8 MB of
-    gradient read/modify/write traffic: measured 60.2 -> 15.3 ms/step
-    going 256 -> 1024 at N_rand 2048. Grouped batches must keep each tile
-    inside one pose group, so rays are padded per group to make the
-    per-group point count tile-divisible; choose the candidate minimizing
-    modeled cost = padded_points * (1 + K * 256 / tile)."""
+    The backward kernel's cost has a strong per-grid-step term: measured
+    60.2 -> 15.3 ms/step going tile 256 -> 1024 at N_rand 2048. An A/B
+    with VMEM-scratch gradient accumulation (spilling to HBM once, at the
+    last grid step) measured NEUTRAL at every tile (31.0 vs 31.5 ms at
+    tile 256) — so the term is NOT weight-gradient HBM read-modify-write
+    (Mosaic already holds the constant-index output blocks VMEM-resident);
+    it is the skinnier per-step matmuls plus fixed grid-step overhead.
+    Either way the fitted cost model below matches the sweep. Grouped
+    batches must keep each tile inside one pose group, so rays are padded
+    per group to make the per-group point count tile-divisible; choose the
+    candidate minimizing modeled cost =
+    padded_points * (1 + K * 256 / tile)."""
     import math
 
     if g == 1:
