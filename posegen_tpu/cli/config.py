@@ -303,13 +303,7 @@ INERT_FLAGS = (
 
 # Flags honored approximately: accepted with a loud warning describing the
 # divergence (data-selection knobs the H5 loader resolves differently).
-WARN_DIVERGENT = {
-    "use_val": "train/val splitting is applied at H5 processing time; the "
-               "loader holds out evenly spaced validation views "
-               "(reference load_data.py:117 picks a 'train' split file)",
-    "no_poseopt_reload": "pose state restores together with the full "
-                         "checkpoint",
-}
+WARN_DIVERGENT: Dict[str, str] = {}
 
 
 def validate_args(args: argparse.Namespace, strict: bool = True) -> List[str]:
@@ -515,6 +509,7 @@ def args_to_data_config(args):
         load_refined=args.load_refined,
         camera=args.camera,
         n_cams=args.N_cams,
+        use_val=args.use_val,
         multiview=args.multiview,
         subset_kps=_resolve_rand_kps(args),
         num_workers=args.num_workers,

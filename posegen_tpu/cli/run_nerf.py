@@ -205,7 +205,22 @@ def train(argv: Optional[Sequence[str]] = None) -> str:
     if not args.no_reload:
         ckpt = args.ft_path or latest_checkpoint(log_dir)
         if ckpt:
+            fresh_pose = (state.pose_params, state.pose_anchors)
             state = load_checkpoint(ckpt, state)
+            if args.no_poseopt_reload and state.pose_params is not None:
+                # keep NeRF weights from the ckpt but restart poses (and
+                # their optimizer/anchors) from the dataset estimates
+                # (reference create_popt skips the poseopt restore,
+                # pose_opt.py:51-60)
+                fresh = create_train_state(
+                    {**state.params, **state.embeds}, tcfg, *fresh_pose
+                )
+                state = state._replace(
+                    pose_params=fresh.pose_params,
+                    pose_anchors=fresh.pose_anchors,
+                    pose_opt_state=fresh.pose_opt_state,
+                )
+                print("poseopt state NOT restored (--no_poseopt_reload)")
             if args.finetune:
                 # fine-tune: weights only — fresh optimizer + step counter
                 # (reference --finetune, raycasters.py:140-141)

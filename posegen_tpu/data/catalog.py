@@ -56,6 +56,7 @@ class DataConfig:
     num_val_images: int = 2
     camera: Optional[int] = None
     n_cams: Optional[int] = None  # reference --N_cams surreal camera subset
+    use_val: bool = False  # train/val sequence split (reference --use_val)
     multiview: bool = False
     subset_kps: Optional[str] = None  # --rand_train_kps kp-id .npy
     num_workers: int = 0
@@ -80,8 +81,8 @@ def load_data(cfg: DataConfig) -> Tuple[RayBatchLoader, Dict[str, Any], Dict[str
     (load_data.py:71-84)."""
     rays_per_image = max(cfg.n_rand // cfg.n_sample_images, 1)
 
-    def make_ds(subject, seed):
-        path = resolve_h5_path(cfg, subject)
+    def make_ds(subject, seed, split=None, path=None):
+        path = path or resolve_h5_path(cfg, subject)
         if cfg.dataset == "synthetic" and not os.path.exists(path):
             from posegen_tpu.data.synthetic import make_synthetic_h5
 
@@ -99,12 +100,32 @@ def load_data(cfg: DataConfig) -> Tuple[RayBatchLoader, Dict[str, Any], Dict[str
             n_cams=cfg.n_cams,
             multiview=cfg.multiview,
             subset_kps=cfg.subset_kps,
+            split=split,
             seed=seed,
         )
 
+    def make_val_ds(subject):
+        """--use_val: held-out views come from the val SPLIT (h36m-style
+        sequence prefixes) or, for surreal, the sibling *_val.h5 file
+        (reference load_data.py:117 + load_surreal.py:333)."""
+        path = resolve_h5_path(cfg, subject)
+        if cfg.dataset == "surreal":
+            val_path = path.replace("train", "val")
+            if not os.path.exists(val_path):
+                raise FileNotFoundError(
+                    f"--use_val: no surreal val file at {val_path}"
+                )
+            return make_ds(subject, cfg.seed + 7919, path=val_path)
+        return make_ds(subject, cfg.seed + 7919, split="val")
+
+    train_split = (
+        "train" if (cfg.use_val and cfg.dataset != "surreal") else None
+    )
+
     if cfg.multi_subjects:
         ds = ConcatRayDataset(
-            [make_ds(s, cfg.seed + i) for i, s in enumerate(cfg.multi_subjects)]
+            [make_ds(s, cfg.seed + i, split=train_split)
+             for i, s in enumerate(cfg.multi_subjects)]
         )
         if not 0 <= cfg.subject_idx < len(ds.datasets):
             raise ValueError(
@@ -112,8 +133,13 @@ def load_data(cfg: DataConfig) -> Tuple[RayBatchLoader, Dict[str, Any], Dict[str
                 f"{len(ds.datasets)} subjects"
             )
         base = ds.datasets[cfg.subject_idx]
+        val_base = (
+            make_val_ds(cfg.multi_subjects[cfg.subject_idx])
+            if cfg.use_val else base
+        )
     else:
-        ds = base = make_ds(cfg.subject, cfg.seed)
+        ds = base = make_ds(cfg.subject, cfg.seed, split=train_split)
+        val_base = make_val_ds(cfg.subject) if cfg.use_val else base
 
     loader = RayBatchLoader(
         ds, n_images_per_batch=cfg.n_sample_images, seed=cfg.seed,
@@ -121,16 +147,17 @@ def load_data(cfg: DataConfig) -> Tuple[RayBatchLoader, Dict[str, Any], Dict[str
         process_index=cfg.process_index, process_count=cfg.process_count,
     )
 
-    # held-out render/eval views: evenly spaced images
+    # held-out render/eval views: evenly spaced over the val source (the
+    # TRAINING images unless --use_val supplies a real held-out split)
     val_idxs = np.unique(
         np.linspace(
             0,
-            base.n_images - 1,
-            min(max(cfg.num_val_images, 1), base.n_images),
+            val_base.n_images - 1,
+            min(max(cfg.num_val_images, 1), val_base.n_images),
             dtype=np.int64,
         )
     )
-    render_data = base.get_render_data(list(val_idxs))
+    render_data = val_base.get_render_data(list(val_idxs))
     if cfg.multi_subjects:
         # subject-local cam idxs -> global framecode rows (same offset
         # ConcatRayDataset applies to training batches)

@@ -28,6 +28,9 @@ from typing import Dict, List, Optional, Sequence
 import h5py
 import numpy as np
 
+# --use_val validation sequences, matched by name prefix
+# (reference load_h36m.py:384 val_sets)
+VAL_SEQ_PREFIXES = ("Greeting-", "Walking-", "Posing-")
 
 
 class H5RayDataset:
@@ -46,6 +49,7 @@ class H5RayDataset:
         n_cams: Optional[int] = None,
         multiview: bool = False,
         subset_kps=None,
+        split: Optional[str] = None,  # None/'train'/'val' (--use_val)
         seed: int = 0,
     ):
         self.h5_path = h5_path
@@ -102,6 +106,33 @@ class H5RayDataset:
         # load_surreal.py:320-364): remap per-image metadata and keep a
         # file-row map for the pixel reads
         self._img_map = None
+        if split in ("train", "val"):
+            # --use_val train/val split by sequence-name prefix (reference
+            # H36MDataset init_meta, load_h36m.py:384-417: val_sets
+            # Greeting-/Walking-/Posing- matched on img_paths[i].split('/')[1])
+            if self._img_paths is None:
+                raise ValueError(
+                    "use_val needs img_paths in the H5 to split sequences "
+                    "(reference load_h36m.py:384-417); surreal instead uses "
+                    "a sibling *_val.h5 file"
+                )
+            import os as _os
+
+            def _seq(p):
+                parts = _os.fsdecode(p).split("/")
+                return parts[1] if len(parts) > 1 else parts[0]
+
+            is_val = np.asarray(
+                [any(_seq(p).startswith(v) for v in VAL_SEQ_PREFIXES)
+                 for p in self._img_paths]
+            )
+            sel = np.flatnonzero(is_val if split == "val" else ~is_val)
+            if sel.size == 0:
+                raise ValueError(
+                    f"use_val: the '{split}' split selects no images "
+                    f"(val prefixes: {VAL_SEQ_PREFIXES})"
+                )
+            self._select_images(sel)
         if camera is not None:
             sel = np.flatnonzero(self.cam_idxs == camera)
             if sel.size == 0:

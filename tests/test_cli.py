@@ -237,3 +237,24 @@ def test_i_video_writes_gifs(tmp_path):
     ])
     assert os.path.exists(os.path.join(log_dir, "spiral_000004_rgb.gif"))
     assert os.path.exists(os.path.join(log_dir, "spiral_000004_disp.gif"))
+
+
+@pytest.mark.slow
+def test_no_poseopt_reload(tmp_path, capsys):
+    """--no_poseopt_reload resumes NeRF weights but restarts pose state
+    from the dataset estimates (reference create_popt, pose_opt.py:51-60)."""
+    from posegen_tpu.cli.run_nerf import train
+
+    base = [
+        "--config", "configs/synthetic/demo.txt",
+        "--basedir", str(tmp_path / "logs"),
+        "--data_root", str(tmp_path / "data"),
+        "--i_weights", "2", "--i_print", "2", "--N_rand", "64",
+        "--n_devices", "1", "--opt_pose", "--opt_pose_step", "1",
+        "--opt_pose_lrate", "0.01",
+    ]
+    train(base + ["--n_iters", "2"])
+    capsys.readouterr()
+    train(base + ["--n_iters", "4", "--no_poseopt_reload"])
+    out = capsys.readouterr().out
+    assert "poseopt state NOT restored" in out

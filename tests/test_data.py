@@ -335,3 +335,53 @@ def test_n_cams_subset(h5_path):
     assert ds_full.n_images == ds_all.n_images
     for d in (ds_all, ds3, ds_full):
         d.close()
+
+
+def test_use_val_split(h5_path, tmp_path):
+    """--use_val: h36m-style sequence-prefix train/val split (reference
+    load_h36m.py:384-417 val_sets) and catalog routing of held-out views."""
+    import shutil
+
+    import h5py
+
+    p = tmp_path / "data" / "synthetic" / "uv.h5"
+    p.parent.mkdir(parents=True)
+    shutil.copy(h5_path, p)
+    with h5py.File(p, "r+") as f:
+        paths = [
+            f"images/{'Walking-1' if i % 3 == 0 else 'Directions-1'}/{i:04d}.png"
+            for i in range(6)
+        ]
+        f["img_paths"] = np.array([s.encode() for s in paths])
+
+    tr = H5RayDataset(str(p), 8, split="train")
+    va = H5RayDataset(str(p), 8, split="val")
+    plain = H5RayDataset(str(p), 8)
+    assert plain.n_images == 6
+    assert tr.n_images == 4 and va.n_images == 2
+    assert set(tr._img_map) & set(va._img_map) == set()
+    assert set(tr._img_map) | set(va._img_map) == set(range(6))
+    s = tr.sample_image(0)
+    assert np.isfinite(s["rays_o"]).all()
+    for d in (tr, va, plain):
+        d.close()
+
+    # catalog: training draws from the train split, held-out render views
+    # come from the val split
+    from posegen_tpu.data.catalog import DATASET_CATALOG, DataConfig, load_data
+
+    DATASET_CATALOG["synthetic"]["uv"] = "synthetic/uv.h5"
+    try:
+        loader, render_data, attrs = load_data(DataConfig(
+            dataset="synthetic", subject="uv", data_root=str(tmp_path / "data"),
+            n_rand=32, n_sample_images=2, use_val=True, num_val_images=2,
+        ))
+        assert attrs["n_images"] == 4  # trains on the train split
+        assert render_data["imgs"].shape[0] == 2  # val views held out
+        b = loader.make_batch()
+        assert b["rays_o"].shape == (32, 3)
+        # the split needs img_paths: a plain H5 errors loudly
+        with pytest.raises(ValueError, match="img_paths"):
+            H5RayDataset(h5_path, 8, split="train")
+    finally:
+        DATASET_CATALOG["synthetic"].pop("uv", None)
