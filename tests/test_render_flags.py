@@ -272,3 +272,46 @@ def test_load_data_subject_idx(tmp_path, rng):
             load_data(mk(2))
     finally:
         DATASET_CATALOG["synthetic"].pop("sB", None)
+
+
+def test_render_image_multichip_framecodes(rng):
+    """Per-frame codes survive the shard_map render path: an 8-device CPU
+    mesh render with ctx.cam_idxs matches single-device, and differs from
+    the mean-code render (reference DataParallel rendered with
+    cams=cam_idxs too, run_nerf.py:574)."""
+    from posegen_tpu.parallel.mesh import auto_render_fn
+    from posegen_tpu.render.image import render_image
+    from posegen_tpu.render.raycast import RaycastConfig, init_raycaster
+
+    assert jax.device_count() == 8
+    cfg = RaycastConfig(
+        N_samples=8, N_importance=0, netdepth=2, netwidth=32,
+        multires=3, multires_views=2, opt_framecode=True, n_framecodes=4,
+    )
+    params = init_raycaster(jax.random.PRNGKey(0), cfg)
+    params["coarse"]["alpha_linear"]["b"] = (
+        params["coarse"]["alpha_linear"]["b"] + 2.0
+    )
+    params["coarse"]["framecodes"] = jnp.asarray(
+        rng.standard_normal(params["coarse"]["framecodes"].shape) * 3.0,
+        jnp.float32,
+    )
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 2.5
+    cam = np.asarray([[2]], np.int32)
+    ctx_code = _make_ctx(np.random.default_rng(0), cam=cam)
+    ctx_mean = _make_ctx(np.random.default_rng(0), cam=None)
+
+    single = render_image(cfg, params, 32, 32, 40.0, c2w, ctx_code, chunk=256)
+    render_fn, chunk = auto_render_fn(cfg, 256)
+    assert render_fn is not None
+    multi = render_image(
+        cfg, params, 32, 32, 40.0, c2w, ctx_code, chunk=chunk,
+        render_fn=render_fn,
+    )
+    np.testing.assert_allclose(multi["rgb"], single["rgb"], rtol=1e-3, atol=1e-4)
+    multi_mean = render_image(
+        cfg, params, 32, 32, 40.0, c2w, ctx_mean, chunk=chunk,
+        render_fn=render_fn,
+    )
+    assert np.abs(multi_mean["rgb"] - multi["rgb"]).max() > 1e-4
