@@ -110,7 +110,8 @@ def load_data(cfg: DataConfig) -> Tuple[RayBatchLoader, Dict[str, Any], Dict[str
         (reference load_data.py:117 + load_surreal.py:333)."""
         path = resolve_h5_path(cfg, subject)
         if cfg.dataset == "surreal":
-            val_path = path.replace("train", "val")
+            d, b = os.path.split(path)  # only the FILENAME swaps train->val
+            val_path = os.path.join(d, b.replace("train", "val"))
             if not os.path.exists(val_path):
                 raise FileNotFoundError(
                     f"--use_val: no surreal val file at {val_path}"
