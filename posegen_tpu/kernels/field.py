@@ -101,12 +101,17 @@ def supports_fused_config(cfg) -> bool:
 
 
 def supports_fused(cfg, ctx, net_params: Dict) -> bool:
-    """The config/pose subset the inference kernel handles (single pose)."""
+    """The config/pose subset the inference kernel handles (single pose).
+
+    Framecode models run fused with OR without ctx.cam_idxs — a missing
+    index means the mean code (fused_run_net's idxs-None branch), so the
+    mean-code val render of an opt_framecode model no longer falls back to
+    the XLA pipeline (which materializes the encodings and OOMs HBM at
+    large eval chunks)."""
     return (
         supports_fused_config(cfg)
         and len(net_params.get("views_linears", [0])) == 1
         and ctx.kps.shape[0] == 1
-        and (not cfg.opt_framecode or ctx.cam_idxs is not None)
     )
 
 

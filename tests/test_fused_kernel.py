@@ -19,8 +19,14 @@ CFG = RaycastConfig()  # flagship config: exactly what the kernel supports
 def test_supports_fused_gating():
     cfg, params, ctx, _, _ = make_problem(CFG, n_rays=8)
     assert supports_fused(cfg, ctx, params["coarse"])
-    bad = RaycastConfig(opt_framecode=True, n_framecodes=4)
-    assert not supports_fused(bad, ctx, params["coarse"])
+    # framecode models are fused WITH or WITHOUT a frame index (missing
+    # index = mean code; the XLA fallback OOMs HBM at eval chunks)
+    fc = RaycastConfig(opt_framecode=True, n_framecodes=4)
+    assert supports_fused(fc, ctx, params["coarse"])
+    assert supports_fused(
+        fc, ctx._replace(cam_idxs=jnp.zeros((1, 1), jnp.int32)),
+        params["coarse"],
+    )
     multi_pose = ctx._replace(kps=jnp.tile(ctx.kps, (8, 1, 1)))
     assert not supports_fused(cfg, multi_pose, params["coarse"])
 
@@ -315,3 +321,36 @@ def test_fused_freq_schedule_matches_xla(trainable):
                 )
     finally:
         field.MM_DTYPE = orig
+
+
+def test_fused_mean_code_matches_xla():
+    """Fused kernel with NO frame index (mean code) == XLA mean-code path
+    (the run_render val convention for framecode models — previously this
+    combination fell back to the XLA pipeline and OOMed at eval chunks)."""
+    from posegen_tpu.models import nerf as nerf_mod
+    from posegen_tpu.render.raycast import encode_inputs
+    from posegen_tpu.utils.fixtures import make_problem
+
+    cfg = RaycastConfig(opt_framecode=True, n_framecodes=4)
+    _, params, ctx, ro, rd = make_problem(cfg, n_rays=8)
+    ctx = ctx._replace(cam_idxs=None)
+    assert supports_fused(cfg, ctx, params["coarse"])
+    n, s = 8, 8
+    z = jnp.sort(
+        jax.random.uniform(jax.random.PRNGKey(3), (n, s), minval=0.5, maxval=2.0),
+        axis=-1,
+    )
+    pts = ro[:, None] + rd[:, None] * z[..., None]
+
+    x_pts, x_views, _ = encode_inputs(cfg, params, pts, rd, ctx)
+    dummy_idx = jnp.zeros((n, s, 1), jnp.int32)  # shapes the mean lookup
+    raw_ref = nerf_mod.nerf_apply(
+        cfg.nerf_cfg, params["coarse"], x_pts, x_views, dummy_idx,
+        eval_mean_code=True,
+    )
+    raw_k = fused_run_net(
+        cfg, params["coarse"], params["embed_kp"], pts, rd, ctx, interpret=True
+    )
+    err = float(jnp.abs(raw_k - raw_ref).max())
+    scale = max(float(jnp.abs(raw_ref).max()), 1.0)
+    assert err < 0.02 * scale, err
