@@ -54,6 +54,39 @@ def read_eval_result(log_dir: str, metric: str = "psnr") -> np.ndarray:
     return np.asarray(rows, np.float64)
 
 
+def best_value_and_step(
+    scalars: np.ndarray, maximum: bool = True
+) -> tuple:
+    """(best value, its step) from an (N, 2) [step, value] scalar track —
+    the per-run core of reference get_best_values_n_steps
+    (evaluation_helpers.py:109-119); feed it read_tfevent/read_eval_result
+    output per run to compare experiments."""
+    if scalars.shape[0] == 0:
+        return float("nan"), -1
+    idx = int(np.argmax(scalars[:, 1]) if maximum else np.argmin(scalars[:, 1]))
+    return float(scalars[idx, 1]), int(scalars[idx, 0])
+
+
+def find_step_videos(
+    log_dirs: Sequence[str], steps: Sequence[int],
+    keyword: str = "_{:06d}", postfix: str = "rgb.gif",
+) -> list:
+    """Per run, the video artifact written at a given step (reference
+    retrieve_best_vid_files, evaluation_helpers.py:121-138 — mp4 there,
+    gif here; pass postfix='rgb.mp4' for ffmpeg-equipped hosts). Missing
+    or ambiguous matches raise instead of dropping into a debugger."""
+    names = []
+    for log_dir, step in zip(log_dirs, steps):
+        pattern = os.path.join(log_dir, f"*{keyword.format(step)}*{postfix}")
+        matches = [f for f in glob(pattern) if "text_" not in f]
+        if len(matches) != 1:
+            raise FileNotFoundError(
+                f"{pattern}: expected exactly one video, found {matches}"
+            )
+        names.append(matches[0])
+    return names
+
+
 def concat_video_grid(
     videos: Sequence[np.ndarray], n_cols: int = 2, pad: int = 2
 ) -> np.ndarray:

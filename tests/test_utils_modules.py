@@ -62,3 +62,28 @@ def test_video_grid_and_text(rng):
     assert grid.shape[0] == 3 and grid.shape[1] >= 32 and grid.shape[2] >= 32
     stamped = add_text_to_video(vids[0], "hello")
     assert stamped.dtype == np.uint8 and stamped.shape == (3, 16, 16, 3)
+
+
+def test_best_value_and_video_lookup(tmp_path, rng):
+    """Best-run selection + per-step video retrieval (reference
+    get_best_values_n_steps / retrieve_best_vid_files,
+    evaluation_helpers.py:109-138)."""
+    from posegen_tpu.utils.experiment import best_value_and_step, find_step_videos
+
+    track = np.array([[1000, 20.0], [2000, 25.5], [3000, 24.0]])
+    v, s = best_value_and_step(track)
+    assert (v, s) == (25.5, 2000)
+    v, s = best_value_and_step(track, maximum=False)
+    assert (v, s) == (20.0, 1000)
+    assert best_value_and_step(np.zeros((0, 2)))[1] == -1
+
+    d = tmp_path / "run"
+    d.mkdir()
+    (d / "spiral_002000_rgb.gif").write_bytes(b"x")
+    (d / "text_spiral_002000_rgb.gif").write_bytes(b"x")  # ignored
+    names = find_step_videos([str(d)], [2000])
+    assert names == [str(d / "spiral_002000_rgb.gif")]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        find_step_videos([str(d)], [9000])
