@@ -43,9 +43,14 @@ def evaluate_testset(
     mesh: optional device mesh — val rays are then sharded across chips via
     the shard_map fused render (each device renders chunk/n_devices rays)."""
     from posegen_tpu.evals.image import evaluate_metric
+    from posegen_tpu.kernels.field import supports_fused_config
     from posegen_tpu.render.image import render_image
     from posegen_tpu.render.raycast import PoseCtx
 
+    if not supports_fused_config(cfg):
+        # same clamp as auto_render_fn: the XLA fallback materializes the
+        # per-point encodings (~350 KB/ray) — a 32k-ray chunk OOMs HBM
+        chunk = min(chunk, 8192)
     render_fn = None
     if mesh is not None and mesh.size > 1:
         from posegen_tpu.parallel.mesh import make_shardmap_render_cam
@@ -59,14 +64,17 @@ def evaluate_testset(
     bgs = render_data.get("bkgds")
     rgbs, gts = [], []
     for i in range(render_data["imgs"].shape[0]):
+        ci = int(render_data["cam_idxs"][i])
+        # a genuinely held-out view (--use_val) may carry a cam idx with no
+        # trained framecode row: render it with the mean code instead of
+        # letting the gather clamp to an arbitrary trained row
+        use_code = cfg.opt_framecode and 0 <= ci < max(cfg.n_framecodes, 1)
         ctx = PoseCtx(
             kps=render_data["kp3d"][i : i + 1],
             skts=render_data["skts"][i : i + 1],
             bones=render_data["bones"][i : i + 1],
             cyls=render_data["cyls"][i : i + 1],
-            cam_idxs=np.asarray([[render_data["cam_idxs"][i]]], np.int32)
-            if cfg.opt_framecode
-            else None,
+            cam_idxs=np.asarray([[ci]], np.int32) if use_code else None,
         )
         focal = float(np.ravel(render_data["focals"])[min(i, np.ravel(render_data["focals"]).size - 1)])
         bg = None

@@ -438,8 +438,11 @@ def run_render(argv: Optional[Sequence[str]] = None) -> str:
     else:  # val
         n = render_data["imgs"].shape[0]
         # non-surreal val renders with the mean code (reference sets
-        # cam_idxs = -1, run_render.py:235-237); surreal keeps real codes
-        is_surreal = targs.dataset_type == "surreal"
+        # cam_idxs = -1, run_render.py:235-237); surreal keeps real codes.
+        # dataset_type parses with nargs='+' -> compare the scalar
+        from posegen_tpu.cli.config import _scalar
+
+        is_surreal = _scalar(targs.dataset_type) == "surreal"
         ctxs = [ctx_for(i, code_i=i if is_surreal else None) for i in range(n)]
         c2ws = render_data["c2ws"]
 

@@ -160,10 +160,15 @@ def load_data(cfg: DataConfig) -> Tuple[RayBatchLoader, Dict[str, Any], Dict[str
     )
     render_data = val_base.get_render_data(list(val_idxs))
     if cfg.multi_subjects:
-        # subject-local cam idxs -> global framecode rows (same offset
-        # ConcatRayDataset applies to training batches)
+        # subject-local cam/kp idxs -> global framecode/pose rows (the same
+        # offsets ConcatRayDataset applies to training batches) — without
+        # the kp offset, --render_refined would index subject 0's refined
+        # poses for subject k's views
         render_data["cam_idxs"] = (
             render_data["cam_idxs"] + np.int64(ds._cam_offsets[cfg.subject_idx])
+        )
+        render_data["kp_idxs"] = (
+            render_data["kp_idxs"] + np.int64(ds._kp_offsets[cfg.subject_idx])
         )
 
     data_attrs = {

@@ -196,6 +196,13 @@ class H5RayDataset:
         if multiview:
             if self._img_paths is None:
                 raise ValueError("--multiview needs img_paths in the H5")
+            if self._img_map is not None:
+                raise ValueError(
+                    "image subsets (--use_val/--camera/--N_cams/"
+                    "--rand_train_kps) cannot combine with --multiview — "
+                    "the reference raises the same way ('Subset is not "
+                    "supported for multiview optimization', dataset.py:198)"
+                )
             if self.kp3d.shape[0] != self.n_images:
                 raise ValueError(
                     "multiview expects one pose row per image "

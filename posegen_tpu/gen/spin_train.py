@@ -106,11 +106,6 @@ def make_spin_finetune_step(
     return opt, step
 
 
-# H36M-17 rows giving the SKI 14-joint order
-# (reference EVAL_JOINTS, render_3dpw_testset.py:2700)
-SKI_EVAL_J14 = (1, 4, 2, 5, 3, 6, 8, 10, 11, 14, 12, 15, 13, 16)
-
-
 def ski_pose_loss(
     pred_rotmat: jax.Array,
     pred_betas: jax.Array,
@@ -120,16 +115,20 @@ def ski_pose_loss(
 ) -> Tuple[jax.Array, jax.Array]:
     """SKI fine-tune loss (reference train_ski,
     render_3dpw_testset.py:2690-2714): 14 joints regressed from the
-    predicted MESH (H36M-17 rows SKI_EVAL_J14), pelvis-centered by regressed
+    predicted MESH (H36M-17 rows SKI_PRED_J14), pelvis-centered by regressed
     joint 0 — the GT stays in its raw dataset frame exactly as the
     reference leaves it — scales matched via the [6]-[0] joint distance,
     then plain MPJPE. Returns (loss, per-sample errors)."""
+    # the canonical H36M-17 -> SKI-14 row table lives with the eval harness
+    # (reference EVAL_JOINTS, render_3dpw_testset.py:2700)
+    from posegen_tpu.evals.harness import SKI_PRED_J14
+
     pred = smpl(
         betas=pred_betas, body_pose=pred_rotmat[:, 1:],
         global_orient=pred_rotmat[:, :1], pose2rot=False,
     )
     j17 = jnp.einsum("jv,bvc->bjc", J_reg, pred["vertices"])
-    p14 = j17[:, jnp.asarray(SKI_EVAL_J14)] - j17[:, :1]
+    p14 = j17[:, jnp.asarray(SKI_PRED_J14)] - j17[:, :1]
     s_pred = jnp.linalg.norm(p14[:, 6:7] - p14[:, :1], axis=-1, keepdims=True)
     s_gt = jnp.linalg.norm(
         gt_joints14[:, 6:7] - gt_joints14[:, :1], axis=-1, keepdims=True

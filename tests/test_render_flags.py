@@ -266,8 +266,11 @@ def test_load_data_subject_idx(tmp_path, rng):
         _, rd0, _ = load_data(mk(0))
         _, rd1, _ = load_data(mk(1))
         assert not np.allclose(rd0["imgs"], rd1["imgs"])
-        # subject 1's framecode rows sit after subject 0's
+        # subject 1's framecode AND pose rows sit after subject 0's (the
+        # same offsets training batches get; --render_refined indexes the
+        # concatenated refined-pose table with these)
         assert rd1["cam_idxs"].min() >= rd0["cam_idxs"].max() + 1
+        assert rd1["kp_idxs"].min() >= rd0["kp_idxs"].max() + 1
         with pytest.raises(ValueError):
             load_data(mk(2))
     finally:
@@ -315,3 +318,51 @@ def test_render_image_multichip_framecodes(rng):
         render_fn=render_fn,
     )
     assert np.abs(multi_mean["rgb"] - multi["rgb"]).max() > 1e-4
+
+
+def test_evaluate_testset_out_of_range_framecode(rng):
+    """A held-out view whose cam idx has no trained framecode row renders
+    with the mean code instead of a clamped arbitrary row (--use_val +
+    --opt_framecode)."""
+    from posegen_tpu.cli.run_nerf import evaluate_testset
+    from posegen_tpu.render.raycast import RaycastConfig, init_raycaster
+    from posegen_tpu.skeleton.geometry import get_kp_bounding_cylinder
+    from posegen_tpu.skeleton.kinematics import invert_rigid, smpl_l2ws
+    from posegen_tpu.train.trainer import TrainConfig, create_train_state
+
+    cfg = RaycastConfig(N_samples=8, N_importance=0, netdepth=2, netwidth=32,
+                        multires=3, multires_views=2,
+                        opt_framecode=True, n_framecodes=3)
+    state = create_train_state(
+        init_raycaster(jax.random.PRNGKey(0), cfg), TrainConfig()
+    )
+    state.params["coarse"]["framecodes"] = jnp.asarray(
+        rng.standard_normal((3, 16)) * 3.0, jnp.float32
+    )
+    # lift density out of the ReLU dead zone so rays accumulate color
+    state.params["coarse"]["alpha_linear"]["b"] = (
+        state.params["coarse"]["alpha_linear"]["b"] + 2.0
+    )
+    H = W = 24
+    bones = rng.standard_normal((1, 24, 3)).astype(np.float32) * 0.2
+    l2ws = np.asarray(smpl_l2ws(jnp.asarray(bones)))
+    kps = l2ws[..., :3, 3]
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 2.5
+    rd = {
+        "hwf": (H, W, 30.0),
+        "imgs": rng.random((1, H, W, 3)).astype(np.float32),
+        "masks": np.ones((1, H, W, 1), np.float32),
+        "c2ws": c2w[None],
+        "focals": np.full((1,), 30.0, np.float32),
+        "kp3d": kps, "bones": bones,
+        "skts": np.asarray(invert_rigid(jnp.asarray(l2ws))),
+        "cyls": np.asarray(get_kp_bounding_cylinder(jnp.asarray(kps))),
+        "cam_idxs": np.asarray([7]),  # val view past the 3-row code table
+    }
+    m_oob, rgb_oob = evaluate_testset(cfg, state, rd, chunk=256)
+    assert np.isfinite(rgb_oob).all()
+    # identical to an explicit mean-code render, NOT to the clamped row 2
+    rd_last = dict(rd, cam_idxs=np.asarray([2]))
+    _, rgb_last = evaluate_testset(cfg, state, rd_last, chunk=256)
+    assert np.abs(rgb_oob - rgb_last).max() > 1e-5
