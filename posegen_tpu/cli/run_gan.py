@@ -44,6 +44,11 @@ def gan_parser() -> argparse.ArgumentParser:
     p.add_argument("--feedback_every", type=int, default=5)
     p.add_argument("--feedback_start_epoch", type=int, default=2)
     p.add_argument("--render_hw", type=int, default=512)
+    p.add_argument("--render_res", type=int, nargs="+", default=None,
+                   help="(H, W) alias for --render_hw (reference run_gan.py"
+                        ":91; square only here)")
+    p.add_argument("--white_bkgd", action="store_true",
+                   help="feedback renders on white (reference :97)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--train_spin_epochs", type=int, default=0)
     return p
@@ -78,8 +83,15 @@ def main(argv: Optional[Sequence[str]] = None):
     if args.nerf_args and args.ckptpath:
         from posegen_tpu.cli.run_render import load_trained
 
+        if args.render_res:
+            if len(set(args.render_res)) != 1:
+                raise SystemExit("--render_res: only square renders here; "
+                                 "use --render_hw")
+            args.render_hw = int(args.render_res[0])
         _, cfg, variables = load_trained(args.nerf_args, args.ckptpath)
-        renderer = NeRFRenderer(cfg, variables, hw=args.render_hw)
+        renderer = NeRFRenderer(
+            cfg, variables, hw=args.render_hw, white_bkgd=args.white_bkgd
+        )
 
         from posegen_tpu.gen.hmr import import_torch_hmr, init_hmr
 

@@ -81,12 +81,13 @@ class NeRFRenderer:
 
     def __init__(self, cfg: RaycastConfig, params: Dict[str, Any],
                  hw: int = 512, focal: float = 1000.0, pose_scale: float = 0.4,
-                 chunk: int = 8192):
+                 chunk: int = 8192, white_bkgd: bool = False):
         self.cfg = cfg
         self.params = params
         self.hw = hw
         self.focal = focal
         self.pose_scale = pose_scale
+        self.white_bkgd = white_bkgd  # reference run_gan --white_bkgd
         from posegen_tpu.parallel.mesh import auto_render_fn
 
         # multi-chip: the feedback renderer shards its 512^2 ray set over
@@ -116,7 +117,7 @@ class NeRFRenderer:
             out = render_image(
                 self.cfg, self.params, self.hw, self.hw, self.focal,
                 c2ws[k], ctx, chunk=self.chunk, render_fn=self._render_fn,
-                half_readback=True,
+                half_readback=True, white_bkgd=self.white_bkgd,
             )
             imgs.append(out["rgb"])
         return np.stack(imgs)

@@ -266,6 +266,7 @@ def test_gan_feedback_renderer_multichip(rng):
     single = NeRFRenderer.__new__(NeRFRenderer)
     single.cfg, single.params = cfg, params
     single.hw, single.focal, single.pose_scale, single.chunk = 24, 30.0, r.pose_scale, 256
+    single.white_bkgd = False
     single._render_fn = jax.jit(
         lambda p, o, d, c: render_rays(
             cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0, eval_mean_code=True
