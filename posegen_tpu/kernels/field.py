@@ -274,35 +274,48 @@ def encode_intermediates(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref,
     )
 
 
+def _kp_side(pts_ref, rot_ref, trn_ref, cut_ref, tau_ref, nf_kp: int,
+             sched_ref=None):
+    """kp-only encode -> (e_pts (pts_ch, P), w (24, P) cutoff gate)."""
+    x = pts_ref[0:1, :]
+    y = pts_ref[1:2, :]
+    z = pts_ref[2:3, :]
+    R = rot_ref[:, :]
+    t = trn_ref[:, :]
+    XT = R[:, 0][:, None] * x + R[:, 1][:, None] * y + R[:, 2][:, None] * z + t[:, 0][:, None]
+    YT = R[:, 3][:, None] * x + R[:, 4][:, None] * y + R[:, 5][:, None] * z + t[:, 1][:, None]
+    ZT = R[:, 6][:, None] * x + R[:, 7][:, None] * y + R[:, 8][:, None] * z + t[:, 2][:, None]
+    v = jnp.sqrt(XT * XT + YT * YT + ZT * ZT)
+    w = 1.0 - jax.nn.sigmoid(tau_ref[0, 0] * (v - cut_ref[:, :]))
+    inv_v = 1.0 / jnp.maximum(v, 1e-12)
+    rows = [v * w]
+    sv, cv = jnp.sin(v), jnp.cos(v)
+    for f_idx in range(nf_kp):
+        wf = w if sched_ref is None else w * sched_ref[0, f_idx]
+        rows.append(sv * wf)
+        rows.append(cv * wf)
+        if f_idx + 1 < nf_kp:
+            sv, cv = 2.0 * sv * cv, 1.0 - 2.0 * sv * sv
+    rows.extend([XT * inv_v, YT * inv_v, ZT * inv_v])
+    return jnp.concatenate(rows, axis=0), w
+
+
 def encode_channels(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref,
                     with_view: bool = True, nf_kp: int = NF_KP,
                     nf_view: int = NF_VIEW, sched_ref=None):
     """refs -> (e_pts (pts_ch,P), e_view (view_ch,P) or None).
 
     with_view=False skips the view-encoding ladder entirely (density-only
-    evaluation: the coarse eval pass and mesh probes never read rgb)."""
+    evaluation: the coarse eval pass and mesh probes never read rgb).
+
+    (A "stream the per-ray dn ladder from HBM" variant was measured a net
+    LOSS on-chip — the XLA-side broadcast materialization serializes ahead
+    of the kernel and the streamed input does not overlap; see RESULTS.md
+    "Streamed view ladder" negative result.)"""
     if not with_view:
-        x = pts_ref[0:1, :]
-        y = pts_ref[1:2, :]
-        z = pts_ref[2:3, :]
-        R = rot_ref[:, :]
-        t = trn_ref[:, :]
-        XT = R[:, 0][:, None] * x + R[:, 1][:, None] * y + R[:, 2][:, None] * z + t[:, 0][:, None]
-        YT = R[:, 3][:, None] * x + R[:, 4][:, None] * y + R[:, 5][:, None] * z + t[:, 1][:, None]
-        ZT = R[:, 6][:, None] * x + R[:, 7][:, None] * y + R[:, 8][:, None] * z + t[:, 2][:, None]
-        v = jnp.sqrt(XT * XT + YT * YT + ZT * ZT)
-        w = 1.0 - jax.nn.sigmoid(tau_ref[0, 0] * (v - cut_ref[:, :]))
-        inv_v = 1.0 / jnp.maximum(v, 1e-12)
-        rows = [v * w]
-        sv, cv = jnp.sin(v), jnp.cos(v)
-        for f_idx in range(nf_kp):
-            wf = w if sched_ref is None else w * sched_ref[0, f_idx]
-            rows.append(sv * wf)
-            rows.append(cv * wf)
-            if f_idx + 1 < nf_kp:
-                sv, cv = 2.0 * sv * cv, 1.0 - 2.0 * sv * sv
-        rows.extend([XT * inv_v, YT * inv_v, ZT * inv_v])
-        return jnp.concatenate(rows, axis=0), None
+        e_pts, _ = _kp_side(pts_ref, rot_ref, trn_ref, cut_ref, tau_ref,
+                            nf_kp, sched_ref=sched_ref)
+        return e_pts, None
     it = encode_intermediates(
         pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref,
         nf_kp=nf_kp, nf_view=nf_view, sched_ref=sched_ref,
@@ -629,6 +642,11 @@ def fused_run_net(
         sched_arr = jnp.ones((1, max(nf_kp + nf_view, 1)), jnp.float32)
     else:
         sched_arr = sched
+
+    from posegen_tpu.kernels import field_grad as _fg
+
+    stash = trainable and not input_grads and _fg.STASH_BWD
+
     if trainable:
         prepared = prepare_params(
             net_params, skips=skips, dtype=jnp.float32, code_ch=code_ch,
@@ -638,6 +656,9 @@ def fused_run_net(
             depth=cfg.netdepth, skips=skips, tile=tile, interpret=interpret,
             code_ch=code_ch, input_grads=input_grads,
             nf_kp=nf_kp, nf_view=nf_view, freq_sched=freq_sched,
+            # weights-only training streams stashed encodings through the
+            # backward instead of recomputing the in-kernel encode
+            stash=stash,
         )
         raw_t = f(pts_t, dirs, rot, trn, cut, tau, sched_arr, codes, prepared)
     else:

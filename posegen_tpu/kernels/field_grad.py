@@ -46,6 +46,19 @@ from posegen_tpu.kernels.field import (
 TRAIN_TILE = 256  # minimum training tile
 MAX_TRAIN_TILE = 1024
 
+# Stash the bf16 encodings (e_pts/e_view) in the forward kernel and STREAM
+# them back in the backward kernel instead of recomputing the encode there
+# (~2 KB/pt of pipelined HBM traffic replaces the backward's VPU encode).
+# Measured on-chip: ~2% faster on the grouped flagship step (19.6 vs
+# 20.0 ms at N_rand 3072 / 64 groups), neutral single-group — the encode
+# recompute largely hides behind the backward's matmuls, so the win is
+# modest; kept because gradients are bit-identical (every consumer of
+# e_pts/e_view is a matmul that casts to bf16 anyway) and the stash also
+# removes all transcendentals from the backward. Only the weights-only
+# path (input_grads=False) qualifies — the pose-opt backward needs the
+# full encode intermediates for its input cotangents.
+STASH_BWD = True
+
 
 def pick_train_tile(rpi: int, s: int, g: int):
     """-> (tile, padded rays-per-group) for the trainable kernels.
@@ -236,6 +249,118 @@ def _encode_backward(it, rot, tau, g_e_pts, g_e_view,
     return g_pts, g_dirs, g_rot, g_trn
 
 
+def _field_fwd_stash_kernel(
+    depth: int,
+    skips: Tuple[int, ...],
+    code_ch: int,
+    nf_kp: int,
+    nf_view: int,
+    freq_sched: bool,
+    pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref, sched_ref,
+    code_ref,
+    *refs,
+):
+    """Trainable forward that ALSO writes the bf16 encodings to HBM.
+
+    Trunk math is line-identical to field._field_kernel's non-density path
+    (deferred skip-concat, split view head, broadcast framecode), so the
+    primal output matches fused_field exactly; the extra (pc, P) / (vc, P)
+    bf16 output tiles feed the stashed backward."""
+    from posegen_tpu.kernels.field import encode_channels
+
+    n_w = 2 * depth + 8
+    wrefs = refs[:n_w]
+    out_ref, ep_ref, ev_ref = refs[n_w:]
+
+    e_pts, e_view = encode_channels(
+        pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref, tau_ref,
+        with_view=True, nf_kp=nf_kp, nf_view=nf_view,
+        sched_ref=sched_ref if freq_sched else None,
+    )
+    # stash dtype = the MXU operand dtype (bf16; f32 in tests' exactness
+    # mode) — every later consumer casts to it anyway
+    ep_ref[:, :] = e_pts.astype(ep_ref.dtype)
+    ev_ref[:, :] = e_view.astype(ev_ref.dtype)
+
+    h = e_pts
+    x0 = e_pts
+    pc = e_pts.shape[0]
+    h_split = False
+    for i in range(depth):
+        w = wrefs[2 * i]
+        if h_split:
+            acc = mm_t(w[:, :pc], x0) + mm_t(w[:, pc:], h)
+            h_split = False
+        else:
+            acc = mm_t(w[:, :], h)
+        h = jnp.maximum(acc + wrefs[2 * i + 1][:, :], 0.0)
+        if i in skips:
+            h_split = True
+    if h_split:
+        h = jnp.concatenate([x0, h], axis=0)
+    k = 2 * depth
+    alpha = mm_t(wrefs[k][:, :], h) + wrefs[k + 1][:, :]
+    feat = mm_t(wrefs[k + 2][:, :], h) + wrefs[k + 3][:, :]
+    wv = wrefs[k + 4]
+    vc = e_view.shape[0]
+    acc_v = mm_t(wv[:, :256], feat) + mm_t(wv[:, 256:256 + vc], e_view)
+    if code_ch > 0:
+        row = code_ref[pl.program_id(0)]
+        acc_v = acc_v + mm_t(wv[:, 256 + vc:], row[:, None])
+    hv = jnp.maximum(acc_v + wrefs[k + 5][:, :], 0.0)
+    rgb = mm_t(wrefs[k + 6][:, :], hv) + wrefs[k + 7][:, :]
+    out_ref[:, :] = jnp.concatenate([rgb, alpha], axis=0)
+
+
+def fused_field_stash(
+    pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params,
+    depth: int, skips: Tuple[int, ...], tile: int, code_ch: int,
+    nf_kp: int, nf_view: int, freq_sched: bool, interpret: bool = False,
+):
+    """-> (raw (4, NS) f32, e_pts (pc, NS), e_view (vc, NS)) with the
+    stashes in the MXU operand dtype (field.MM_DTYPE)."""
+    import posegen_tpu.kernels.field as _field
+    from posegen_tpu.kernels.field import pts_ch
+
+    sdtype = _field.MM_DTYPE
+    ns = pts_t.shape[1]
+    n_groups = rot.shape[0]
+    weights = _flatten_params(params, depth)
+    kernel = functools.partial(
+        _field_fwd_stash_kernel, depth, skips, code_ch,
+        nf_kp, nf_view, freq_sched,
+    )
+    grid, in_specs, out_spec, _ = grouped_specs(
+        ns, n_groups, tile, rot, trn, cut, sched, codes, weights
+    )
+    pc, vc = pts_ch(nf_kp), view_ch(nf_view)
+    tpg = ns // n_groups // tile
+    ch_spec = lambda c: pl.BlockSpec(
+        (c, tile), lambda g_, j: (0, g_ * tpg + j), memory_space=pltpu.VMEM
+    )
+    flops_per_pt = 2 * (
+        pc * 256 + 6 * 256 * 256 + (pc + 256) * 256 + 256 * 256 + 256
+        + (256 + vc + code_ch) * 128 + 3 * 128
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((4, ns), jnp.float32),
+            jax.ShapeDtypeStruct((pc, ns), sdtype),
+            jax.ShapeDtypeStruct((vc, ns), sdtype),
+        ],
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_spec, ch_spec(pc), ch_spec(vc)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pt * ns,
+            bytes_accessed=(3 + 3 + 4) * 4 * ns + (pc + vc) * 2 * ns + 2_000_000,
+            transcendentals=(24 * 3 + 72 * 2) * ns,
+        ),
+        interpret=interpret,
+    )(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, *weights)
+
+
 def _field_bwd_kernel(
     depth: int,
     skips: Tuple[int, ...],
@@ -244,6 +369,7 @@ def _field_bwd_kernel(
     nf_kp: int,
     nf_view: int,
     freq_sched: bool,
+    stash: bool,
     pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref, sched_ref,
     code_ref,
     *refs,
@@ -251,15 +377,25 @@ def _field_bwd_kernel(
     n_w = 2 * depth + 8
     wrefs = refs[:n_w]
     g_ref = refs[n_w]  # (4, P) output cotangent
+    if stash:
+        # stashed bf16 encodings streamed from HBM (overlapped with the MXU
+        # by the Pallas pipeline) — no VPU encode recompute. Consumers are
+        # all matmuls that cast to bf16, so gradients are bit-identical to
+        # the recompute path.
+        e_pts = refs[n_w + 1][:, :]
+        e_view = refs[n_w + 2][:, :]
+        outs = refs[n_w + 3:]
+    else:
+        outs = refs[n_w + 1:]
     # gradient refs: weights..., then [d_codes], then [d_pts, d_dirs, d_rot, d_trn]
-    outs = refs[n_w + 1:]
 
-    it = encode_intermediates(
-        pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref, tau_ref,
-        nf_kp=nf_kp, nf_view=nf_view,
-        sched_ref=sched_ref if freq_sched else None,
-    )
-    e_pts, e_view = it["e_pts"], it["e_view"]
+    if not stash:
+        it = encode_intermediates(
+            pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref, tau_ref,
+            nf_kp=nf_kp, nf_view=nf_view,
+            sched_ref=sched_ref if freq_sched else None,
+        )
+        e_pts, e_view = it["e_pts"], it["e_view"]
 
     # ---- forward recompute, keeping activations -----------------------------
     # Skip-concat is deferred exactly as in the eval kernel (field.py
@@ -424,6 +560,7 @@ def make_trainable_field(
     nf_kp: int = NF_KP,
     nf_view: int = NF_VIEW,
     freq_sched: bool = False,
+    stash: bool = False,
 ):
     """-> f(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params) with
     custom VJP.
@@ -434,7 +571,15 @@ def make_trainable_field(
     kernel additionally emits d_pts_t/d_dirs_t/d_rot/d_trn so pose-opt
     training (gradients into skts -> FK -> pose params, reference
     core/pose_opt.py:372-445) runs fused; otherwise those come back zero
-    (rays are data, skts fixed)."""
+    (rays are data, skts fixed).
+
+    stash=True (weights-only path): the forward writes the bf16 encodings
+    to HBM and the backward streams them back instead of recomputing the
+    in-kernel encode (see STASH_BWD)."""
+    if stash and input_grads:
+        raise ValueError("stash requires the weights-only backward "
+                         "(input_grads=False): the pose-opt input "
+                         "cotangents need the full encode intermediates")
 
     def fwd_only(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params):
         return fused_field(
@@ -449,23 +594,43 @@ def make_trainable_field(
         return fwd_only(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params)
 
     def f_fwd(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params):
+        if stash:
+            out, e_p, e_v = fused_field_stash(
+                pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params,
+                depth=depth, skips=skips, tile=tile, code_ch=code_ch,
+                nf_kp=nf_kp, nf_view=nf_view, freq_sched=freq_sched,
+                interpret=interpret,
+            )
+            return out, (pts_t, dirs_t, rot, trn, cut, tau, sched, codes,
+                         params, e_p, e_v)
         out = fwd_only(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params)
         return out, (pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params)
 
     def f_bwd(res, g):
-        pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params = res
+        if stash:
+            (pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params,
+             e_p, e_v) = res
+        else:
+            pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params = res
         ns = pts_t.shape[1]
         n_groups = rot.shape[0]
         weights = _flatten_params(params, depth)
 
         kernel = functools.partial(
             _field_bwd_kernel, depth, skips, code_ch, input_grads,
-            nf_kp, nf_view, freq_sched,
+            nf_kp, nf_view, freq_sched, stash,
         )
         grid, in_specs, g_spec, full = grouped_specs(
             ns, n_groups, tile, rot, trn, cut, sched, codes, weights
         )
         in_specs = in_specs + [g_spec]  # output cotangent tiles like points
+        if stash:
+            tpg_s = ns // n_groups // tile
+            ch_spec = lambda c: pl.BlockSpec(
+                (c, tile), lambda g_, j: (0, g_ * tpg_s + j),
+                memory_space=pltpu.VMEM,
+            )
+            in_specs = in_specs + [ch_spec(e_p.shape[0]), ch_spec(e_v.shape[0])]
         out_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
         out_specs = [full(w) for w in weights]
         if code_ch > 0:
@@ -496,6 +661,10 @@ def make_trainable_field(
             pc * 256 + 6 * 256 * 256 + (pc + 256) * 256 + 256 * 256
             + (256 + vc + code_ch) * 128
         )
+        operands = [pts_t, dirs_t, rot, trn, cut, tau, sched, codes,
+                    *weights, g]
+        if stash:
+            operands += [e_p, e_v]
         grads = pl.pallas_call(
             kernel,
             out_shape=out_shapes,
@@ -504,8 +673,10 @@ def make_trainable_field(
             out_specs=out_specs,
             cost_estimate=pl.CostEstimate(
                 flops=flops_per_pt * ns,
-                bytes_accessed=(3 + 3 + 4) * 4 * ns + 8_000_000,
-                transcendentals=(24 * 3 + 72 * 2) * ns,  # double-angle ladder
+                bytes_accessed=(3 + 3 + 4) * 4 * ns + 8_000_000
+                + ((pc + vc) * 2 * ns if stash else 0),
+                # stash streams the encodings instead of recomputing them
+                transcendentals=0 if stash else (24 * 3 + 72 * 2) * ns,
             ),
             # input_grads adds per-point cotangent buffers: the backward
             # kernel's stack is ~22 MB at tile 768, over mosaic's 16 MB
@@ -514,7 +685,7 @@ def make_trainable_field(
                 vmem_limit_bytes=48 * 1024 * 1024
             ),
             interpret=interpret,
-        )(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, *weights, g)
+        )(*operands)
 
         grads = list(grads)
         zeros = lambda a: jnp.zeros_like(a)

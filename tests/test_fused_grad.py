@@ -239,3 +239,68 @@ def test_fused_framecode_grads_with_input_grads(f32_matmuls):
     gx_s, gf_s = np.asarray(gx_skts), np.asarray(gf_skts)
     scale = max(np.abs(gx_s).max(), 1e-3)
     assert np.abs(gf_s - gx_s).max() / scale < 1e-4
+
+
+@pytest.mark.slow
+def test_stash_backward_matches_recompute():
+    """The stashed-encode backward (STASH_BWD: forward writes bf16
+    encodings, backward streams them instead of recomputing the VPU
+    encode) returns the same gradients as the recompute backward — every
+    consumer of e_pts/e_view is a matmul that casts to the stash dtype
+    anyway. Covers the flagship single-group shape and a grouped +
+    framecode batch."""
+    import posegen_tpu.kernels.field_grad as fg
+    from posegen_tpu.render.raycast import PoseCtx, init_raycaster
+    from posegen_tpu.utils.fixtures import make_pose_ctx, make_rays
+
+    def grads(cfg, params, ctx, pts, rd, wgt, stash):
+        old = fg.STASH_BWD
+        fg.STASH_BWD = stash
+        try:
+            def loss(net):
+                raw = fused_run_net(
+                    cfg, net, params["embed_kp"], pts, rd, ctx,
+                    interpret=True, trainable=True,
+                )
+                return jnp.sum(raw * wgt)
+
+            return jax.grad(loss)(params["coarse"])
+        finally:
+            fg.STASH_BWD = old
+
+    def check(cfg, params, ctx, pts, rd, wgt):
+        g_re = grads(cfg, params, ctx, pts, rd, wgt, stash=False)
+        g_st = grads(cfg, params, ctx, pts, rd, wgt, stash=True)
+        flat_re = jax.tree_util.tree_flatten_with_path(g_re)[0]
+        flat_st = dict(jax.tree_util.tree_flatten_with_path(g_st)[0])
+        for path, gr in flat_re:
+            gs = np.asarray(flat_st[path])
+            gr = np.asarray(gr)
+            scale = max(np.abs(gr).max(), 1e-3)
+            err = np.abs(gs - gr).max() / scale
+            assert err < 1e-6, f"{jax.tree_util.keystr(path)}: rel err {err}"
+
+    # flagship single-group
+    cfg, params, ctx, ro, rd = make_problem(CFG, n_rays=8)
+    z = jnp.sort(
+        jax.random.uniform(jax.random.PRNGKey(0), (8, 6), minval=0.5, maxval=2.0), -1
+    )
+    pts = ro[:, None] + rd[:, None] * z[..., None]
+    wgt = jax.random.normal(jax.random.PRNGKey(7), (8, 6, 4))
+    check(cfg, params, ctx, pts, rd, wgt)
+
+    # grouped batch + framecodes (weights-only: input_grads stays False)
+    cfg2 = RaycastConfig(opt_framecode=True, n_framecodes=4)
+    params2 = init_raycaster(jax.random.PRNGKey(0), cfg2)
+    base = make_pose_ctx(seed=0, n_poses=2)
+    ctx2 = PoseCtx(
+        kps=base.kps, skts=base.skts, bones=base.bones, cyls=base.cyls,
+        cam_idxs=jnp.asarray([[0], [2]], dtype=jnp.int32),
+    )
+    ro2, rd2 = make_rays(8, seed=1)
+    z2 = jnp.sort(
+        jax.random.uniform(jax.random.PRNGKey(5), (8, 64), minval=0.5, maxval=2.0), -1
+    )
+    pts2 = ro2[:, None] + rd2[:, None] * z2[..., None]
+    wgt2 = jax.random.normal(jax.random.PRNGKey(11), (8, 64, 4))
+    check(cfg2, params2, ctx2, pts2, rd2, wgt2)

@@ -32,12 +32,17 @@ def main() -> None:
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--xla", action="store_true", help="force the XLA autodiff path")
     p.add_argument("--tile", type=int, default=0, help="override TRAIN tile choice")
+    p.add_argument("--no_stash", action="store_true",
+                   help="A/B: disable the stashed-encode backward (STASH_BWD)")
     args = p.parse_args()
 
     import jax
     import numpy as np
 
     import posegen_tpu.kernels.field_grad as fg
+
+    if args.no_stash:
+        fg.STASH_BWD = False
 
     if args.tile:
         # pin the adaptive tile chooser for sweeps
@@ -115,7 +120,7 @@ def main() -> None:
     print(
         f"backend={jax.default_backend()} n_rand={args.n_rand} "
         f"groups={args.groups} opt_pose={args.opt_pose} xla={args.xla} "
-        f"tile={args.tile or 'auto'}"
+        f"tile={args.tile or 'auto'} stash={fg.STASH_BWD}"
     )
     print(
         f"step: {dt * 1e3:.1f} ms  ({args.n_rand / dt / 1e3:.1f}k rays/s)  "
