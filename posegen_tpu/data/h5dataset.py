@@ -463,7 +463,7 @@ class H5RayDataset:
     def sample_image(self, img_idx: int) -> Dict[str, np.ndarray]:
         """Sample rays/targets from one image -> dict of (n_rays, ...).
 
-        Uses the native C++ sampler (csrc/host_sampler.cpp) for the common
+        Uses the native C++ sampler (posegen_tpu/csrc/host_sampler.cpp) for the common
         configuration; falls back to the numpy path for patch/box sampling
         and principal-point offsets.
         """

@@ -1,9 +1,11 @@
-"""ctypes bindings for the native host sampler (csrc/host_sampler.cpp).
+"""ctypes bindings for the native host sampler (posegen_tpu/csrc/host_sampler.cpp).
 
 The C++ library does the data loader's hot per-image loop (mask scan, pixel
 draw, ray construction + pixel gather) in one pass. Loading is lazy and
-optional: `get_lib()` returns None when the .so hasn't been built (run
-csrc/build.sh), and callers fall back to the numpy path.
+optional: `get_lib()` auto-compiles the packaged source with g++ on first
+use (into posegen_tpu/lib/, or ~/.cache/posegen_tpu when the install is
+read-only) and returns None when no compiler is available, in which case
+callers fall back to the numpy path.
 """
 
 from __future__ import annotations
@@ -15,7 +17,14 @@ from typing import Dict, Optional
 
 import numpy as np
 
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "lib", "libposegen_host.so")
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC_PATH = os.path.join(_PKG_DIR, "csrc", "host_sampler.cpp")
+_LIB_PATH = os.path.join(_PKG_DIR, "lib", "libposegen_host.so")
+_CACHE_LIB_PATH = os.path.join(
+    os.path.expanduser(os.environ.get("XDG_CACHE_HOME", "~/.cache")),
+    "posegen_tpu",
+    "libposegen_host.so",
+)
 _lib: Optional[ctypes.CDLL] = None
 _load_attempted = False
 
@@ -24,14 +33,32 @@ _U8P = ctypes.POINTER(ctypes.c_uint8)
 _F32P = ctypes.POINTER(ctypes.c_float)
 
 
-def build_lib() -> bool:
-    """Compile the library in-tree (g++); True on success."""
-    script = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "build.sh")
+def _compile(out_path: str) -> bool:
     try:
-        subprocess.run(["sh", script], check=True, capture_output=True)
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC_PATH, "-o", out_path],
+            check=True, capture_output=True,
+        )
         return True
     except Exception:
         return False
+
+
+def build_lib() -> Optional[str]:
+    """Compile the packaged source with g++; returns the .so path on success.
+
+    Prefers the in-package lib/ dir (repo checkouts, editable installs);
+    falls back to the user cache dir when the package dir is not writable
+    (system wheel installs).
+    """
+    if not os.path.exists(_SRC_PATH):
+        return None
+    for path in (_LIB_PATH, _CACHE_LIB_PATH):
+        if _compile(path):
+            return path
+    return None
 
 
 def get_lib(auto_build: bool = True) -> Optional[ctypes.CDLL]:
@@ -41,11 +68,14 @@ def get_lib(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     if _load_attempted:
         return None
     _load_attempted = True
-    if not os.path.exists(_LIB_PATH) and auto_build:
-        build_lib()
-    if not os.path.exists(_LIB_PATH):
+    lib_path = next(
+        (p for p in (_LIB_PATH, _CACHE_LIB_PATH) if os.path.exists(p)), None
+    )
+    if lib_path is None and auto_build:
+        lib_path = build_lib()
+    if lib_path is None:
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    lib = ctypes.CDLL(lib_path)
     lib.pg_sample_pixels.restype = ctypes.c_int64
     lib.pg_sample_pixels.argtypes = [
         _U8P, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, _I64P, _I64P,
