@@ -26,7 +26,7 @@ pipeline in render/raycast.py.
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -300,22 +300,81 @@ def _kp_side(pts_ref, rot_ref, trn_ref, cut_ref, tau_ref, nf_kp: int,
     return jnp.concatenate(rows, axis=0), w
 
 
+def _view_ladder_rows(dirs_ref, rot_ref, nf_view: int, nf_kp: int,
+                      sched_ref=None):
+    """UNGATED view ladder on per-RAY dirs -> (view_ch, R).
+
+    Row order matches encode_intermediates' e_view exactly:
+    [dnx | dny | dnz | per octave: sin_x sin_y sin_z cos_x cos_y cos_z],
+    each block 24 joints wide, with the BARF octave weight folded in (the
+    per-point cutoff gate w is applied by the caller after expansion)."""
+    dx = dirs_ref[0:1, :]
+    dy = dirs_ref[1:2, :]
+    dz = dirs_ref[2:3, :]
+    R = rot_ref[:, :]
+    DX = R[:, 0][:, None] * dx + R[:, 1][:, None] * dy + R[:, 2][:, None] * dz
+    DY = R[:, 3][:, None] * dx + R[:, 4][:, None] * dy + R[:, 5][:, None] * dz
+    DZ = R[:, 6][:, None] * dx + R[:, 7][:, None] * dy + R[:, 8][:, None] * dz
+    dn_inv = jax.lax.rsqrt(jnp.maximum(DX * DX + DY * DY + DZ * DZ, 1e-24))
+    dnx, dny, dnz = DX * dn_inv, DY * dn_inv, DZ * dn_inv
+    vrows = [dnx, dny, dnz]
+    sc = [(jnp.sin(q), jnp.cos(q)) for q in (dnx, dny, dnz)]
+    for f_idx in range(nf_view):
+        sw = 1.0 if sched_ref is None else sched_ref[0, nf_kp + f_idx]
+        for sq, _ in sc:
+            vrows.append(sq if sched_ref is None else sq * sw)
+        for _, cq in sc:
+            vrows.append(cq if sched_ref is None else cq * sw)
+        if f_idx + 1 < nf_view:
+            sc = [(2.0 * sq * cq, 1.0 - 2.0 * sq * sq) for sq, cq in sc]
+    return jnp.concatenate(vrows, axis=0)  # (view_ch, R)
+
+
 def encode_channels(pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref,
                     with_view: bool = True, nf_kp: int = NF_KP,
-                    nf_view: int = NF_VIEW, sched_ref=None):
+                    nf_view: int = NF_VIEW, sched_ref=None, ray_s: int = 0,
+                    exp_ref=None):
     """refs -> (e_pts (pts_ch,P), e_view (view_ch,P) or None).
 
     with_view=False skips the view-encoding ladder entirely (density-only
     evaluation: the coarse eval pass and mesh probes never read rgb).
 
+    ray_s > 0 (per-ray view ladder): dirs_ref is (3, 128) — this tile's
+    P / ray_s unique ray dirs padded to one 128-lane block (Mosaic requires
+    last block dims divisible by 128). The view transforms + sin/cos
+    ladders — which depend only on the ray, not the sample position — run
+    once per RAY instead of once per point, then a one-hot (128, P) MXU
+    matmul expands them to point columns (zero rows for the pad lanes)
+    before the per-point cutoff gate. This is the VPU work the roofline
+    analysis (RESULTS.md) showed serialized against the MXU; cutting it
+    1/ray_s is what lifts the fine pass past the previous ~670k rays/s
+    ceiling.
+
     (A "stream the per-ray dn ladder from HBM" variant was measured a net
     LOSS on-chip — the XLA-side broadcast materialization serializes ahead
     of the kernel and the streamed input does not overlap; see RESULTS.md
-    "Streamed view ladder" negative result.)"""
+    "Streamed view ladder" negative result. The in-kernel per-ray ladder
+    avoids both: nothing extra crosses HBM.)"""
     if not with_view:
         e_pts, _ = _kp_side(pts_ref, rot_ref, trn_ref, cut_ref, tau_ref,
                             nf_kp, sched_ref=sched_ref)
         return e_pts, None
+    if ray_s > 0:
+        e_pts, w = _kp_side(pts_ref, rot_ref, trn_ref, cut_ref, tau_ref,
+                            nf_kp, sched_ref=sched_ref)
+        vlad = _view_ladder_rows(dirs_ref, rot_ref, nf_view, nf_kp,
+                                 sched_ref=sched_ref)  # (view_ch, 128)
+        # one-hot expansion E[r, p] = (p // ray_s == r), passed in as a tiny
+        # constant operand (exp_ref); rides the MXU at MM_DTYPE — in bf16
+        # each output column copies one bf16-rounded ladder value, the same
+        # rounding the view-head matmul applies anyway. (Building E
+        # in-kernel from broadcasted_iota hangs the Mosaic compile on this
+        # stack whenever an iota-derived value feeds a dot_general —
+        # bisected 2026-08-18.)
+        vexp = mm_t(vlad, exp_ref[:, :])  # (view_ch, P)
+        n_blocks = vexp.shape[0] // N_JOINTS
+        w_full = jnp.concatenate([w] * n_blocks, axis=0)
+        return e_pts, vexp * w_full
     it = encode_intermediates(
         pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref,
         nf_kp=nf_kp, nf_view=nf_view, sched_ref=sched_ref,
@@ -345,23 +404,28 @@ def _field_kernel(
     nf_kp: int,
     nf_view: int,
     freq_sched: bool,
+    ray_s: int,
     pts_ref,  # (3, P) f32
-    dirs_ref,  # (3, P) f32
+    dirs_ref,  # (3, P) f32; (3, 128) padded per-ray dirs when ray_s > 0
     rot_ref,  # (1, 24, 9) f32   this group's skts rotations
     trn_ref,  # (1, 24, 3) f32
     cut_ref,  # (24, 1) f32
     tau_ref,  # (1, 1) f32 SMEM
     sched_ref,  # (1, nf_kp + nf_view) f32 SMEM BARF octave weights
     code_ref,  # (1, max(code_ch, 1)) f32 per-group framecode
-    *refs,  # weights..., out_ref
+    *refs,  # [exp_ref (128, P) one-hot when ray_s>0], weights..., out_ref
 ):
     out_ref = refs[-1]
-    wrefs = refs[:-1]
+    if ray_s > 0:
+        exp_ref, wrefs = refs[0], refs[1:-1]
+    else:
+        exp_ref, wrefs = None, refs[:-1]
 
     e_pts, e_view = encode_channels(
         pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref, tau_ref,
         with_view=not density_only, nf_kp=nf_kp, nf_view=nf_view,
-        sched_ref=sched_ref if freq_sched else None,
+        sched_ref=sched_ref if freq_sched else None, ray_s=ray_s,
+        exp_ref=exp_ref,
     )
     P = e_pts.shape[1]
 
@@ -432,22 +496,30 @@ def flatten_weights(params: FusedFieldParams, depth: int):
 
 
 def grouped_specs(ns: int, n_groups: int, tile: int, rot, trn, cut, sched,
-                  codes, weights):
+                  codes, weights, ray_s: int = 0):
     """Grid + BlockSpecs shared by the forward and backward field kernels.
 
     Points are grouped by pose: grid (n_groups, tiles_per_group); each grid
-    step sees one (3, tile) point block and ITS group's skts row."""
+    step sees one (3, tile) point block and ITS group's skts row.
+
+    ray_s > 0: the dirs operand is per-RAY, laid out as one 128-lane block
+    per tile — (3, n_tiles * 128), each tile's tile / ray_s real dirs in
+    lanes [0, tile / ray_s) — and a constant (128, tile) one-hot expansion
+    operand follows the framecode rows (same block every grid step)."""
     tpg = ns // n_groups // tile  # tiles per group
     grid = (n_groups, tpg)
     pt_spec = lambda: pl.BlockSpec(
         (3, tile), lambda g, j: (0, g * tpg + j), memory_space=pltpu.VMEM
+    )
+    dir_spec = pt_spec() if ray_s == 0 else pl.BlockSpec(
+        (3, 128), lambda g, j: (0, g * tpg + j), memory_space=pltpu.VMEM,
     )
     full = lambda a: pl.BlockSpec(
         a.shape, lambda g, j: tuple(0 for _ in a.shape), memory_space=pltpu.VMEM
     )
     in_specs = [
         pt_spec(),
-        pt_spec(),
+        dir_spec,
         pl.BlockSpec((1, 24, 9), lambda g, j: (g, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 24, 3), lambda g, j: (g, 0, 0), memory_space=pltpu.VMEM),
         full(cut),
@@ -456,7 +528,14 @@ def grouped_specs(ns: int, n_groups: int, tile: int, rot, trn, cut, sched,
             sched.shape, lambda g, j: (0, 0), memory_space=pltpu.SMEM
         ),  # BARF octave weights (scalars)
         full(codes),  # all framecode rows (tiny); kernel indexes its group
-    ] + [full(w) for w in weights]
+    ]
+    if ray_s > 0:
+        in_specs.append(
+            pl.BlockSpec(
+                (128, tile), lambda g, j: (0, 0), memory_space=pltpu.VMEM,
+            )
+        )
+    in_specs += [full(w) for w in weights]
     out_spec = pl.BlockSpec(
         (4, tile), lambda g, j: (0, g * tpg + j), memory_space=pltpu.VMEM
     )
@@ -466,11 +545,13 @@ def grouped_specs(ns: int, n_groups: int, tile: int, rot, trn, cut, sched,
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "skips", "interpret", "tile", "code_ch",
-                     "density_only", "nf_kp", "nf_view", "freq_sched"),
+                     "density_only", "nf_kp", "nf_view", "freq_sched",
+                     "ray_s", "mm_dtype"),
 )
-def fused_field(
+def _fused_field_impl(
     pts_t: jax.Array,  # (3, NS) f32; NS % (n_groups * tile) == 0,
     dirs_t: jax.Array,  # (3, NS)    points contiguous per pose group
+    #                     (3, (NS / tile) * 128) per-ray dirs when ray_s > 0
     rot: jax.Array,  # (G, 24, 9)
     trn: jax.Array,  # (G, 24, 3)
     cut: jax.Array,  # (24, 1)
@@ -487,24 +568,48 @@ def fused_field(
     nf_view: int = NF_VIEW,
     freq_sched: bool = False,
     sched: jax.Array = None,  # (1, nf_kp + nf_view) BARF octave weights
+    ray_s: int = 0,  # samples per ray (per-ray view ladder); 0 = per-point
+    mm_dtype=None,  # jit-cache key only; the kernel reads module MM_DTYPE
 ) -> jax.Array:
     """-> raw_t (4, NS) [r, g, b, sigma] (rgb rows zero when density_only)."""
     ns = pts_t.shape[1]
+    if ray_s > 0 and (tile % ray_s != 0 or tile // ray_s > 128):
+        raise ValueError(
+            f"ray_s ({ray_s}) needs tile ({tile}) divisible by it with at "
+            "most 128 rays per tile (one lane block)"
+        )
+    if ray_s > 0 and density_only:
+        raise ValueError("ray_s applies to the view ladder; density_only "
+                         "has no view pass — pass ray_s=0")
     if sched is None:
         sched = jnp.ones((1, max(nf_kp + nf_view, 1)), jnp.float32)
     weights = flatten_weights(params, depth)
     kernel = functools.partial(
         _field_kernel, depth, skips, code_ch, density_only,
-        nf_kp, nf_view, freq_sched,
+        nf_kp, nf_view, freq_sched, ray_s,
     )
     grid, in_specs, out_spec, _ = grouped_specs(
-        ns, rot.shape[0], tile, rot, trn, cut, sched, codes, weights
+        ns, rot.shape[0], tile, rot, trn, cut, sched, codes, weights,
+        ray_s=ray_s,
     )
     pc, vc = pts_ch(nf_kp), view_ch(nf_view)
     flops_per_pt = 2 * (
         pc * 256 + 6 * 256 * 256 + (pc + 256) * 256 + 256 * 256 + 256
         + (256 + vc + code_ch) * 128 + 3 * 128
     )
+    view_pts = ns if ray_s == 0 else ns // ray_s
+    operands = [pts_t, dirs_t, rot, trn, cut, tau, sched, codes]
+    if ray_s > 0:
+        # one-hot expansion E[r, p] = (p // ray_s == r) for ONE tile — the
+        # block structure repeats, so every grid step reads the same block;
+        # rows past tile // ray_s stay zero (the dirs pad lanes). Built
+        # host-side because iota-fed dot_general hangs the Mosaic compile
+        # on this stack.
+        exp = np.zeros((128, tile), np.float32)
+        exp[: tile // ray_s] = np.repeat(
+            np.eye(tile // ray_s, dtype=np.float32), ray_s, axis=1
+        )
+        operands.append(jnp.asarray(exp))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((4, ns), jnp.float32),
@@ -514,10 +619,19 @@ def fused_field(
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pt * ns,
             bytes_accessed=(3 + 3 + 4) * 4 * ns + 2_000_000,
-            transcendentals=(24 * 3 + 72 * 2) * ns,  # double-angle ladder
+            transcendentals=24 * 3 * ns + 72 * 2 * view_pts,
         ),
         interpret=interpret,
-    )(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, *weights)
+    )(*operands, *weights)
+
+
+def fused_field(*args, **kwargs):
+    """jit'd fused field kernel; the current MM_DTYPE (tests override it to
+    f32 for exactness checks) is folded into the jit cache key so same-shape
+    calls under different matmul dtypes never reuse each other's
+    executables (the kernel body reads the module global at trace time)."""
+    kwargs.setdefault("mm_dtype", MM_DTYPE)
+    return _fused_field_impl(*args, **kwargs)
 
 
 def fused_run_net(
@@ -534,6 +648,7 @@ def fused_run_net(
     input_grads: bool = False,
     density_only: bool = False,
     view_embed_state: Dict = None,  # for the view ladder's BARF alpha
+    ray_ladder: Optional[bool] = None,  # None = auto (eval, G==1, S>=2)
 ) -> jax.Array:
     """Drop-in replacement for raycast._run_net on the supported subset.
 
@@ -561,6 +676,26 @@ def fused_run_net(
         tile, rpi_p = pick_train_tile(rpi, S, G)
     else:
         tile, rpi_p = POINT_TILE, rpi
+        # per-ray view ladder (see encode_channels ray_s): needs the view
+        # pass, one pose group (the fused eval contract), >=2 samples/ray,
+        # and a lane-aligned tile that whole rays divide
+        if ray_ladder is None:
+            # default OFF: standalone the per-ray ladder measured -5.3% on
+            # chip (expansion matmul + the S-divisible 1920 tile cost more
+            # than the saved VPU ladder; RESULTS.md "In-kernel per-ray view
+            # ladder"). The machinery stays for the stash-eval fine pass,
+            # where the kernel has no per-point encode to amortize against.
+            ray_ladder = False
+        if ray_ladder and (density_only or G > 1 or S < 2):
+            ray_ladder = False
+        if ray_ladder:
+            base = S * 128 // np.gcd(S, 128)  # lcm(S, 128)
+            # cap at 128 rays per tile: each tile's dirs live in ONE
+            # 128-lane block (Mosaic block-shape divisibility)
+            if base <= min(2048, 128 * S):
+                tile = min((2048 // base) * base, 128 * S)
+            else:
+                ray_ladder = False
         if G > 1 and (ns // G) % tile != 0:
             # eval tiles don't pad groups; fall back to a group-divisible
             # tile (the eval kernel's per-step overhead is small)
@@ -588,11 +723,27 @@ def fused_run_net(
     ns_run = n_run * S
     pad = (-ns_run) % tile if G == 1 else 0
 
+    use_ray_ladder = bool(ray_ladder) and not trainable
     pts_t = pts.reshape(ns_run, 3).T
-    dirs = jnp.broadcast_to(rays_d[:, None], (n_run, S, 3)).reshape(ns_run, 3).T
     if pad:
         pts_t = jnp.pad(pts_t, ((0, 0), (0, pad)), constant_values=1.0)
-        dirs = jnp.pad(dirs, ((0, 0), (0, pad)), constant_values=1.0)
+    if use_ray_ladder:
+        # per-tile 128-lane ray-dir blocks (see fused_field ray_s): tile
+        # covers tpr whole rays; lanes [tpr, 128) are pad (expansion rows
+        # zero there, so their ladder values never reach a point column)
+        tpr = tile // S
+        rd_p = rays_d
+        if pad:
+            rd_p = jnp.pad(rays_d, ((0, pad // S), (0, 0)), constant_values=1.0)
+        n_tiles = (ns_run + pad) // tile
+        dirs = jnp.pad(
+            rd_p.reshape(n_tiles, tpr, 3),
+            ((0, 0), (0, 128 - tpr), (0, 0)), constant_values=1.0,
+        ).reshape(n_tiles * 128, 3).T
+    else:
+        dirs = jnp.broadcast_to(rays_d[:, None], (n_run, S, 3)).reshape(ns_run, 3).T
+        if pad:
+            dirs = jnp.pad(dirs, ((0, 0), (0, pad)), constant_values=1.0)
 
     rot = ctx.skts[:, :, :3, :3].reshape(G, 24, 9)
     trn = ctx.skts[:, :, :3, 3].reshape(G, 24, 3)
@@ -673,7 +824,8 @@ def fused_run_net(
             interpret=interpret, code_ch=code_ch,
             density_only=density_only,
             nf_kp=nf_kp, nf_view=nf_view, freq_sched=freq_sched,
-            sched=sched_arr,
+            sched=sched_arr, tile=tile,
+            ray_s=S if use_ray_ladder else 0,
         )
     if pad:
         raw_t = raw_t[:, :ns_run]

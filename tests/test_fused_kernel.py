@@ -354,3 +354,45 @@ def test_fused_mean_code_matches_xla():
     err = float(jnp.abs(raw_k - raw_ref).max())
     scale = max(float(jnp.abs(raw_ref).max()), 1.0)
     assert err < 0.02 * scale, err
+
+
+def test_ray_ladder_matches_per_point():
+    """Per-ray view ladder == per-point encode. f32 matmuls for exactness:
+    the expansion matmul rides MM_DTYPE, so in bf16 the ladder values reach
+    the gate bf16-rounded (the same rounding the view head applies)."""
+    import posegen_tpu.kernels.field as field
+
+    orig = field.MM_DTYPE
+    field.MM_DTYPE = jnp.float32
+    try:
+        _check_ray_ladder()
+    finally:
+        field.MM_DTYPE = orig
+
+
+def _check_ray_ladder():
+    for cfg_kw, tol in (({}, 1e-6), (dict(freq_schedule=True, init_freq=0.0), 1e-5)):
+        cfg, params, ctx, ro, rd = make_problem(
+            RaycastConfig(N_samples=8, N_importance=4, **cfg_kw), n_rays=16
+        )
+        if cfg_kw:
+            params = dict(params)
+            params["embed_kp"] = {**params["embed_kp"], "alpha": jnp.asarray(2.3)}
+            params["embed_view"] = {**params["embed_view"], "alpha": jnp.asarray(1.7)}
+        z = jnp.sort(
+            jax.random.uniform(jax.random.PRNGKey(5), (16, 8), minval=0.5, maxval=2.0),
+            axis=-1,
+        )
+        pts = ro[:, None] + rd[:, None] * z[..., None]
+        kw = dict(interpret=True, view_embed_state=params.get("embed_view"))
+        raw_pp = fused_run_net(
+            cfg, params["coarse"], params["embed_kp"], pts, rd, ctx,
+            ray_ladder=False, **kw,
+        )
+        raw_rl = fused_run_net(
+            cfg, params["coarse"], params["embed_kp"], pts, rd, ctx,
+            ray_ladder=True, **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(raw_rl), np.asarray(raw_pp), rtol=tol, atol=tol
+        )
