@@ -115,6 +115,26 @@ def supports_fused(cfg, ctx, net_params: Dict) -> bool:
     )
 
 
+def ray_tile(S: int) -> Optional[int]:
+    """Largest point tile <= 2048 that holds WHOLE rays of S samples, at
+    most 128 of them (one 128-lane dirs block per tile), lane-aligned.
+    None when S admits no such tile (odd S > 16, say)."""
+    base = S * 128 // np.gcd(S, 128)  # lcm(S, 128)
+    if base > min(2048, 128 * S):
+        return None
+    return min((2048 // base) * base, 128 * S)
+
+
+def supports_dual_eval(cfg, ctx, net_params: Dict) -> bool:
+    """Whether the dual-net coarse pass applies: fused eval support and a
+    two-pass render (N_importance > 0 with a separate fine net)."""
+    return (
+        supports_fused(cfg, ctx, net_params)
+        and cfg.N_importance > 0
+        and not cfg.single_net
+    )
+
+
 def _pts_row_perm(nf_kp: int = NF_KP) -> np.ndarray:
     """Joint-major interleaved reldir rows -> component-major blocks.
 
@@ -427,8 +447,21 @@ def _field_kernel(
         sched_ref=sched_ref if freq_sched else None, ray_s=ray_s,
         exp_ref=exp_ref,
     )
-    P = e_pts.shape[1]
+    out_ref[:, :] = _mlp_heads(
+        wrefs, e_pts, e_view, code_ref, depth, skips, code_ch, density_only
+    )
 
+
+def _mlp_heads(wrefs, e_pts, e_view, code_ref, depth: int,
+               skips: Tuple[int, ...], code_ch: int, density_only: bool):
+    """Trunk + heads on prebuilt encodings -> (4, P) raw rows.
+
+    The single in-kernel MLP implementation: _field_kernel (per-point
+    encode) and the stash-eval kernel (encodings streamed from HBM) both
+    call it, so their traced matmul sequence is identical. e_pts/e_view may
+    arrive in the stash dtype (bf16) — every consumer is an mm_t that casts
+    to MM_DTYPE anyway, so results match the f32-encode path exactly."""
+    P = e_pts.shape[1]
     h = e_pts
     x0 = e_pts
     pc = e_pts.shape[0]
@@ -456,10 +489,7 @@ def _field_kernel(
     if density_only:
         # the rgb rows are never read by the caller (importance weights /
         # acc / disp depend on sigma only); skip the whole view branch
-        out_ref[:, :] = jnp.concatenate(
-            [jnp.zeros((3, P), jnp.float32), alpha], axis=0
-        )
-        return
+        return jnp.concatenate([jnp.zeros((3, P), jnp.float32), alpha], axis=0)
     feat = mm_t(wrefs[k + 2][:, :], h) + wrefs[k + 3][:, :]  # (256, P)
     # view head: the [feat | e_view | code] concat is never materialized —
     # each segment gets its own matmul against its weight-column slice
@@ -476,8 +506,7 @@ def _field_kernel(
         acc_v = acc_v + mm_t(wv[:, 256 + vc:], row[:, None])
     hv = jnp.maximum(acc_v + wrefs[k + 5][:, :], 0.0)  # (128, P)
     rgb = mm_t(wrefs[k + 6][:, :], hv) + wrefs[k + 7][:, :]  # (3, P)
-
-    out_ref[:, :] = jnp.concatenate([rgb, alpha], axis=0)  # (4, P)
+    return jnp.concatenate([rgb, alpha], axis=0)  # (4, P)
 
 
 def flatten_weights(params: FusedFieldParams, depth: int):
@@ -634,6 +663,144 @@ def fused_field(*args, **kwargs):
     return _fused_field_impl(*args, **kwargs)
 
 
+# ---------------------------------------------------------------------------
+# Dual-net eval: the coarse pass evaluates BOTH nets on its sample set in
+# one kernel — encode once in VMEM, run the coarse trunk (density for
+# importance sampling) AND the fine net (raw for the final composite). The
+# fine pass then only encodes the N_importance fresh samples and the raws
+# merge by z (co-sort). This removes the duplicate encode of the N_samples
+# the two passes share — the dominant fine-kernel cost (RESULTS.md
+# roofline) — with NO extra HBM traffic. (The stash-to-HBM variant was
+# built first and measured: the write is free but the stream-back costs
+# ~4 ms at the bench shape because input streams don't overlap compute on
+# this Mosaic version — RESULTS.md "Stash-eval".) Valid because the encode
+# depends only on the points and embed state, never on the net.
+# ---------------------------------------------------------------------------
+
+
+def _dual_kernel(
+    depth: int,
+    skips: Tuple[int, ...],
+    code_ch: int,
+    nf_kp: int,
+    nf_view: int,
+    freq_sched: bool,
+    pts_ref, dirs_ref, rot_ref, trn_ref, cut_ref, tau_ref, sched_ref,
+    code_ref,
+    *refs,  # coarse weights..., fine weights..., out_c_ref, out_f_ref
+):
+    """One encode, two nets: coarse density + fine full raw."""
+    n_w = 2 * depth + 8
+    wrefs_c = refs[:n_w]
+    wrefs_f = refs[n_w:2 * n_w]
+    out_c_ref, out_f_ref = refs[2 * n_w:]
+    e_pts, e_view = encode_channels(
+        pts_ref, dirs_ref, rot_ref[0], trn_ref[0], cut_ref, tau_ref,
+        with_view=True, nf_kp=nf_kp, nf_view=nf_view,
+        sched_ref=sched_ref if freq_sched else None,
+    )
+    out_c_ref[:, :] = _mlp_heads(wrefs_c, e_pts, None, code_ref, depth,
+                                 skips, 0, True)
+    out_f_ref[:, :] = _mlp_heads(wrefs_f, e_pts, e_view, code_ref, depth,
+                                 skips, code_ch, False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "skips", "interpret", "tile", "code_ch",
+                     "nf_kp", "nf_view", "freq_sched", "mm_dtype"),
+)
+def _fused_dual_impl(
+    pts_t, dirs_t, rot, trn, cut, tau, codes, params_c, params_f,
+    depth: int = 8,
+    skips: Tuple[int, ...] = (4,),
+    interpret: bool = False,
+    tile: int = POINT_TILE,
+    code_ch: int = 0,
+    nf_kp: int = NF_KP,
+    nf_view: int = NF_VIEW,
+    freq_sched: bool = False,
+    sched: jax.Array = None,
+    mm_dtype=None,
+):
+    """-> (raw_c (4, NS) [rgb rows zero], raw_f (4, NS))."""
+    ns = pts_t.shape[1]
+    n_groups = rot.shape[0]
+    if sched is None:
+        sched = jnp.ones((1, max(nf_kp + nf_view, 1)), jnp.float32)
+    weights = (flatten_weights(params_c, depth)
+               + flatten_weights(params_f, depth))
+    kernel = functools.partial(
+        _dual_kernel, depth, skips, code_ch, nf_kp, nf_view, freq_sched,
+    )
+    grid, in_specs, out_spec, _ = grouped_specs(
+        ns, n_groups, tile, rot, trn, cut, sched, codes, weights,
+    )
+    pc, vc = pts_ch(nf_kp), view_ch(nf_view)
+    flops_per_pt = 2 * (
+        2 * (pc * 256 + 6 * 256 * 256 + (pc + 256) * 256 + 256)
+        + 256 * 256 + (256 + vc + code_ch) * 128 + 3 * 128
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((4, ns), jnp.float32),
+            jax.ShapeDtypeStruct((4, ns), jnp.float32),
+        ],
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_spec, out_spec],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pt * ns,
+            bytes_accessed=(3 + 3 + 8) * 4 * ns + 4_000_000,
+            transcendentals=(24 * 3 + 72 * 2) * ns,
+        ),
+        interpret=interpret,
+    )(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, *weights)
+
+
+def _barf_sched(freq_sched: bool, embed_state: Dict, view_embed_state: Dict,
+                nf_kp: int, nf_view: int):
+    """BARF octave window (reference get_schedule_w,
+    core/cutoff_embedder.py:192-198), one weight per sin/cos octave; kp and
+    view ladders each use their embedder's alpha. None when unscheduled."""
+    if not freq_sched:
+        return None
+
+    def _sw(alpha, nf):
+        k = jnp.arange(nf, dtype=jnp.float32)
+        return 0.5 * (1.0 - jnp.cos(jnp.pi * jnp.clip(alpha - k, 0.0, 1.0)))
+
+    a_view = (view_embed_state or embed_state)["alpha"]
+    return jnp.concatenate(
+        [_sw(embed_state["alpha"], nf_kp), _sw(a_view, nf_view)]
+    )[None, :]
+
+
+def _group_codes(cfg, net_params: Dict, ctx, G: int, N: int, code_ch: int,
+                 eval_mean_code: bool):
+    """Per-group framecode rows (reference Optcodes, networks/embedding.py):
+    cam idxs are constant within an image's rays, so one code row per
+    group. -> ((G, max(code_ch, 1)), eval_mean_code)."""
+    if code_ch <= 0:
+        return jnp.zeros((G, 1), jnp.float32), eval_mean_code
+    from posegen_tpu.models.nerf import framecode_lookup
+
+    idxs = ctx.cam_idxs
+    if idxs is None:
+        # no frame index supplied -> mean code (the reference's idx < 0
+        # eval convention, networks/embedding.py:17-33); the zeros only
+        # provide the lookup's output shape
+        idxs = jnp.zeros((G, 1), jnp.int32)
+        eval_mean_code = True
+    if idxs.shape[0] == N and G != N:
+        idxs = idxs.reshape(G, N // G, -1)[:, 0]
+    codes = framecode_lookup(
+        net_params["framecodes"], idxs, eval_mean=eval_mean_code
+    ).reshape(G, code_ch)
+    return codes, eval_mean_code
+
+
 def fused_run_net(
     cfg,
     net_params: Dict,
@@ -649,6 +816,7 @@ def fused_run_net(
     density_only: bool = False,
     view_embed_state: Dict = None,  # for the view ladder's BARF alpha
     ray_ladder: Optional[bool] = None,  # None = auto (eval, G==1, S>=2)
+    dual_params: Dict = None,  # fine net: dual-net coarse pass
 ) -> jax.Array:
     """Drop-in replacement for raycast._run_net on the supported subset.
 
@@ -657,6 +825,11 @@ def fused_run_net(
     (kernels/field_grad.py) so weight gradients flow; input_grads=True
     additionally propagates cotangents into pts/dirs/skts (pose-opt
     training, reference core/pose_opt.py:372-445).
+
+    dual_params (requires density_only, single pose group): net_params is
+    the coarse net, dual_params the FINE net; one kernel encodes each point
+    once and runs both nets, returning (raw_coarse [rgb rows zero],
+    raw_fine) — the fine-pass re-encode of the shared N_samples is gone.
     """
     from posegen_tpu.kernels.field_grad import (
         TRAIN_TILE, make_trainable_field, pick_train_tile,
@@ -689,13 +862,15 @@ def fused_run_net(
         if ray_ladder and (density_only or G > 1 or S < 2):
             ray_ladder = False
         if ray_ladder:
-            base = S * 128 // np.gcd(S, 128)  # lcm(S, 128)
-            # cap at 128 rays per tile: each tile's dirs live in ONE
-            # 128-lane block (Mosaic block-shape divisibility)
-            if base <= min(2048, 128 * S):
-                tile = min((2048 // base) * base, 128 * S)
-            else:
+            t = ray_tile(S)
+            if t is None:
                 ray_ladder = False
+            else:
+                tile = t
+        if dual_params is not None and (not density_only or trainable
+                                        or G != 1):
+            raise ValueError("dual_params needs the density-only, "
+                             "single-group eval pass")
         if G > 1 and (ns // G) % tile != 0:
             # eval tiles don't pad groups; fall back to a group-divisible
             # tile (the eval kernel's per-step overhead is small)
@@ -752,41 +927,12 @@ def fused_run_net(
 
     nf_kp, nf_view = cfg.multires, cfg.multires_views
     freq_sched = bool(getattr(cfg.embed_kp_cfg, "freq_schedule", False))
-    if freq_sched:
-        # BARF octave window (reference get_schedule_w,
-        # core/cutoff_embedder.py:192-198), one weight per sin/cos octave;
-        # kp and view ladders each use their embedder's alpha
-        def _sw(alpha, nf):
-            k = jnp.arange(nf, dtype=jnp.float32)
-            return 0.5 * (1.0 - jnp.cos(jnp.pi * jnp.clip(alpha - k, 0.0, 1.0)))
-
-        a_view = (view_embed_state or embed_state)["alpha"]
-        sched = jnp.concatenate(
-            [_sw(embed_state["alpha"], nf_kp), _sw(a_view, nf_view)]
-        )[None, :]
-    else:
-        sched = None
-
-    # per-group framecodes (reference Optcodes, networks/embedding.py):
-    # cam idxs are constant within an image's rays, so one code row per group
+    sched = _barf_sched(freq_sched, embed_state, view_embed_state,
+                        nf_kp, nf_view)
     code_ch = cfg.framecode_ch if cfg.opt_framecode else 0
-    if code_ch > 0:
-        from posegen_tpu.models.nerf import framecode_lookup
-
-        idxs = ctx.cam_idxs
-        if idxs is None:
-            # no frame index supplied -> mean code (the reference's idx < 0
-            # eval convention, networks/embedding.py:17-33); the zeros only
-            # provide the lookup's output shape
-            idxs = jnp.zeros((G, 1), jnp.int32)
-            eval_mean_code = True
-        if idxs.shape[0] == N and G != N:
-            idxs = idxs.reshape(G, N // G, -1)[:, 0]
-        codes = framecode_lookup(
-            net_params["framecodes"], idxs, eval_mean=eval_mean_code
-        ).reshape(G, code_ch)
-    else:
-        codes = jnp.zeros((G, 1), jnp.float32)
+    codes, eval_mean_code = _group_codes(
+        cfg, net_params, ctx, G, N, code_ch, eval_mean_code
+    )
 
     skips = (4,) if cfg.netdepth > 4 else ()
     if sched is None:
@@ -812,6 +958,26 @@ def fused_run_net(
             stash=stash,
         )
         raw_t = f(pts_t, dirs, rot, trn, cut, tau, sched_arr, codes, prepared)
+    elif dual_params is not None:
+        if prepared is None:
+            prepared = prepare_params(
+                net_params, skips=skips, code_ch=code_ch,
+                nf_kp=nf_kp, nf_view=nf_view,
+            )
+        # the framecode table lives on the fine net for the dual call
+        codes_f, _ = _group_codes(
+            cfg, dual_params, ctx, G, N, code_ch, eval_mean_code
+        )
+        prepared_f = prepare_params(
+            dual_params, skips=skips, code_ch=code_ch,
+            nf_kp=nf_kp, nf_view=nf_view,
+        )
+        raw_t, raw_f_t = _fused_dual_impl(
+            pts_t, dirs, rot, trn, cut, tau, codes_f, prepared, prepared_f,
+            depth=cfg.netdepth, skips=skips, interpret=interpret,
+            tile=tile, code_ch=code_ch, nf_kp=nf_kp, nf_view=nf_view,
+            freq_sched=freq_sched, sched=sched_arr, mm_dtype=MM_DTYPE,
+        )
     else:
         if prepared is None:
             prepared = prepare_params(
@@ -832,4 +998,8 @@ def fused_run_net(
     raw = raw_t.T.reshape(n_run, S, 4)
     if rpi_p != rpi:  # drop the per-group ray padding
         raw = raw.reshape(G, rpi_p, S, 4)[:, :rpi].reshape(N, S, 4)
+    if dual_params is not None:
+        if pad:
+            raw_f_t = raw_f_t[:, :ns_run]
+        return raw, raw_f_t.T.reshape(N, S, 4)
     return raw

@@ -17,6 +17,7 @@ and core/trainer.py:64-147 (`render`/`batchify_rays`), redesigned TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -376,10 +377,33 @@ def render_rays(
         and cfg.N_importance > 0
         and not cfg.single_net  # single-net merges the coarse raw into fine
     )
-    raw_c = _run_net(
-        cfg, params["coarse"], params, pts, rays_d, ctx, eval_mean_code,
-        use_fused, density_only=coarse_density_only,
-    )
+    raw_fc = None  # fine-net raw on the coarse samples (dual-net kernel)
+    if (
+        use_fused is True
+        and coarse_density_only
+        and not os.environ.get("POSEGEN_NO_DUAL_EVAL")
+    ):
+        from posegen_tpu.kernels import field as fused
+
+        if fused.supports_dual_eval(cfg, ctx, params["coarse"]):
+            # dual-net coarse pass: encode each sample once, run the coarse
+            # trunk (density for importance sampling) AND the fine net (its
+            # raw for the final composite) in the same kernel — the fine
+            # pass below then only evaluates the fresh samples, killing the
+            # duplicate encode of the shared N_samples (the dominant fine-
+            # kernel cost, RESULTS.md roofline)
+            raw_c, raw_fc = fused.fused_run_net(
+                cfg, params["coarse"], params["embed_kp"], pts, rays_d, ctx,
+                interpret=jax.default_backend() == "cpu",
+                eval_mean_code=eval_mean_code, density_only=True,
+                view_embed_state=params.get("embed_view"),
+                dual_params=params.get("fine", params["coarse"]),
+            )
+    if raw_fc is None:
+        raw_c = _run_net(
+            cfg, params["coarse"], params, pts, rays_d, ctx, eval_mean_code,
+            use_fused, density_only=coarse_density_only,
+        )
     noise_c = None
     if raw_noise_std > 0.0:
         if "sigma0" in dn:
@@ -399,11 +423,28 @@ def render_rays(
     z_all, z_samples, sorted_idxs = samp.isample_from_lineseg(
         z_vals, out_c["weights"], cfg.N_importance, det=(perturb == 0.0),
         is_only=cfg.single_net, key=keys[2], det_noise=dn.get("importance"),
-        need_idxs=cfg.single_net,  # only the raw merge consumes the permutation
+        need_idxs=cfg.single_net,  # only the single-net merge needs indices
     )
 
     fine_params = params.get("fine", params["coarse"])
-    if not cfg.single_net:
+    if raw_fc is not None:
+        # the dual kernel already evaluated the fine net on the coarse
+        # samples; only the fresh samples need a pass. Raws merge by z
+        # through a multi-operand co-sort — an argsort + take_along_axis
+        # pair here measured +13 ms of glue at the bench shape (same
+        # reason the z-merge is value-only, ops/sampling.py need_idxs)
+        pts_is = rays_o[:, None] + rays_d[:, None] * z_samples[..., None]
+        raw_is = _run_net(cfg, fine_params, params, pts_is, rays_d, ctx,
+                          eval_mean_code, use_fused)
+        z_cat = jnp.concatenate([z_vals, z_samples], axis=-1)
+        raw_cat = jnp.concatenate([raw_fc, raw_is], axis=1)
+        srt = jax.lax.sort(
+            (z_cat,) + tuple(raw_cat[..., i] for i in range(4)),
+            dimension=-1, num_keys=1,
+        )
+        z_all = srt[0]
+        raw_f = jnp.stack(srt[1:], axis=-1)
+    elif not cfg.single_net:
         # re-encode the merged, sorted sample set in one pass (equivalent to
         # the reference's encoding gather-merge, raycasters.py:446-469)
         pts_all = rays_o[:, None] + rays_d[:, None] * z_all[..., None]

@@ -396,3 +396,45 @@ def _check_ray_ladder():
         np.testing.assert_allclose(
             np.asarray(raw_rl), np.asarray(raw_pp), rtol=tol, atol=tol
         )
+
+
+def test_dual_eval_matches_reencode():
+    """Dual-net coarse pass (fine net evaluated in the coarse kernel, raws
+    co-sorted by z) == the re-encode render in f32 matmul mode: per-point
+    encode/matmul columns are independent of tiling and merge order, so
+    merging raws by z instead of re-encoding merged points is exact."""
+    import os
+
+    import posegen_tpu.kernels.field as field
+
+    orig = field.MM_DTYPE
+    field.MM_DTYPE = jnp.float32
+    try:
+        for cfg_kw in (
+            {},
+            dict(freq_schedule=True, init_freq=0.0),
+            dict(opt_framecode=True, n_framecodes=4),
+        ):
+            cfg, params, ctx, ro, rd = make_problem(
+                RaycastConfig(N_samples=8, N_importance=4, **cfg_kw),
+                n_rays=16,
+            )
+            assert field.supports_dual_eval(cfg, ctx, params["coarse"])
+            if "freq_schedule" in cfg_kw:
+                params = dict(params)
+                params["embed_kp"] = {**params["embed_kp"], "alpha": jnp.asarray(2.3)}
+                params["embed_view"] = {**params["embed_view"], "alpha": jnp.asarray(1.7)}
+            kw = dict(perturb=0.0, raw_noise_std=0.0, use_fused=True)
+            os.environ["POSEGEN_NO_DUAL_EVAL"] = "1"
+            try:
+                out_ref = render_rays(cfg, params, ro, rd, ctx, **kw)
+            finally:
+                del os.environ["POSEGEN_NO_DUAL_EVAL"]
+            out_st = render_rays(cfg, params, ro, rd, ctx, **kw)
+            for k in ("rgb_map", "disp_map", "acc_map", "rgb0"):
+                np.testing.assert_allclose(
+                    np.asarray(out_st[k]), np.asarray(out_ref[k]),
+                    rtol=1e-5, atol=1e-5, err_msg=k,
+                )
+    finally:
+        field.MM_DTYPE = orig
