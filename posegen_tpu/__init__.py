@@ -19,6 +19,21 @@ Design stance (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+# Honor JAX_PLATFORMS / JAX_PLATFORM_NAME before any jax use: the axon TPU
+# plugin in this image registers itself regardless of the env vars, so a
+# CLI invocation with JAX_PLATFORMS=cpu would still try (and, with the chip
+# tunnel down, hang on) the TPU backend. jax.config IS honored — apply the
+# requested platform there. Must run before the model imports below pull
+# in jax.numpy.
+import os as _os
+
+_plat = _os.environ.get("JAX_PLATFORMS") or _os.environ.get("JAX_PLATFORM_NAME")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+del _os, _plat
+
 from posegen_tpu.skeleton.skeleton import (  # noqa: F401
     Skeleton,
     SMPL_SKELETON,
