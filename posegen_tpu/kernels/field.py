@@ -126,12 +126,15 @@ def ray_tile(S: int) -> Optional[int]:
 
 
 def supports_dual_eval(cfg, ctx, net_params: Dict) -> bool:
-    """Whether the dual-net coarse pass applies: fused eval support and a
-    two-pass render (N_importance > 0 with a separate fine net)."""
+    """Whether the dual-net coarse pass applies: fused eval support, a
+    two-pass render (N_importance > 0 with a separate fine net), and a
+    single pose group (grouped eval batches fall back to two passes —
+    fused_run_net rejects dual_params with G > 1)."""
     return (
         supports_fused(cfg, ctx, net_params)
         and cfg.N_importance > 0
         and not cfg.single_net
+        and ctx.skts.shape[0] == 1
     )
 
 

@@ -398,6 +398,21 @@ def _check_ray_ladder():
         )
 
 
+def test_dual_eval_skips_grouped_ctx():
+    """Grouped eval batches (G > 1) must fall back to the two-pass render:
+    fused_run_net rejects dual_params with multiple pose groups, so
+    supports_dual_eval has to gate on the group count."""
+    from posegen_tpu.kernels.field import supports_dual_eval
+    from posegen_tpu.utils.fixtures import make_pose_ctx
+
+    cfg, params, ctx, _, _ = make_problem(
+        RaycastConfig(N_samples=8, N_importance=4), n_rays=16
+    )
+    assert supports_dual_eval(cfg, ctx, params["coarse"])
+    ctx2 = make_pose_ctx(0, n_poses=2)
+    assert not supports_dual_eval(cfg, ctx2, params["coarse"])
+
+
 def test_dual_eval_matches_reencode():
     """Dual-net coarse pass (fine net evaluated in the coarse kernel, raws
     co-sorted by z) == the re-encode render in f32 matmul mode: per-point
