@@ -758,6 +758,11 @@ def _fused_dual_impl(
             bytes_accessed=(3 + 3 + 8) * 4 * ns + 4_000_000,
             transcendentals=(24 * 3 + 72 * 2) * ns,
         ),
+        # two resident weight sets (~2x the single kernel's) push the tile-
+        # 2048 working set past Mosaic's default 16 MB scoped-VMEM budget
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
         interpret=interpret,
     )(pts_t, dirs_t, rot, trn, cut, tau, sched, codes, *weights)
 
