@@ -28,11 +28,17 @@ def mse2psnr(mse: jax.Array) -> jax.Array:
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
 
 
-def acc2bce(acc: jax.Array, fg: jax.Array, eps: float = 1e-7) -> jax.Array:
-    """Binary cross-entropy pushing accumulated alpha toward the fg mask
-    (reference trainer.py:41-48 `use_acc_loss`)."""
-    a = jnp.clip(acc, eps, 1.0 - eps)
-    return -jnp.mean(fg * jnp.log(a) + (1.0 - fg) * jnp.log(1.0 - a))
+def acc2bce(acc: jax.Array, fg: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Binary cross-entropy pushing accumulated alpha toward the fg mask.
+
+    Matches the reference's LIVE reg path exactly: _compute_nerf_loss calls
+    acc2bce with reduction='off' (core/trainer.py:378, :44-52), which averages
+    the per-pixel BCE over BACKGROUND pixels only (fg < 1.0) — foreground
+    pixels contribute nothing. The data-dependent boolean index becomes a
+    jittable masked mean here."""
+    bce = -(fg * jnp.log(acc + eps) + (1.0 - fg) * jnp.log(1.0 - acc + eps))
+    bg = (fg < 1.0).astype(bce.dtype)
+    return jnp.sum(bce * bg) / jnp.maximum(jnp.sum(bg), 1.0)
 
 
 def rgb_loss(

@@ -142,3 +142,28 @@ def test_deeplab_torch_import_roundtrip():
     out = deeplab_logits(params, state, x)
     assert out.shape == (1, 32, 32, 21)
     assert bool(np.isfinite(np.asarray(out)).all())
+
+
+def test_acc2bce_matches_reference_off_reduction():
+    """Our acc2bce must match the reference's LIVE reg path: core/trainer.py:378
+    calls acc2bce(..., reduction='off'), which is a mean over BACKGROUND pixels
+    only (trainer.py:44-52: bce_loss[y < 1.0].mean())."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import reference_shims
+
+    reference_shims.install()
+    import torch
+    from core.trainer import acc2bce as ref_acc2bce
+
+    from posegen_tpu.train import losses as L
+
+    rng = np.random.default_rng(3)
+    acc = rng.uniform(0.0, 1.0, size=(257,)).astype(np.float32)
+    fg = (rng.uniform(size=(257,)) < 0.4).astype(np.float32)
+    # include saturated acc values the eps must handle
+    acc[:4] = [0.0, 1.0, 1e-9, 1.0 - 1e-9]
+    ref = ref_acc2bce(torch.tensor(acc), torch.tensor(fg), reduction="off")
+    ours = L.acc2bce(jnp.asarray(acc), jnp.asarray(fg))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
