@@ -332,7 +332,14 @@ def validate_args(args: argparse.Namespace, strict: bool = True) -> List[str]:
         if getattr(args, key, None) != getattr(defaults, key, None):
             warnings.append(f"--{key}: {msg}")
     if args.reg_fn not in (None, "BCE"):
-        errors.append(f"--reg_fn={args.reg_fn!r}: only BCE (or none) is implemented")
+        # L1/MSE reg CRASH the reference too: with reduction='off' they return
+        # the unreduced per-pixel tensor (core/trainer.py:25,41), total_loss
+        # becomes non-scalar, and loss.backward() raises "grad can be
+        # implicitly created only for scalar outputs" (verified empirically).
+        errors.append(
+            f"--reg_fn={args.reg_fn!r}: only BCE (or none) runs — L1/MSE "
+            "crash the reference's backward (non-scalar total_loss)"
+        )
     # opt_pose_type: accept the whole reference family (B/BE/RD/RDE, with an
     # optional 'L1' substring). It is runtime-inert here EXACTLY as in the
     # reference: the train loop's _compute_kp_loss never reads it, and
