@@ -20,13 +20,29 @@ import numpy as np
 _PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC_PATH = os.path.join(_PKG_DIR, "csrc", "host_sampler.cpp")
 _LIB_PATH = os.path.join(_PKG_DIR, "lib", "libposegen_host.so")
-_CACHE_LIB_PATH = os.path.join(
-    os.path.expanduser(os.environ.get("XDG_CACHE_HOME", "~/.cache")),
-    "posegen_tpu",
-    "libposegen_host.so",
-)
 _lib: Optional[ctypes.CDLL] = None
 _load_attempted = False
+
+
+def _src_tag() -> Optional[str]:
+    """Content hash of the packaged source; keys the user-cache .so so a
+    package upgrade can never load a stale cached binary."""
+    try:
+        import hashlib
+
+        with open(_SRC_PATH, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()[:16]
+    except OSError:
+        return None
+
+
+def _cache_lib_path() -> str:
+    tag = _src_tag() or "unknown"
+    return os.path.join(
+        os.path.expanduser(os.environ.get("XDG_CACHE_HOME", "~/.cache")),
+        "posegen_tpu",
+        f"libposegen_host-{tag}.so",
+    )
 
 _I64P = ctypes.POINTER(ctypes.c_int64)
 _U8P = ctypes.POINTER(ctypes.c_uint8)
@@ -51,31 +67,27 @@ def build_lib() -> Optional[str]:
 
     Prefers the in-package lib/ dir (repo checkouts, editable installs);
     falls back to the user cache dir when the package dir is not writable
-    (system wheel installs).
+    (system wheel installs). The cache filename embeds the source hash.
     """
     if not os.path.exists(_SRC_PATH):
         return None
-    for path in (_LIB_PATH, _CACHE_LIB_PATH):
+    for path in (_LIB_PATH, _cache_lib_path()):
         if _compile(path):
             return path
     return None
 
 
-def get_lib(auto_build: bool = True) -> Optional[ctypes.CDLL]:
-    global _lib, _load_attempted
-    if _lib is not None:
-        return _lib
-    if _load_attempted:
-        return None
-    _load_attempted = True
-    lib_path = next(
-        (p for p in (_LIB_PATH, _CACHE_LIB_PATH) if os.path.exists(p)), None
-    )
-    if lib_path is None and auto_build:
-        lib_path = build_lib()
-    if lib_path is None:
-        return None
-    lib = ctypes.CDLL(lib_path)
+def _is_stale(lib_path: str) -> bool:
+    """In-package .so older than the packaged source → rebuild."""
+    try:
+        return os.path.getmtime(lib_path) < os.path.getmtime(_SRC_PATH)
+    except OSError:
+        return False
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Declare the exported symbols; raises AttributeError on a lib built
+    from an older source revision that lacks one."""
     lib.pg_sample_pixels.restype = ctypes.c_int64
     lib.pg_sample_pixels.argtypes = [
         _U8P, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, _I64P, _I64P,
@@ -95,8 +107,41 @@ def get_lib(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.c_uint64, _I64P,
         _F32P, _F32P, _F32P, _F32P, _F32P, _I64P,
     ]
-    _lib = lib
     return lib
+
+
+def get_lib(auto_build: bool = True) -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _lib is not None:
+        return _lib
+    if _load_attempted:
+        return None
+    _load_attempted = True
+    candidates = [
+        p
+        for p in (_LIB_PATH, _cache_lib_path())
+        if os.path.exists(p) and not _is_stale(p)
+    ]
+    lib_path = candidates[0] if candidates else None
+    if lib_path is None and auto_build:
+        lib_path = build_lib()
+    if lib_path is None:
+        return None
+    try:
+        _lib = _bind(ctypes.CDLL(lib_path))
+    except (OSError, AttributeError):
+        # stale or broken binary (e.g. an old fixed-name .so missing a newer
+        # symbol): rebuild from the packaged source once, else fall back to
+        # the numpy path instead of crashing the loader
+        _lib = None
+        if auto_build:
+            rebuilt = build_lib()
+            if rebuilt is not None:
+                try:
+                    _lib = _bind(ctypes.CDLL(rebuilt))
+                except (OSError, AttributeError):
+                    _lib = None
+    return _lib
 
 
 def _ptr(a: np.ndarray, typ):

@@ -785,7 +785,7 @@ def _barf_sched(freq_sched: bool, embed_state: Dict, view_embed_state: Dict,
     )[None, :]
 
 
-def _group_codes(cfg, net_params: Dict, ctx, G: int, N: int, code_ch: int,
+def _group_codes(net_params: Dict, ctx, G: int, N: int, code_ch: int,
                  eval_mean_code: bool):
     """Per-group framecode rows (reference Optcodes, networks/embedding.py):
     cam idxs are constant within an image's rays, so one code row per
@@ -850,6 +850,9 @@ def fused_run_net(
     if N % G != 0:
         raise ValueError(f"rays ({N}) not divisible into {G} pose groups")
     rpi = N // G
+    if dual_params is not None and (not density_only or trainable or G != 1):
+        raise ValueError("dual_params needs the density-only, "
+                         "single-group eval pass")
     if trainable:
         # large tiles amortize the weight-gradient HBM revisits in the
         # backward kernel (measured ~4x step time 256 -> 1024); groups are
@@ -875,10 +878,6 @@ def fused_run_net(
                 ray_ladder = False
             else:
                 tile = t
-        if dual_params is not None and (not density_only or trainable
-                                        or G != 1):
-            raise ValueError("dual_params needs the density-only, "
-                             "single-group eval pass")
         if G > 1 and (ns // G) % tile != 0:
             # eval tiles don't pad groups; fall back to a group-divisible
             # tile (the eval kernel's per-step overhead is small)
@@ -938,9 +937,8 @@ def fused_run_net(
     sched = _barf_sched(freq_sched, embed_state, view_embed_state,
                         nf_kp, nf_view)
     code_ch = cfg.framecode_ch if cfg.opt_framecode else 0
-    codes, eval_mean_code = _group_codes(
-        cfg, net_params, ctx, G, N, code_ch, eval_mean_code
-    )
+    if dual_params is None:
+        codes, _ = _group_codes(net_params, ctx, G, N, code_ch, eval_mean_code)
 
     skips = (4,) if cfg.netdepth > 4 else ()
     if sched is None:
@@ -974,7 +972,7 @@ def fused_run_net(
             )
         # the framecode table lives on the fine net for the dual call
         codes_f, _ = _group_codes(
-            cfg, dual_params, ctx, G, N, code_ch, eval_mean_code
+            dual_params, ctx, G, N, code_ch, eval_mean_code
         )
         prepared_f = prepare_params(
             dual_params, skips=skips, code_ch=code_ch,

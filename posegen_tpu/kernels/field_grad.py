@@ -262,11 +262,11 @@ def _field_fwd_stash_kernel(
 ):
     """Trainable forward that ALSO writes the bf16 encodings to HBM.
 
-    Trunk math is line-identical to field._field_kernel's non-density path
-    (deferred skip-concat, split view head, broadcast framecode), so the
-    primal output matches fused_field exactly; the extra (pc, P) / (vc, P)
-    bf16 output tiles feed the stashed backward."""
-    from posegen_tpu.kernels.field import encode_channels
+    Trunk math IS field._mlp_heads — the single in-kernel MLP
+    implementation — so the primal output matches fused_field exactly by
+    construction; the extra (pc, P) / (vc, P) bf16 output tiles feed the
+    stashed backward."""
+    from posegen_tpu.kernels.field import _mlp_heads, encode_channels
 
     n_w = 2 * depth + 8
     wrefs = refs[:n_w]
@@ -282,34 +282,10 @@ def _field_fwd_stash_kernel(
     ep_ref[:, :] = e_pts.astype(ep_ref.dtype)
     ev_ref[:, :] = e_view.astype(ev_ref.dtype)
 
-    h = e_pts
-    x0 = e_pts
-    pc = e_pts.shape[0]
-    h_split = False
-    for i in range(depth):
-        w = wrefs[2 * i]
-        if h_split:
-            acc = mm_t(w[:, :pc], x0) + mm_t(w[:, pc:], h)
-            h_split = False
-        else:
-            acc = mm_t(w[:, :], h)
-        h = jnp.maximum(acc + wrefs[2 * i + 1][:, :], 0.0)
-        if i in skips:
-            h_split = True
-    if h_split:
-        h = jnp.concatenate([x0, h], axis=0)
-    k = 2 * depth
-    alpha = mm_t(wrefs[k][:, :], h) + wrefs[k + 1][:, :]
-    feat = mm_t(wrefs[k + 2][:, :], h) + wrefs[k + 3][:, :]
-    wv = wrefs[k + 4]
-    vc = e_view.shape[0]
-    acc_v = mm_t(wv[:, :256], feat) + mm_t(wv[:, 256:256 + vc], e_view)
-    if code_ch > 0:
-        row = code_ref[pl.program_id(0)]
-        acc_v = acc_v + mm_t(wv[:, 256 + vc:], row[:, None])
-    hv = jnp.maximum(acc_v + wrefs[k + 5][:, :], 0.0)
-    rgb = mm_t(wrefs[k + 6][:, :], hv) + wrefs[k + 7][:, :]
-    out_ref[:, :] = jnp.concatenate([rgb, alpha], axis=0)
+    out_ref[:, :] = _mlp_heads(
+        wrefs, e_pts, e_view, code_ref, depth, skips, code_ch,
+        density_only=False,
+    )
 
 
 def fused_field_stash(

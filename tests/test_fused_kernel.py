@@ -453,3 +453,25 @@ def test_dual_eval_matches_reencode():
                 )
     finally:
         field.MM_DTYPE = orig
+
+
+def test_dual_params_rejects_trainable_and_rgb():
+    """dual_params is an eval-only contract: trainable or non-density calls
+    must raise the intended ValueError up front (a misplaced guard used to
+    let trainable=True fall through to an UnboundLocalError)."""
+    cfg, params, ctx, ro, rd = make_problem(CFG, n_rays=16)
+    n, s = 16, 8
+    z = jnp.sort(
+        jax.random.uniform(jax.random.PRNGKey(0), (n, s), minval=0.5, maxval=2.0),
+        axis=-1,
+    )
+    pts = ro[:, None] + rd[:, None] * z[..., None]
+    for kwargs in (
+        dict(trainable=True, density_only=True),
+        dict(density_only=False),
+    ):
+        with pytest.raises(ValueError, match="dual_params"):
+            fused_run_net(
+                cfg, params["coarse"], params["embed_kp"], pts, rd, ctx,
+                interpret=True, dual_params=params["fine"], **kwargs,
+            )
