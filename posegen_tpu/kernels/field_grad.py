@@ -588,93 +588,20 @@ def make_trainable_field(
              e_p, e_v) = res
         else:
             pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params = res
-        ns = pts_t.shape[1]
-        n_groups = rot.shape[0]
-        weights = _flatten_params(params, depth)
-
-        kernel = functools.partial(
-            _field_bwd_kernel, depth, skips, code_ch, input_grads,
-            nf_kp, nf_view, freq_sched, stash,
-        )
-        grid, in_specs, g_spec, full = grouped_specs(
-            ns, n_groups, tile, rot, trn, cut, sched, codes, weights
-        )
-        in_specs = in_specs + [g_spec]  # output cotangent tiles like points
-        if stash:
-            tpg_s = ns // n_groups // tile
-            ch_spec = lambda c: pl.BlockSpec(
-                (c, tile), lambda g_, j: (0, g_ * tpg_s + j),
-                memory_space=pltpu.VMEM,
-            )
-            in_specs = in_specs + [ch_spec(e_p.shape[0]), ch_spec(e_v.shape[0])]
-        out_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
-        out_specs = [full(w) for w in weights]
-        if code_ch > 0:
-            out_shapes.append(jax.ShapeDtypeStruct(codes.shape, jnp.float32))
-            out_specs.append(full(codes))
-        if input_grads:
-            tpg = ns // n_groups // tile
-            pt_spec = lambda: pl.BlockSpec(
-                (3, tile), lambda g_, j: (0, g_ * tpg + j), memory_space=pltpu.VMEM
-            )
-            out_shapes += [
-                jax.ShapeDtypeStruct(pts_t.shape, jnp.float32),
-                jax.ShapeDtypeStruct(dirs_t.shape, jnp.float32),
-                jax.ShapeDtypeStruct(rot.shape, jnp.float32),
-                jax.ShapeDtypeStruct(trn.shape, jnp.float32),
-            ]
-            out_specs += [
-                pt_spec(),
-                pt_spec(),
-                pl.BlockSpec((1, 24, 9), lambda g_, j: (g_, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 24, 3), lambda g_, j: (g_, 0, 0), memory_space=pltpu.VMEM),
-            ]
-
-        from posegen_tpu.kernels.field import pts_ch
-
-        pc, vc = pts_ch(nf_kp), view_ch(nf_view)
-        flops_per_pt = 3 * 2 * (
-            pc * 256 + 6 * 256 * 256 + (pc + 256) * 256 + 256 * 256
-            + (256 + vc + code_ch) * 128
-        )
-        operands = [pts_t, dirs_t, rot, trn, cut, tau, sched, codes,
-                    *weights, g]
-        if stash:
-            operands += [e_p, e_v]
-        grads = pl.pallas_call(
-            kernel,
-            out_shape=out_shapes,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_specs,
-            cost_estimate=pl.CostEstimate(
-                flops=flops_per_pt * ns,
-                bytes_accessed=(3 + 3 + 4) * 4 * ns + 8_000_000
-                + ((pc + vc) * 2 * ns if stash else 0),
-                # stash streams the encodings instead of recomputing them
-                transcendentals=0 if stash else (24 * 3 + 72 * 2) * ns,
-            ),
-            # input_grads adds per-point cotangent buffers: the backward
-            # kernel's stack is ~22 MB at tile 768, over mosaic's 16 MB
-            # default scoped-vmem limit (v5e VMEM is 128 MB)
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=48 * 1024 * 1024
-            ),
+            e_p = e_v = None
+        d_params, d_codes, d_pts, d_dirs, d_rot, d_trn = field_backward(
+            pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params, g,
+            depth=depth, skips=skips, tile=tile, code_ch=code_ch,
+            input_grads=input_grads, nf_kp=nf_kp, nf_view=nf_view,
+            freq_sched=freq_sched, stash=stash, e_p=e_p, e_v=e_v,
             interpret=interpret,
-        )(*operands)
-
-        grads = list(grads)
+        )
         zeros = lambda a: jnp.zeros_like(a)
-        if input_grads:
-            d_trn = grads.pop()
-            d_rot = grads.pop()
-            d_dirs = grads.pop()
-            d_pts = grads.pop()
-        else:
+        if not input_grads:
             d_pts, d_dirs = zeros(pts_t), zeros(dirs_t)
             d_rot, d_trn = zeros(rot), zeros(trn)
-        d_codes = grads.pop() if code_ch > 0 else jnp.zeros_like(codes)
-        d_params = _unflatten_params(grads, depth)
+        if d_codes is None:
+            d_codes = jnp.zeros_like(codes)
         return (
             d_pts, d_dirs, d_rot, d_trn,
             zeros(cut), zeros(tau), zeros(sched), d_codes, d_params,
@@ -682,3 +609,104 @@ def make_trainable_field(
 
     f.defvjp(f_fwd, f_bwd)
     return f
+
+
+def field_backward(
+    pts_t, dirs_t, rot, trn, cut, tau, sched, codes, params, g,
+    *, depth: int, skips: Tuple[int, ...], tile: int, code_ch: int,
+    input_grads: bool, nf_kp: int, nf_view: int, freq_sched: bool,
+    stash: bool, e_p=None, e_v=None, interpret: bool = False,
+):
+    """One backward-kernel invocation for one net.
+
+    g is the (4, NS) output cotangent. Returns (d_params, d_codes,
+    d_pts, d_dirs, d_rot, d_trn); d_codes is None when code_ch == 0 and
+    the input gradients are None when input_grads is False. Shared by the
+    single-net VJP (make_trainable_field) and the dual-net train VJP
+    (make_trainable_dual_field), which runs it once per net over the same
+    point set."""
+    ns = pts_t.shape[1]
+    n_groups = rot.shape[0]
+    weights = _flatten_params(params, depth)
+
+    kernel = functools.partial(
+        _field_bwd_kernel, depth, skips, code_ch, input_grads,
+        nf_kp, nf_view, freq_sched, stash,
+    )
+    grid, in_specs, g_spec, full = grouped_specs(
+        ns, n_groups, tile, rot, trn, cut, sched, codes, weights
+    )
+    in_specs = in_specs + [g_spec]  # output cotangent tiles like points
+    if stash:
+        tpg_s = ns // n_groups // tile
+        ch_spec = lambda c: pl.BlockSpec(
+            (c, tile), lambda g_, j: (0, g_ * tpg_s + j),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs = in_specs + [ch_spec(e_p.shape[0]), ch_spec(e_v.shape[0])]
+    out_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
+    out_specs = [full(w) for w in weights]
+    if code_ch > 0:
+        out_shapes.append(jax.ShapeDtypeStruct(codes.shape, jnp.float32))
+        out_specs.append(full(codes))
+    if input_grads:
+        tpg = ns // n_groups // tile
+        pt_spec = lambda: pl.BlockSpec(
+            (3, tile), lambda g_, j: (0, g_ * tpg + j), memory_space=pltpu.VMEM
+        )
+        out_shapes += [
+            jax.ShapeDtypeStruct(pts_t.shape, jnp.float32),
+            jax.ShapeDtypeStruct(dirs_t.shape, jnp.float32),
+            jax.ShapeDtypeStruct(rot.shape, jnp.float32),
+            jax.ShapeDtypeStruct(trn.shape, jnp.float32),
+        ]
+        out_specs += [
+            pt_spec(),
+            pt_spec(),
+            pl.BlockSpec((1, 24, 9), lambda g_, j: (g_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 24, 3), lambda g_, j: (g_, 0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    from posegen_tpu.kernels.field import pts_ch
+
+    pc, vc = pts_ch(nf_kp), view_ch(nf_view)
+    flops_per_pt = 3 * 2 * (
+        pc * 256 + 6 * 256 * 256 + (pc + 256) * 256 + 256 * 256
+        + (256 + vc + code_ch) * 128
+    )
+    operands = [pts_t, dirs_t, rot, trn, cut, tau, sched, codes,
+                *weights, g]
+    if stash:
+        operands += [e_p, e_v]
+    grads = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pt * ns,
+            bytes_accessed=(3 + 3 + 4) * 4 * ns + 8_000_000
+            + ((pc + vc) * 2 * ns if stash else 0),
+            # stash streams the encodings instead of recomputing them
+            transcendentals=0 if stash else (24 * 3 + 72 * 2) * ns,
+        ),
+        # input_grads adds per-point cotangent buffers: the backward
+        # kernel's stack is ~22 MB at tile 768, over mosaic's 16 MB
+        # default scoped-vmem limit (v5e VMEM is 128 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*operands)
+
+    grads = list(grads)
+    d_pts = d_dirs = d_rot = d_trn = None
+    if input_grads:
+        d_trn = grads.pop()
+        d_rot = grads.pop()
+        d_dirs = grads.pop()
+        d_pts = grads.pop()
+    d_codes = grads.pop() if code_ch > 0 else None
+    d_params = _unflatten_params(grads, depth)
+    return d_params, d_codes, d_pts, d_dirs, d_rot, d_trn
