@@ -194,6 +194,126 @@ def import_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     return variables, extras
 
 
+# ---------------------------------------------------------------------------
+# PyTorch .tar export (the import's inverse: migration back OUT of this
+# framework, so reference tooling can consume checkpoints trained here)
+# ---------------------------------------------------------------------------
+
+def _export_linear(p: Dict) -> Dict[str, "object"]:
+    """Our {'w': (in,out), 'b': (out,)} -> torch Linear tensors (out,in)/(out,)."""
+    import torch
+
+    return {
+        "weight": torch.tensor(np.asarray(p["w"], dtype=np.float32).T),
+        "bias": torch.tensor(np.asarray(p["b"], dtype=np.float32)),
+    }
+
+
+def _export_nerf_net(params: Dict) -> "object":
+    """Our params subtree -> the reference NeRF module's state dict
+    (param names from reference core/networks/nerf.py:69-88)."""
+    import torch
+
+    sd = {}
+    for i, lay in enumerate(params["pts_linears"]):
+        for k, v in _export_linear(lay).items():
+            sd[f"pts_linears.{i}.{k}"] = v
+    for i, lay in enumerate(params.get("views_linears", [])):
+        for k, v in _export_linear(lay).items():
+            sd[f"views_linears.{i}.{k}"] = v
+    for name in ("alpha_linear", "feature_linear", "rgb_linear", "output_linear"):
+        if name in params:
+            for k, v in _export_linear(params[name]).items():
+                sd[f"{name}.{k}"] = v
+    if "framecodes" in params:
+        sd["framecodes.codes.weight"] = torch.tensor(
+            np.asarray(params["framecodes"], dtype=np.float32)
+        )
+    return sd
+
+
+def _export_embed(state: Optional[Dict], ecfg) -> Dict:
+    """Our embed state -> the reference CutoffEmbedder's state dict. A
+    cutoff-less Embedder has NO params/buffers (reference
+    cutoff_embedder.py:91-99 registers cutoff_dist/tau only on the cutoff
+    class, sched_alpha only under freq_schedule) — emit exactly the keys the
+    module owns so the reference's strict load_state_dict accepts them."""
+    import torch
+
+    sd: Dict = {}
+    if state is None or ecfg is None or not getattr(ecfg, "cutoff", False):
+        return sd
+    sd["cutoff_dist"] = torch.tensor(
+        np.asarray(state["cutoff_dist"], dtype=np.float32)
+    )
+    sd["tau"] = torch.tensor(np.float32(np.asarray(state["tau"])))
+    if getattr(ecfg, "freq_schedule", False):
+        sd["sched_alpha"] = torch.tensor(np.float32(np.asarray(state["alpha"])))
+    return sd
+
+
+def export_torch_checkpoint(
+    path: str,
+    variables: Dict[str, Any],
+    cfg,
+    global_step: int = 0,
+    pose_params: Optional[Dict] = None,
+    rest_pose: Optional[np.ndarray] = None,
+    opt_pose_lrate: float = 5e-4,
+) -> str:
+    """Write a reference-format .tar (inverse of import_torch_checkpoint).
+
+    Key scheme = reference Trainer.save_nerf (core/trainer.py:487-508) +
+    RayCaster.state_dict mangling (core/raycasters.py:752-766):
+    network_fn/network_fine/embed/embeddirs/embedbones _state_dict entries,
+    global_step, and — when pose_params is given — poseopt_layer_state_dict
+    (pelvis/bones + the rest_pose buffer the strict load expects,
+    pose_opt.py:279-295) with a fresh pose_optimizer_state_dict
+    (pose_opt.py:54-55 loads it unconditionally). optimizer_state_dict is
+    omitted: the reference treats it as optional
+    (run_nerf_helpers.py:14-15) and resumes with a fresh Adam.
+
+    variables: the render params tree ({'coarse','fine','embed_kp',
+    'embed_view','embed_bone'}); cfg: our RaycastConfig (supplies each
+    embedder's cutoff/freq_schedule so only buffers the reference module
+    owns are emitted). Requires torch (CPU) for serialization only.
+    """
+    import torch
+
+    ckpt: Dict[str, Any] = {
+        "global_step": int(global_step),
+        "network_fn_state_dict": _export_nerf_net(variables["coarse"]),
+    }
+    if "fine" in variables:
+        ckpt["network_fine_state_dict"] = _export_nerf_net(variables["fine"])
+    for src, dst, ecfg in (
+        ("embed_kp", "embed_state_dict", cfg.embed_kp_cfg),
+        ("embed_view", "embeddirs_state_dict", cfg.embed_view_cfg),
+        ("embed_bone", "embedbones_state_dict", cfg.embed_bone_cfg),
+    ):
+        if src in variables:
+            ckpt[dst] = _export_embed(variables[src], ecfg)
+    if pose_params is not None:
+        if rest_pose is None:
+            raise ValueError(
+                "pose export needs rest_pose: the reference PoseOptLayer's "
+                "strict load expects its rest_pose buffer in the state dict"
+            )
+        t = lambda a: torch.tensor(np.asarray(a, dtype=np.float32))
+        popt_sd = {k: t(v) for k, v in pose_params.items()}
+        popt_sd["rest_pose"] = t(rest_pose)
+        ckpt["poseopt_layer_state_dict"] = popt_sd
+        # a fresh Adam over the layer's parameter list, exactly as
+        # create_popt builds it (pose_opt.py:43-46)
+        dummy = [torch.nn.Parameter(t(pose_params[k]))
+                 for k in pose_params]
+        ckpt["pose_optimizer_state_dict"] = torch.optim.Adam(
+            dummy, lr=opt_pose_lrate, betas=(0.9, 0.999)
+        ).state_dict()
+    torch.save(ckpt, path)
+    return path
+
+
 def load_pose_params(path: str) -> Dict[str, jnp.ndarray]:
     """Pose params from a pose/full checkpoint — native .npz or torch .tar
     (reference --init_poseopt / load_poseopt_from_state_dict,

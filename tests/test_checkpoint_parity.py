@@ -218,3 +218,119 @@ def test_reference_trained_tar_psnr_parity(tmp_path):
     assert abs(psnr_ref - psnr_ours) < 0.05, (
         f"PSNR mismatch: ref {psnr_ref:.4f} vs ours {psnr_ours:.4f}"
     )
+
+
+def test_exported_tar_loads_in_reference_and_matches(tmp_path):
+    """The inverse migration: OUR checkpoint exported to .tar, loaded by the
+    reference's OWN load_ckpt_from_path (core/utils/run_nerf_helpers.py:6-17,
+    strict per-module load_state_dict), rendered through the reference stack
+    — pixels must match our render of the same weights."""
+    import jax
+
+    from core.trainer import render
+    from core.utils.run_nerf_helpers import load_ckpt_from_path
+    from posegen_tpu.render.raycast import init_raycaster
+    from posegen_tpu.train.checkpoints import export_torch_checkpoint
+    from posegen_tpu.utils.fixtures import make_pose_ctx, make_rays
+
+    cfg = CFG
+    variables = init_raycaster(jax.random.PRNGKey(5), cfg)
+    # non-default embed buffers so their transit is proven (an annealed tau
+    # and a scaled cutoff table change every gate in the encoding)
+    variables["embed_kp"] = {
+        **variables["embed_kp"],
+        "tau": jnp.asarray(137.5),
+        "cutoff_dist": variables["embed_kp"]["cutoff_dist"] * 1.25,
+    }
+    variables["embed_view"] = {
+        **variables["embed_view"],
+        "tau": jnp.asarray(64.0),
+    }
+
+    tar = str(tmp_path / "000042.tar")
+    export_torch_checkpoint(tar, variables, cfg, global_step=42)
+
+    # a reference raycaster with its OWN (different-seed) init: everything it
+    # renders with below must come from the loaded .tar, not construction
+    caster, preproc = _build_reference_raycaster(cfg, seed=11)
+    optimizer = torch.optim.Adam(caster.parameters(), lr=5e-4)
+    gs, caster, optimizer, _ = load_ckpt_from_path(caster, optimizer, tar)
+    assert gs == 42
+    np.testing.assert_allclose(float(caster.embed_fn.get_tau()), 137.5)
+    np.testing.assert_allclose(
+        caster.embed_fn.cutoff_dist.detach().numpy(),
+        np.asarray(variables["embed_kp"]["cutoff_dist"]),
+        rtol=1e-6,
+    )
+
+    ctx = make_pose_ctx(seed=0)
+    val_o, val_d = make_rays(96, seed=7)
+
+    def tile(a, n):
+        a = np.asarray(a)
+        return torch.tensor(np.tile(a, (n,) + (1,) * (a.ndim - 1)))
+
+    caster.eval()
+    with torch.no_grad():
+        ref_out = render(
+            8, 8, 10.0, chunk=4096,
+            rays=(torch.tensor(np.asarray(val_o)), torch.tensor(np.asarray(val_d))),
+            kp_batch=tile(ctx.kps, 96), skts=tile(ctx.skts, 96),
+            bones=tile(ctx.bones, 96), cyls=tile(ctx.cyls, 96),
+            ray_caster=nn.DataParallel(caster), use_viewdirs=True,
+            near=cfg.near, far=cfg.far,
+            N_samples=cfg.N_samples, N_importance=cfg.N_importance,
+            perturb=0.0, raw_noise_std=0.0, preproc_kwargs=preproc,
+        )
+    ref_rgb = ref_out["rgb_map"].numpy()
+
+    ours = render_rays(
+        cfg, variables, val_o, val_d, ctx, perturb=0.0, raw_noise_std=0.0,
+        use_fused=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["rgb_map"]), ref_rgb, rtol=5e-4, atol=5e-4
+    )
+
+
+def test_export_import_roundtrip_with_pose(tmp_path):
+    """export -> import round-trip preserves every tensor, including
+    pose-opt state (pelvis/bones ride as poseopt_layer_state_dict with the
+    rest_pose buffer and a fresh pose_optimizer_state_dict, matching
+    create_popt's unconditional optimizer load, pose_opt.py:54-55)."""
+    import jax
+
+    from posegen_tpu.render.raycast import init_raycaster
+    from posegen_tpu.skeleton.skeleton import SMPL_REST_POSE
+    from posegen_tpu.train.checkpoints import (
+        export_torch_checkpoint,
+        import_torch_checkpoint,
+        load_pose_params,
+    )
+
+    cfg = CFG
+    variables = init_raycaster(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(0)
+    pose_params = {
+        "pelvis": rng.standard_normal((3, 3)).astype(np.float32),
+        "bones": rng.standard_normal((3, 24, 6)).astype(np.float32),
+    }
+    tar = str(tmp_path / "000007.tar")
+    export_torch_checkpoint(
+        tar, variables, cfg, global_step=7,
+        pose_params=pose_params, rest_pose=np.asarray(SMPL_REST_POSE),
+    )
+
+    back, extras = import_torch_checkpoint(tar)
+    assert extras["global_step"] == 7
+    for net in ("coarse", "fine"):
+        for i, lay in enumerate(variables[net]["pts_linears"]):
+            np.testing.assert_allclose(
+                np.asarray(back[net]["pts_linears"][i]["w"]),
+                np.asarray(lay["w"]), rtol=1e-6,
+            )
+    np.testing.assert_allclose(
+        np.asarray(extras["pose_params"]["bones"]), pose_params["bones"]
+    )
+    pp = load_pose_params(tar)
+    np.testing.assert_allclose(np.asarray(pp["pelvis"]), pose_params["pelvis"])
