@@ -20,18 +20,25 @@ Design stance (TPU-first, not a port):
 __version__ = "0.1.0"
 
 # Honor JAX_PLATFORMS / JAX_PLATFORM_NAME before any jax use: the axon TPU
-# plugin in this image registers itself regardless of the env vars, so a
-# CLI invocation with JAX_PLATFORMS=cpu would still try (and, with the chip
-# tunnel down, hang on) the TPU backend. jax.config IS honored — apply the
-# requested platform there. Must run before the model imports below pull
-# in jax.numpy.
+# plugin in this image prepends itself to jax_platforms at jax-import time
+# (env JAX_PLATFORMS=cpu still yields config 'axon,cpu' → TPU first), so a
+# CLI invocation forcing CPU would still try (and, with the chip tunnel
+# down, hang on) the TPU backend. jax.config.update IS honored — re-assert
+# the env request there. Never clobber an explicit earlier
+# jax.config.update("jax_platforms", ...) by the host application: only
+# override when the live value is unset, the env request itself, or the
+# plugin's self-prepension of it. Must run before the model imports below
+# pull in jax.numpy.
 import os as _os
 
 _plat = _os.environ.get("JAX_PLATFORMS") or _os.environ.get("JAX_PLATFORM_NAME")
 if _plat:
     import jax as _jax
 
-    _jax.config.update("jax_platforms", _plat)
+    _cur = _jax.config.jax_platforms
+    if _cur in (None, "", _plat) or _cur in ("axon", "axon," + _plat):
+        _jax.config.update("jax_platforms", _plat)
+    del _cur
 del _os, _plat
 
 from posegen_tpu.skeleton.skeleton import (  # noqa: F401
