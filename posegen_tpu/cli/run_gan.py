@@ -113,9 +113,18 @@ def main(argv: Optional[Sequence[str]] = None):
         rpi=args.rpi, render_hw=args.render_hw,
         output_dir=os.path.join(args.outputdir, args.runname),
     )
+    mesh = None
+    if jax.device_count() > 1 and args.batch_size % jax.device_count() == 0:
+        # data-parallel G/D/SPIN steps over all chips (parallel/gan.py);
+        # the reference's GAN loop is single-GPU (run_gan.py:1956)
+        from posegen_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"data-parallel GAN over {mesh.size} devices")
     trainer = GanTrainer(
         loop_cfg, renderer, spin_params, spin_state,
         gen_cfg=GenConfig(), steps_per_epoch=steps_per_epoch, seed=args.seed,
+        mesh=mesh,
     )
 
     rng = np.random.default_rng(args.seed)
@@ -137,6 +146,7 @@ def main(argv: Optional[Sequence[str]] = None):
             epochs=args.train_spin_epochs,
             ckpt_dir=os.path.join(args.outputdir, args.runname, "spin_ckpts"),
             seed=args.seed,
+            mesh=mesh,
             lr=args.lr_spin,
         )
         print(f"SPIN fine-tuning done: {history[-1]}")

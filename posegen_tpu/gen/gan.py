@@ -9,7 +9,7 @@ criterion is MSE on logits, matching the reference's nn.MSELoss.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -104,6 +104,7 @@ def make_generator_step(
     steps_per_epoch: int = 1000,
     spin_coef: float = 0.1,
     grad_clip: float = 1.0,
+    axis_name: Optional[str] = None,
 ):
     """Generator update (reference run_gan.py:2014-2107).
 
@@ -118,6 +119,17 @@ def make_generator_step(
     from what SPIN predicted — hard-pose mining.
 
     step(..., spin_pred (K, 14, 3), spin_sel (K,), spin_active scalar 0/1).
+
+    axis_name: data-parallel mode for use under shard_map with `real_pose`
+    sharded along the mesh axis and everything else replicated. The step
+    then matches the single-device step on the concatenated batch exactly:
+    noise is drawn GLOBALLY from the replicated key and sliced per device,
+    BN runs synced (nn.layers.batchnorm axis_name), joints all_gather so
+    `spin_sel` indexes the global batch, and per-device loss contributions
+    are built to psum to the global loss (local sums over global
+    denominators; the gathered spin term divided by axis_size), so
+    psum(grads) IS the global gradient. Built by
+    parallel.gan.make_parallel_generator_step.
     """
     opt = optax.chain(
         optax.clip_by_global_norm(grad_clip),
@@ -126,7 +138,30 @@ def make_generator_step(
 
     def loss_fn(g_params, g_state, d_params, key, real_pose, spin_pred,
                 spin_sel, spin_active):
-        out, new_state = pose_generator_apply(g_params, g_state, key, real_pose, cfg)
+        if axis_name is None:
+            noises = None
+            n_dev = 1
+        else:
+            # replicate the single-device key-split structure at the GLOBAL
+            # batch shape, then slice this device's rows: the concatenated
+            # sharded forward sees exactly the single-device noise
+            n_dev = jax.lax.axis_size(axis_name)
+            b_loc = real_pose.shape[0]
+            start = jax.lax.axis_index(axis_name) * b_loc
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, b_loc, 0)
+            k_ba, k_rt = jax.random.split(key)
+            k1, k2, k3 = jax.random.split(k_rt, 3)
+            bg = b_loc * n_dev
+            noises = {
+                "ba": sl(jax.random.normal(k_ba, (bg, cfg.noise_ch))),
+                "r": sl(jax.random.normal(k1, (bg, cfg.rt_noise_ch))),
+                "eps": sl(jax.random.normal(k2, (bg, 3))),
+                "t": sl(jax.random.normal(k3, (bg, cfg.rt_noise_ch))),
+            }
+        out, new_state = pose_generator_apply(
+            g_params, g_state, key, real_pose, cfg,
+            noises=noises, axis_name=axis_name,
+        )
         # Only pose_ba (bone angles) enters the loss — the reference's
         # default train_gan behaves identically: its feedback render uses a
         # FIXED hard-coded extrinsic (run_gan.py:2023-2029) and its adv/spin
@@ -134,16 +169,23 @@ def make_generator_step(
         # gradient there either; Pos2dDiscriminator is likewise built but
         # unwired (SURVEY.md 2f).
         logits = pos3d_discriminator_apply(d_params, out["pose_ba"])
-        adv = lsgan_loss(logits, 1.0) * 0.5
+        # local-sum / global-count: psum over devices = the global mean loss
+        adv = jnp.sum((logits - 1.0) ** 2) * 0.5 / (logits.shape[0] * n_dev)
 
-        joints = fk_fn(out["pose_ba"])  # (B, J, 3)
+        joints = fk_fn(out["pose_ba"])  # (B_local, J, 3)
+        if axis_name is not None:
+            # spin_sel indexes the GLOBAL batch (the trainer selected render
+            # poses from the full generated set)
+            joints = jax.lax.all_gather(joints, axis_name, axis=0, tiled=True)
         j_sel = jnp.take(joints, spin_sel, axis=0)[:, jnp.asarray(SPIN_J14)]
         j_sel = j_sel - j_sel[:, :1]
         pred = spin_pred - spin_pred[:, :1]
         # eps-safe norm: plain norm has NaN gradient at exactly-zero diffs
         # (root joints coincide after centring when feedback is inactive)
         err = jnp.mean(jnp.sqrt(jnp.sum((pred - j_sel) ** 2, axis=-1) + 1e-12))
-        spin_loss = (1.0 - err) * spin_active
+        # computed identically on every device from the gathered joints, so
+        # divide by n_dev to keep psum-of-contributions = the global term
+        spin_loss = (1.0 - err) * spin_active / n_dev
 
         total = adv + spin_coef * spin_loss
         stats = {"adv_loss": adv, "spin_loss": spin_loss, "gen_loss": total}
@@ -156,6 +198,9 @@ def make_generator_step(
             loss_fn, has_aux=True
         )(g_params, g_state, d_params, key, real_pose, spin_pred, spin_sel,
           spin_active)
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+            stats = jax.lax.psum(stats, axis_name)
         updates, g_opt_state = opt.update(grads, g_opt_state, g_params)
         g_params = optax.apply_updates(g_params, updates)
         return g_params, new_state, g_opt_state, out, stats
@@ -168,22 +213,32 @@ def make_discriminator_step(
     n_epochs: int = 50,
     steps_per_epoch: int = 1000,
     grad_clip: float = 1.0,
+    axis_name: Optional[str] = None,
 ):
     """Discriminator update with pooled fakes (reference train_dis,
-    run_gan.py:1143-1178)."""
+    run_gan.py:1143-1178).
+
+    axis_name: data-parallel mode (real/fake batches sharded along the mesh
+    axis under shard_map). Per-device losses are local sums over global
+    counts, so psum(grads) equals the single-device gradient on the
+    concatenated batch; stats psum back to the global values. Built by
+    parallel.gan.make_parallel_discriminator_step."""
     opt = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adam(lambda_lr(lr, n_epochs, steps_per_epoch)),
     )
-
     def loss_fn(d_params, real_kp3d, fake_kp3d):
+        n_dev = 1 if axis_name is None else jax.lax.axis_size(axis_name)
         real_logits = pos3d_discriminator_apply(d_params, real_kp3d)
         fake_logits = pos3d_discriminator_apply(d_params, fake_kp3d)
-        loss = 0.5 * (lsgan_loss(real_logits, 1.0) + lsgan_loss(fake_logits, 0.0))
+        loss = 0.5 * (
+            jnp.sum((real_logits - 1.0) ** 2) / (real_logits.shape[0] * n_dev)
+            + jnp.sum(fake_logits**2) / (fake_logits.shape[0] * n_dev)
+        )
         return loss, {
             "dis_loss": loss,
-            "real_acc": discriminator_accuracy(real_logits, 1.0),
-            "fake_acc": discriminator_accuracy(fake_logits, 0.0),
+            "real_acc": discriminator_accuracy(real_logits, 1.0) / n_dev,
+            "fake_acc": discriminator_accuracy(fake_logits, 0.0) / n_dev,
         }
 
     @jax.jit
@@ -191,6 +246,9 @@ def make_discriminator_step(
         (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             d_params, real_kp3d, jax.lax.stop_gradient(fake_kp3d)
         )
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+            stats = jax.lax.psum(stats, axis_name)
         updates, d_opt_state = opt.update(grads, d_opt_state, d_params)
         d_params = optax.apply_updates(d_params, updates)
         return d_params, d_opt_state, stats

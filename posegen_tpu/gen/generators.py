@@ -51,12 +51,14 @@ def _init_block(key, width) -> Dict:
     }
 
 
-def _block_apply(p: Dict, s: Dict, x: jax.Array, train: bool) -> Tuple[jax.Array, Dict]:
+def _block_apply(
+    p: Dict, s: Dict, x: jax.Array, train: bool, axis_name: Optional[str] = None
+) -> Tuple[jax.Array, Dict]:
     y = linear(p["w1"], x)
-    y, s1 = batchnorm(p["bn1"], s["bn1"], y, train)
+    y, s1 = batchnorm(p["bn1"], s["bn1"], y, train, axis_name=axis_name)
     y = leaky_relu(y)
     y = linear(p["w2"], y)
-    y, s2 = batchnorm(p["bn2"], s["bn2"], y, train)
+    y, s2 = batchnorm(p["bn2"], s["bn2"], y, train, axis_name=axis_name)
     y = leaky_relu(y)
     return y, {"bn1": s1, "bn2": s2}
 
@@ -78,14 +80,15 @@ def _init_trunk(key, cfg: GenConfig, noise_ch: int, out_dim: Optional[int]) -> D
 
 
 def _trunk_apply(
-    tree: Dict, state: Dict, noise: jax.Array, train: bool
+    tree: Dict, state: Dict, noise: jax.Array, train: bool,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, Dict]:
     y = linear(tree["w_in"], noise)
-    y, s_in = batchnorm(tree["bn_in"], state["bn_in"], y, train)
+    y, s_in = batchnorm(tree["bn_in"], state["bn_in"], y, train, axis_name=axis_name)
     y = leaky_relu(y)
     new_state = {"bn_in": s_in, "stages": []}
     for i, stage in enumerate(tree["stages"]):
-        y, s = _block_apply(stage, state["stages"][i], y, train)
+        y, s = _block_apply(stage, state["stages"][i], y, train, axis_name)
         new_state["stages"].append(s)
     if "w_out" in tree:
         y = linear(tree["w_out"], y)
@@ -121,11 +124,12 @@ def ba_generator_apply(
     params: Dict, state: Dict, key: jax.Array, batch: int,
     cfg: GenConfig = GenConfig(), train: bool = True,
     noise: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, Dict]:
     """noise -> axis-angle bones (B, J, 3) (reference BAGenerator.forward)."""
     if noise is None:
         noise = jax.random.normal(key, (batch, cfg.noise_ch))
-    y, new_state = _trunk_apply(params, state, noise, train)
+    y, new_state = _trunk_apply(params, state, noise, train, axis_name)
     y = y.reshape(batch, cfg.n_joints, 4)
     axis = y[..., :3]
     axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-8)
@@ -144,6 +148,7 @@ def rt_generator_apply(
     noise_r: Optional[jax.Array] = None,
     noise_t: Optional[jax.Array] = None,
     eps_axis: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
 ):
     """noise -> (R (B,3,3), T (B,3), transformed pose (B,J,3)), new states
     (reference RTGenerator.forward, run_gan.py:944-980)."""
@@ -157,13 +162,13 @@ def rt_generator_apply(
         if noise_t is None:
             noise_t = jax.random.normal(k3, (B, cfg.rt_noise_ch))
 
-    r_feat, ns_r = _trunk_apply(params_r, state_r, noise_r, train)
+    r_feat, ns_r = _trunk_apply(params_r, state_r, noise_r, train, axis_name)
     r_mean, r_std, r_scale = r_feat[:, :3], r_feat[:, 3:6] ** 2, r_feat[:, 6:7]
     r_axis = r_mean + r_std * eps_axis
     r_axis = r_axis / jnp.maximum(jnp.linalg.norm(r_axis, axis=-1, keepdims=True), 1e-8)
     R = axisang_to_rot(r_axis * r_scale)
 
-    t_feat, ns_t = _trunk_apply(params_t, state_t, noise_t, train)
+    t_feat, ns_t = _trunk_apply(params_t, state_t, noise_t, train, axis_name)
     T = t_feat.at[:, 2].set(t_feat[:, 2] ** 2)
 
     centered = kp3d - kp3d[:, :1]
@@ -174,18 +179,30 @@ def rt_generator_apply(
 def pose_generator_apply(
     params: Dict, state: Dict, key: jax.Array, kp3d: jax.Array,
     cfg: GenConfig = GenConfig(), train: bool = True,
+    noises: Optional[Dict[str, jax.Array]] = None,
+    axis_name: Optional[str] = None,
 ) -> Tuple[Dict, Dict]:
     """Full generator (reference PoseGenerator.forward, run_gan.py:799-816).
 
     kp3d: (B, J, 3) real poses (used for batch size + RT application).
     Returns ({'pose_ba', 'R', 'T', 'pose_rt'}, new_state).
+
+    noises: optional explicit noise dict {'ba', 'r', 'eps', 't'} overriding
+    the key-derived draws — the data-parallel generator step passes each
+    device's slice of globally-drawn noise so a sharded forward reproduces
+    the single-device one exactly. axis_name: sync-BN mesh axis (see
+    nn.layers.batchnorm).
     """
+    noises = noises or {}
     k_ba, k_rt = jax.random.split(key)
     pose_ba, ns_ba = ba_generator_apply(
-        params["ba"], state["ba"], k_ba, kp3d.shape[0], cfg, train
+        params["ba"], state["ba"], k_ba, kp3d.shape[0], cfg, train,
+        noise=noises.get("ba"), axis_name=axis_name,
     )
     R, T, pose_rt, ns_r, ns_t = rt_generator_apply(
-        params["r"], params["t"], state["r"], state["t"], k_rt, kp3d, cfg, train
+        params["r"], params["t"], state["r"], state["t"], k_rt, kp3d, cfg, train,
+        noise_r=noises.get("r"), noise_t=noises.get("t"),
+        eps_axis=noises.get("eps"), axis_name=axis_name,
     )
     return (
         {"pose_ba": pose_ba, "R": R, "T": T, "pose_rt": pose_rt},

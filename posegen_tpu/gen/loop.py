@@ -144,6 +144,7 @@ class GanTrainer:
         gen_cfg: GenConfig = GenConfig(),
         steps_per_epoch: int = 1000,
         seed: int = 0,
+        mesh=None,
     ):
         self.cfg = loop_cfg
         self.gen_cfg = gen_cfg
@@ -158,14 +159,32 @@ class GanTrainer:
         self.d_params = init_pos3d_discriminator(jax.random.PRNGKey(seed + 1))
 
         fk = lambda b: fk_joints(b, loop_cfg.pose_scale)
-        self.g_opt, self.g_step = make_generator_step(
-            fk, gen_cfg, lr=loop_cfg.lr_g, n_epochs=loop_cfg.n_epochs,
-            steps_per_epoch=steps_per_epoch, spin_coef=loop_cfg.spin_coef,
-        )
-        self.d_opt, self.d_step = make_discriminator_step(
-            lr=loop_cfg.lr_d, n_epochs=loop_cfg.n_epochs,
-            steps_per_epoch=steps_per_epoch,
-        )
+        if mesh is not None and mesh.size > 1:
+            # data-parallel G/D steps over the mesh (sync-BN + psum'd grads;
+            # matches the single-device steps exactly — parallel/gan.py).
+            # Pose batches must divide by mesh.size; the steps check loudly.
+            from posegen_tpu.parallel.gan import (
+                make_parallel_discriminator_step,
+                make_parallel_generator_step,
+            )
+
+            self.g_opt, self.g_step = make_parallel_generator_step(
+                mesh, fk, gen_cfg, lr=loop_cfg.lr_g, n_epochs=loop_cfg.n_epochs,
+                steps_per_epoch=steps_per_epoch, spin_coef=loop_cfg.spin_coef,
+            )
+            self.d_opt, self.d_step = make_parallel_discriminator_step(
+                mesh, lr=loop_cfg.lr_d, n_epochs=loop_cfg.n_epochs,
+                steps_per_epoch=steps_per_epoch,
+            )
+        else:
+            self.g_opt, self.g_step = make_generator_step(
+                fk, gen_cfg, lr=loop_cfg.lr_g, n_epochs=loop_cfg.n_epochs,
+                steps_per_epoch=steps_per_epoch, spin_coef=loop_cfg.spin_coef,
+            )
+            self.d_opt, self.d_step = make_discriminator_step(
+                lr=loop_cfg.lr_d, n_epochs=loop_cfg.n_epochs,
+                steps_per_epoch=steps_per_epoch,
+            )
         self.g_opt_state = self.g_opt.init(self.g_params)
         self.d_opt_state = self.d_opt.init(self.d_params)
         self.fake_pool = FakePool(seed=seed)

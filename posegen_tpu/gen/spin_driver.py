@@ -35,8 +35,14 @@ def train_spin(
     evaluator=None,
     hinge: Optional[float] = 0.02,  # reference run_gan.py:1890-1914 filter
     seed: int = 0,
+    mesh=None,
 ):
-    """Fine-tune SPIN; returns (params, opt metrics history)."""
+    """Fine-tune SPIN; returns (params, opt metrics history).
+
+    mesh: data-parallel fine-tuning over the device mesh
+    (parallel/gan.make_parallel_spin_finetune_step) — batches are trimmed
+    to a mesh-size multiple (ragged tails dropped, as a torch DataLoader
+    with drop_last would)."""
     nerf_ds = RenderedPoseDataset(render_dir, crop=crop, res=res, pose_scale=pose_scale)
     if len(nerf_ds) == 0:
         raise FileNotFoundError(f"no rendered (image, pose) pairs under {render_dir}")
@@ -46,8 +52,27 @@ def train_spin(
         else None
     )
 
-    opt_h, step_hinge = make_spin_finetune_step(lr=lr, pose_scale=pose_scale, hinge=hinge)
-    _, step_plain = make_spin_finetune_step(lr=lr, pose_scale=pose_scale, hinge=None)
+    if mesh is not None and mesh.size > 1:
+        from posegen_tpu.parallel.gan import make_parallel_spin_finetune_step
+
+        if batch_size % mesh.size != 0:
+            raise ValueError(
+                f"batch_size ({batch_size}) must divide over the "
+                f"{mesh.size}-device mesh"
+            )
+        opt_h, step_hinge = make_parallel_spin_finetune_step(
+            mesh, lr=lr, pose_scale=pose_scale, hinge=hinge
+        )
+        _, step_plain = make_parallel_spin_finetune_step(
+            mesh, lr=lr, pose_scale=pose_scale, hinge=None
+        )
+        trim = lambda b: {
+            k2: v[: (v.shape[0] // mesh.size) * mesh.size] for k2, v in b.items()
+        }
+    else:
+        opt_h, step_hinge = make_spin_finetune_step(lr=lr, pose_scale=pose_scale, hinge=hinge)
+        _, step_plain = make_spin_finetune_step(lr=lr, pose_scale=pose_scale, hinge=None)
+        trim = lambda b: b
     opt_state = opt_h.init(spin_params)
 
     key = jax.random.PRNGKey(seed)
@@ -56,6 +81,9 @@ def train_spin(
         # NeRF-render passes (hinge filter, reference run_gan.py:1890-1914)
         losses = []
         for i, b in enumerate(nerf_ds.batches(batch_size, seed=seed + epoch)):
+            b = trim(b)
+            if next(iter(b.values())).shape[0] == 0:
+                continue
             key, k = jax.random.split(key)
             spin_params, opt_state, stats = step_hinge(
                 spin_params, spin_state, opt_state,

@@ -29,8 +29,15 @@ def spin_pose_loss(
     gt_joints: jax.Array,
     pose_scale: float = 0.4,
     hinge: Optional[float] = 0.02,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """(loss, per-sample errors). gt_joints: (B, 24, 3) world joints."""
+    """(loss, per-sample errors). gt_joints: (B, 24, 3) world joints.
+
+    axis_name: data-parallel mode — the hinge keep-count (or batch size)
+    psums over the mesh axis so the per-device loss is a local numerator
+    over the GLOBAL denominator: psum of the per-device losses (and of
+    their gradients) equals the single-device loss on the concatenated
+    batch, including the reference's divide-by-kept-count semantics."""
     j14 = jnp.asarray(SPIN_J14)
     pose = smpl_l2ws_from_rots(pred_rotmat, scale=pose_scale)[..., :3, 3]
     pose = pose - pose[:, :1]
@@ -46,9 +53,15 @@ def spin_pose_loss(
     )
     if hinge is not None:
         keep = (per_sample < hinge).astype(per_sample.dtype)
-        loss = jnp.sum(per_sample * keep) / jnp.maximum(jnp.sum(keep), 1.0)
+        den = jnp.sum(keep)
+        if axis_name is not None:
+            den = jax.lax.psum(den, axis_name)
+        loss = jnp.sum(per_sample * keep) / jnp.maximum(den, 1.0)
     else:
-        loss = jnp.mean(per_sample)
+        n = per_sample.shape[0]
+        if axis_name is not None:
+            n = n * jax.lax.axis_size(axis_name)
+        loss = jnp.sum(per_sample) / n
     return loss, per_sample
 
 
@@ -82,11 +95,18 @@ def make_spin_finetune_step(
     pose_scale: float = 0.4,
     hinge: Optional[float] = 0.02,
     freeze_init_buffers: bool = True,
+    axis_name: Optional[str] = None,
 ):
     """-> (optimizer, step). step(params, bn_state, opt_state, images, gt_joints,
     key) with BN running stats FROZEN (reference set_bn_eval,
     run_gan.py:1860-1869); init_pose/shape/cam mean-param buffers excluded
-    from updates (they are torch buffers, not parameters)."""
+    from updates (they are torch buffers, not parameters).
+
+    axis_name: data-parallel mode (images/gt_joints sharded along the mesh
+    axis under shard_map; BN frozen, so no stat sync is needed). The loss
+    uses global denominators (spin_pose_loss axis_name), psum(grads) is the
+    exact single-device gradient, and the per-device loss psums back to the
+    global value. Built by parallel.gan.make_parallel_spin_finetune_step."""
     opt = bn_frozen_adam(lr, freeze_init_buffers)
 
     @jax.jit
@@ -95,10 +115,15 @@ def make_spin_finetune_step(
             rotmat, betas, cam, _ = hmr_apply(
                 p, bn_state, images, train=True, bn_train=False, dropout_key=key
             )
-            loss, per_sample = spin_pose_loss(rotmat, gt_joints, pose_scale, hinge)
+            loss, per_sample = spin_pose_loss(
+                rotmat, gt_joints, pose_scale, hinge, axis_name=axis_name
+            )
             return loss, per_sample
 
         (loss, per_sample), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+            loss = jax.lax.psum(loss, axis_name)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"spin_loss": loss, "per_sample": per_sample}
@@ -112,6 +137,7 @@ def ski_pose_loss(
     gt_joints14: jax.Array,
     smpl,
     J_reg: jax.Array,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """SKI fine-tune loss (reference train_ski,
     render_3dpw_testset.py:2690-2714): 14 joints regressed from the
@@ -137,7 +163,11 @@ def ski_pose_loss(
     per_sample = jnp.mean(
         jnp.sqrt(jnp.sum((p14 - gt_joints14) ** 2, axis=-1) + 1e-12), axis=-1
     )
-    return jnp.mean(per_sample), per_sample
+    n = per_sample.shape[0]
+    if axis_name is not None:
+        # local sum over the global count: psum = the global mean loss
+        n = n * jax.lax.axis_size(axis_name)
+    return jnp.sum(per_sample) / n, per_sample
 
 
 def make_ski_finetune_step(
@@ -145,10 +175,12 @@ def make_ski_finetune_step(
     J_regressor,
     lr: float = 5e-5,
     freeze_init_buffers: bool = True,
+    axis_name: Optional[str] = None,
 ):
     """-> (optimizer, step) fine-tuning SPIN on SKI 3D-joint GT with the
     mesh-regressed loss above; BN stats frozen like make_spin_finetune_step
-    (reference train_ski, render_3dpw_testset.py:2659-2775)."""
+    (reference train_ski, render_3dpw_testset.py:2659-2775). axis_name:
+    data-parallel mode, same contract as make_spin_finetune_step."""
     opt = bn_frozen_adam(lr, freeze_init_buffers)
     J_reg = jnp.asarray(J_regressor, jnp.float32)
 
@@ -158,9 +190,14 @@ def make_ski_finetune_step(
             rotmat, betas, _, _ = hmr_apply(
                 p, bn_state, images, train=True, bn_train=False, dropout_key=key
             )
-            return ski_pose_loss(rotmat, betas, gt_joints14, smpl, J_reg)
+            return ski_pose_loss(
+                rotmat, betas, gt_joints14, smpl, J_reg, axis_name=axis_name
+            )
 
         (loss, per_sample), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+            loss = jax.lax.psum(loss, axis_name)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"spin_loss": loss, "per_sample": per_sample}

@@ -50,6 +50,7 @@ def batchnorm(
     train: bool,
     momentum: float = 0.1,
     eps: float = 1e-5,
+    axis_name: str = None,
 ) -> Tuple[jax.Array, Dict]:
     """Normalize over all axes but the last. Returns (y, new_state).
 
@@ -57,12 +58,24 @@ def batchnorm(
     PyTorch convention: new = (1-m)*old + m*batch). train=False (and the
     SPIN fine-tuning 'BN frozen' mode, reference run_gan.py:1860-1869) uses
     the stored running stats and leaves state unchanged.
+
+    axis_name: sync-BN for data-parallel training under shard_map — batch
+    statistics are pmean'd over the mesh axis so every device normalizes
+    with GLOBAL-batch moments; with equal shards the result matches the
+    single-device step exactly (unlike torch nn.DataParallel's per-replica
+    stats), and the returned state is replicated.
     """
     axes = tuple(range(x.ndim - 1))
     if train:
         mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
         n = x.size // x.shape[-1]
+        if axis_name is None:
+            var = jnp.var(x, axis=axes)
+        else:
+            mean = jax.lax.pmean(mean, axis_name)
+            msq = jax.lax.pmean(jnp.mean(x * x, axis=axes), axis_name)
+            var = msq - mean * mean
+            n = n * jax.lax.axis_size(axis_name)
         unbiased = var * n / max(n - 1, 1)
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
