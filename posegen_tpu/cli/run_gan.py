@@ -51,6 +51,10 @@ def gan_parser() -> argparse.ArgumentParser:
                    help="feedback renders on white (reference :97)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--train_spin_epochs", type=int, default=0)
+    p.add_argument("--i_gan_ckpt", type=int, default=1,
+                   help="save a resumable GAN checkpoint every N epochs (0 off)")
+    p.add_argument("--no_resume", action="store_true",
+                   help="ignore existing gan_ckpts and start fresh")
     return p
 
 
@@ -127,15 +131,33 @@ def main(argv: Optional[Sequence[str]] = None):
         mesh=mesh,
     )
 
+    # auto-resume: the reference loses its G/D state on interruption (it
+    # persists only SPIN checkpoints, run_gan.py:1947); here the latest
+    # gan_*.npz restores the full run (params, optimizers, PRNG, fake pool)
+    ckpt_dir = os.path.join(args.outputdir, args.runname, "gan_ckpts")
+    import glob as _glob
+
+    existing = sorted(_glob.glob(os.path.join(ckpt_dir, "gan_*.npz")))
+    if existing and not args.no_resume:
+        trainer.load_checkpoint(existing[-1])
+        print(f"resumed from {existing[-1]} (epoch {trainer.epoch})")
+
     rng = np.random.default_rng(args.seed)
     for epoch in range(args.epochs):
         perm = rng.permutation(len(pool))
+        if epoch < trainer.epoch:
+            continue  # consumed by resume; replay the permutation stream
         batches = [
             pool[perm[i : i + args.batch_size]]
             for i in range(0, len(perm) - args.batch_size + 1, args.batch_size)
         ] or [pool]
         stats = trainer.train_epoch(batches)
         print(f"epoch {epoch}: {stats}")
+        if args.i_gan_ckpt and (epoch + 1) % args.i_gan_ckpt == 0:
+            path = trainer.save_checkpoint(
+                os.path.join(ckpt_dir, f"gan_{epoch:03d}.npz")
+            )
+            print(f"saved {path}")
 
     if args.train_spin_epochs > 0 and spin_params is not None:
         from posegen_tpu.gen.spin_driver import train_spin

@@ -297,3 +297,63 @@ class GanTrainer:
             last = self.train_step(batch)
         self.epoch += 1
         return last
+
+    # -- checkpoint / resume (the reference persists only SPIN checkpoints,
+    # run_gan.py:1947 — its G/D state is lost on interruption; here the full
+    # GAN run resumes exactly: params, BN state, both optimizers, PRNG key,
+    # the fake-replay pool incl. its RNG bit state, and loop counters) --
+
+    def save_checkpoint(self, path: str) -> str:
+        import pickle
+
+        from posegen_tpu.train.checkpoints import _flatten
+
+        flat = _flatten({
+            "g_params": self.g_params, "g_state": self.g_state,
+            "g_opt_state": self.g_opt_state,
+            "d_params": self.d_params, "d_opt_state": self.d_opt_state,
+            "key": self.key,
+        })
+        flat["iter_num"] = np.asarray(self.iter_num)
+        flat["epoch"] = np.asarray(self.epoch)
+        flat["render_count"] = np.asarray(self._render_count)
+        if self.fake_pool.items:
+            flat["pool_items"] = np.stack(self.fake_pool.items)
+        flat["pool_rng_state"] = np.frombuffer(
+            pickle.dumps(self.fake_pool.rng.bit_generator.state), np.uint8
+        )
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(path, **flat)
+        return path
+
+    def load_checkpoint(self, path: str) -> "GanTrainer":
+        import pickle
+
+        import jax.numpy as _jnp
+
+        from posegen_tpu.train.checkpoints import _unflatten_into
+
+        raw = dict(np.load(path))
+        tree = _unflatten_into(
+            {
+                "g_params": self.g_params, "g_state": self.g_state,
+                "g_opt_state": self.g_opt_state,
+                "d_params": self.d_params, "d_opt_state": self.d_opt_state,
+                "key": self.key,
+            },
+            raw,
+        )
+        self.g_params, self.g_state = tree["g_params"], tree["g_state"]
+        self.g_opt_state = tree["g_opt_state"]
+        self.d_params, self.d_opt_state = tree["d_params"], tree["d_opt_state"]
+        self.key = _jnp.asarray(tree["key"])
+        self.iter_num = int(raw["iter_num"])
+        self.epoch = int(raw["epoch"])
+        self._render_count = int(raw["render_count"])
+        self.fake_pool.items = (
+            list(raw["pool_items"]) if "pool_items" in raw else []
+        )
+        self.fake_pool.rng.bit_generator.state = pickle.loads(
+            raw["pool_rng_state"].tobytes()
+        )
+        return self

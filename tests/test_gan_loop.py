@@ -181,3 +181,33 @@ def test_gan_train_epochs_feedback_then_spin_finetune(rng, tmp_path):
         )
     )
     assert moved > 0.0, "no SPIN weight moved during fine-tuning"
+
+
+def test_gan_checkpoint_resume_exact(rng, tmp_path):
+    """save_checkpoint/load_checkpoint resume a GAN run bit-exactly: params,
+    both optimizers, the PRNG key, the fake-replay pool (items + RNG bit
+    state), and the iter/epoch counters all round-trip, so continuing from
+    the checkpoint reproduces the uninterrupted run on the same batches.
+    (The reference persists only SPIN state, run_gan.py:1947.)"""
+    cfg = GanLoopConfig(n_epochs=4, rpi=2, df=2)
+    poses = (rng.standard_normal((8, 4, 24, 3)) * 0.2).astype(np.float32)
+
+    a = GanTrainer(cfg, renderer=None, gen_cfg=TINY_GEN, steps_per_epoch=4, seed=3)
+    for b in poses[:4]:
+        a.train_step(b)
+    ckpt = a.save_checkpoint(str(tmp_path / "gan_ckpts" / "gan_000.npz"))
+    for b in poses[4:]:
+        a.train_step(b)
+
+    b_tr = GanTrainer(cfg, renderer=None, gen_cfg=TINY_GEN, steps_per_epoch=4, seed=99)
+    b_tr.load_checkpoint(ckpt)
+    assert b_tr.iter_num == 4
+    for b in poses[4:]:
+        b_tr.train_step(b)
+
+    for la, lb in zip(
+        jax.tree_util.tree_leaves((a.g_params, a.d_params, a.g_state)),
+        jax.tree_util.tree_leaves((b_tr.g_params, b_tr.d_params, b_tr.g_state)),
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    assert len(a.fake_pool.items) == len(b_tr.fake_pool.items)
