@@ -17,6 +17,17 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+def latest_gan_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Newest gan_{epoch}.npz by numeric epoch (lexical order missorts
+    epoch >= 1000 against the 3-digit-padded names)."""
+    import glob
+
+    paths = glob.glob(os.path.join(ckpt_dir, "gan_*.npz"))
+    if not paths:
+        return None
+    return max(paths, key=lambda p: int(os.path.basename(p)[4:-4]))
+
+
 def gan_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("posegen_tpu.run_gan")
     p.add_argument("--nerf_args", type=str, default=None, help="trained args.txt")
@@ -135,12 +146,10 @@ def main(argv: Optional[Sequence[str]] = None):
     # persists only SPIN checkpoints, run_gan.py:1947); here the latest
     # gan_*.npz restores the full run (params, optimizers, PRNG, fake pool)
     ckpt_dir = os.path.join(args.outputdir, args.runname, "gan_ckpts")
-    import glob as _glob
-
-    existing = sorted(_glob.glob(os.path.join(ckpt_dir, "gan_*.npz")))
-    if existing and not args.no_resume:
-        trainer.load_checkpoint(existing[-1])
-        print(f"resumed from {existing[-1]} (epoch {trainer.epoch})")
+    latest = latest_gan_checkpoint(ckpt_dir)
+    if latest and not args.no_resume:
+        trainer.load_checkpoint(latest)
+        print(f"resumed from {latest} (epoch {trainer.epoch})")
 
     rng = np.random.default_rng(args.seed)
     for epoch in range(args.epochs):

@@ -211,3 +211,14 @@ def test_gan_checkpoint_resume_exact(rng, tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
     assert len(a.fake_pool.items) == len(b_tr.fake_pool.items)
+
+
+def test_latest_gan_checkpoint_numeric_order(tmp_path):
+    """Resume must pick the numerically-latest epoch: lexical sort would
+    rank gan_999.npz above gan_1000.npz."""
+    from posegen_tpu.cli.run_gan import latest_gan_checkpoint
+
+    assert latest_gan_checkpoint(str(tmp_path)) is None
+    for name in ["gan_002.npz", "gan_999.npz", "gan_1000.npz", "gan_010.npz"]:
+        (tmp_path / name).write_bytes(b"")
+    assert latest_gan_checkpoint(str(tmp_path)).endswith("gan_1000.npz")
