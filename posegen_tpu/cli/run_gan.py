@@ -19,10 +19,15 @@ import numpy as np
 
 def latest_gan_checkpoint(ckpt_dir: str) -> Optional[str]:
     """Newest gan_{epoch}.npz by numeric epoch (lexical order missorts
-    epoch >= 1000 against the 3-digit-padded names)."""
+    epoch >= 1000 against the 3-digit-padded names). Non-conforming names
+    (e.g. a hand-copied gan_best.npz) are skipped, not crashed on."""
     import glob
+    import re
 
-    paths = glob.glob(os.path.join(ckpt_dir, "gan_*.npz"))
+    paths = [
+        p for p in glob.glob(os.path.join(ckpt_dir, "gan_*.npz"))
+        if re.fullmatch(r"gan_(\d+)\.npz", os.path.basename(p))
+    ]
     if not paths:
         return None
     return max(paths, key=lambda p: int(os.path.basename(p)[4:-4]))
@@ -146,10 +151,11 @@ def main(argv: Optional[Sequence[str]] = None):
     # persists only SPIN checkpoints, run_gan.py:1947); here the latest
     # gan_*.npz restores the full run (params, optimizers, PRNG, fake pool)
     ckpt_dir = os.path.join(args.outputdir, args.runname, "gan_ckpts")
-    latest = latest_gan_checkpoint(ckpt_dir)
-    if latest and not args.no_resume:
-        trainer.load_checkpoint(latest)
-        print(f"resumed from {latest} (epoch {trainer.epoch})")
+    if not args.no_resume:
+        latest = latest_gan_checkpoint(ckpt_dir)
+        if latest:
+            trainer.load_checkpoint(latest)
+            print(f"resumed from {latest} (epoch {trainer.epoch})")
 
     rng = np.random.default_rng(args.seed)
     for epoch in range(args.epochs):

@@ -222,3 +222,8 @@ def test_latest_gan_checkpoint_numeric_order(tmp_path):
     for name in ["gan_002.npz", "gan_999.npz", "gan_1000.npz", "gan_010.npz"]:
         (tmp_path / name).write_bytes(b"")
     assert latest_gan_checkpoint(str(tmp_path)).endswith("gan_1000.npz")
+
+    # non-conforming names (hand-copied checkpoints) are skipped, not a crash
+    (tmp_path / "gan_best.npz").write_bytes(b"")
+    (tmp_path / "gan_12_old.npz").write_bytes(b"")
+    assert latest_gan_checkpoint(str(tmp_path)).endswith("gan_1000.npz")
