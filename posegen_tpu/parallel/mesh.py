@@ -198,14 +198,26 @@ def auto_render_fn(cfg, chunk: int, use_fused=None, half_readback: bool = False)
     renderer, i_video, evaluate_testset."""
     import jax as _jax
 
-    from posegen_tpu.kernels.field import supports_fused_config
+    from posegen_tpu.kernels.field import (
+        fused_config_disqualification,
+        warn_fused_fallback,
+    )
 
-    if use_fused is not False and not supports_fused_config(cfg):
-        # the XLA fallback pipeline materializes the per-point encodings
-        # (~350 KB/ray at 64+16 samples): a 65536-ray eval chunk would need
-        # >20 GB of HBM. Clamp to the reference's own eval tiling
-        # (chunk // 8, run_nerf.py:157).
-        chunk = min(chunk, 8192)
+    if use_fused is not False:
+        reason = fused_config_disqualification(cfg)
+        if reason is not None:
+            # the XLA fallback pipeline materializes the per-point encodings
+            # (~350 KB/ray at 64+16 samples): a 65536-ray eval chunk would
+            # need >20 GB of HBM. Clamp to the reference's own eval tiling
+            # (chunk // 8, run_nerf.py:157).
+            if chunk > 8192:
+                warn_fused_fallback(
+                    "auto_render_fn", reason,
+                    extra=f" Eval chunk clamped {chunk} -> 8192.",
+                )
+                chunk = 8192
+            else:
+                warn_fused_fallback("auto_render_fn", reason)
 
     if _jax.device_count() <= 1:
         return None, chunk

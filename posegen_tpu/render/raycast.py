@@ -350,13 +350,19 @@ def render_rays(
     perturb = cfg.perturb if perturb is None else perturb
     raw_noise_std = cfg.raw_noise_std if raw_noise_std is None else raw_noise_std
     if use_fused is None:
-        from posegen_tpu.kernels.field import supports_fused
+        from posegen_tpu.kernels.field import (
+            fused_disqualification,
+            warn_fused_fallback,
+        )
 
         # auto-dispatch only on real TPUs: the CPU fallback would run the
         # kernel in the (slow) interpreter; tests opt in explicitly
-        use_fused = jax.default_backend() == "tpu" and supports_fused(
-            cfg, ctx, params["coarse"]
-        )
+        use_fused = False
+        if jax.default_backend() == "tpu":
+            reason = fused_disqualification(cfg, ctx, params["coarse"])
+            use_fused = reason is None
+            if reason is not None:
+                warn_fused_fallback("render_rays", reason)
     act = density_activation(cfg.nerf_cfg)
     dn = det_noise or {}
 

@@ -31,6 +31,62 @@ def test_supports_fused_gating():
     assert not supports_fused(cfg, multi_pose, params["coarse"])
 
 
+def test_fused_fallback_is_named_and_warned_once():
+    """Disqualified configs name the offending flag, and the fallback warns
+    exactly once per (site, reason) per process (VERDICT r3 weak item 3)."""
+    import warnings
+
+    from posegen_tpu.kernels import field
+
+    cfg, params, ctx, _, _ = make_problem(CFG, n_rays=8)
+    assert field.fused_disqualification(cfg, ctx, params["coarse"]) is None
+    assert field.fused_config_disqualification(CFG) is None
+
+    bad = RaycastConfig(kp_dist_type="relpos")
+    reason = field.fused_config_disqualification(bad)
+    assert reason is not None and "kp_dist_type" in reason
+
+    multi_pose = ctx._replace(kps=jnp.tile(ctx.kps, (8, 1, 1)))
+    reason2 = field.fused_disqualification(cfg, multi_pose, params["coarse"])
+    assert reason2 is not None and "pose group" in reason2
+
+    where = "test-site-%d" % np.random.default_rng(0).integers(1 << 30)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        field.warn_fused_fallback(where, reason)
+        field.warn_fused_fallback(where, reason)  # dedup
+        field.warn_fused_fallback(where, reason2)  # new reason -> new warning
+    assert len(rec) == 2
+    assert "kp_dist_type" in str(rec[0].message)
+    assert "XLA pipeline" in str(rec[0].message)
+
+
+def test_auto_render_fn_clamp_warns():
+    """The auto_render_fn chunk clamp for non-fused configs emits the named
+    warning (once) and still clamps to the reference's eval tiling."""
+    import warnings
+
+    from posegen_tpu.kernels import field
+    from posegen_tpu.parallel.mesh import auto_render_fn
+
+    bad = RaycastConfig(kp_dist_type="relpos")
+    field._WARNED_FALLBACKS.discard(
+        ("auto_render_fn", field.fused_config_disqualification(bad))
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        _, chunk = auto_render_fn(bad, 65536)
+    assert chunk == 8192
+    msgs = [str(r.message) for r in rec if "posegen_tpu[" in str(r.message)]
+    assert len(msgs) == 1 and "kp_dist_type" in msgs[0] and "clamped" in msgs[0]
+
+    # fused-eligible config: no warning, chunk untouched on one device
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        _, chunk2 = auto_render_fn(CFG, 65536)
+    assert not [r for r in rec2 if "posegen_tpu[" in str(r.message)]
+
+
 @pytest.mark.slow
 def test_fused_field_matches_xla():
     """Interpret-mode kernel output == XLA encode+MLP path (bf16 tolerance)."""
