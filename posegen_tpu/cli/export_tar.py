@@ -39,7 +39,7 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
 
     flat = dict(np.load(args.ckptpath))
     step = int(flat.get("step", 0))
-    pose_params = rest_pose = None
+    pose_params = rest_pose = kp_map = kp_uidxs = None
     pp = {
         k.split("//", 1)[1]: flat[k]
         for k in flat
@@ -56,11 +56,33 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
             from posegen_tpu.skeleton.skeleton import SMPL_REST_POSE
 
             rest_pose = np.asarray(SMPL_REST_POSE, np.float32)
+        if "root_bones" in pose_params:
+            # multiview training (--multiview): the reference layer stores
+            # kp_map/kp_uidxs buffers; recompute them from the training H5's
+            # img_paths exactly as the dataset did at train time
+            if not args.rest_pose_h5:
+                raise SystemExit(
+                    "multiview checkpoint: pass --rest_pose_h5 (the training "
+                    "H5) so kp_map/kp_uidxs can be rebuilt from img_paths"
+                )
+            import h5py
+
+            from posegen_tpu.data.multiview import (
+                create_kp_mapping,
+                find_motion_set,
+            )
+
+            with h5py.File(args.rest_pose_h5, "r") as f:
+                img_paths = [p for p in np.asarray(f["img_paths"])]
+            kp_map, kp_uidxs = create_kp_mapping(
+                *find_motion_set(img_paths)
+            )
 
     path = export_torch_checkpoint(
         args.out, variables, cfg, global_step=step,
         pose_params=pose_params, rest_pose=rest_pose,
         opt_pose_lrate=getattr(targs, "opt_pose_lrate", 5e-4),
+        kp_map=kp_map, kp_uidxs=kp_uidxs,
     )
     print(f"exported {path}")
     return path

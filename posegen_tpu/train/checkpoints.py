@@ -186,11 +186,16 @@ def import_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     if popt:
         popt = to_np(popt)
         pose = {}
-        if "pelvis" in popt:
-            pose["pelvis"] = jnp.asarray(np.asarray(popt["pelvis"], dtype=np.float32))
-        if "bones" in popt:
-            pose["bones"] = jnp.asarray(np.asarray(popt["bones"], dtype=np.float32))
+        for k in ("pelvis", "bones", "root_bones"):
+            if k in popt:
+                pose[k] = jnp.asarray(np.asarray(popt[k], dtype=np.float32))
         extras["pose_params"] = pose
+        # multiview layers carry their sharing maps as long buffers
+        # (reference pose_opt.py:258-260); surface them so gather_pose_rows
+        # can consume an imported multiview checkpoint directly
+        for k in ("kp_map", "kp_uidxs"):
+            if k in popt:
+                extras[k] = jnp.asarray(np.asarray(popt[k], dtype=np.int64))
     return variables, extras
 
 
@@ -260,6 +265,8 @@ def export_torch_checkpoint(
     pose_params: Optional[Dict] = None,
     rest_pose: Optional[np.ndarray] = None,
     opt_pose_lrate: float = 5e-4,
+    kp_map: Optional[np.ndarray] = None,
+    kp_uidxs: Optional[np.ndarray] = None,
 ) -> str:
     """Write a reference-format .tar (inverse of import_torch_checkpoint).
 
@@ -301,7 +308,24 @@ def export_torch_checkpoint(
             )
         t = lambda a: torch.tensor(np.asarray(a, dtype=np.float32))
         popt_sd = {k: t(v) for k, v in pose_params.items()}
-        popt_sd["rest_pose"] = t(rest_pose)
+        # the reference layer registers rest_pose as (1, J, 3)
+        # (pose_opt.py:249 "rest_pose: (1, N_joints, 3)"); a (J, 3) buffer
+        # fails its strict load with a size mismatch
+        rp = np.asarray(rest_pose, dtype=np.float32)
+        popt_sd["rest_pose"] = t(rp[None] if rp.ndim == 2 else rp)
+        if "root_bones" in pose_params:
+            # multiview layout: the reference PoseOptLayer registers kp_map/
+            # kp_uidxs as long buffers (pose_opt.py:258-260) and its strict
+            # load_state_dict / load_poseopt_from_state_dict (pose_opt.py:
+            # 222-226) require them in the checkpoint
+            if kp_map is None or kp_uidxs is None:
+                raise ValueError(
+                    "multiview pose export (root_bones present) needs "
+                    "kp_map and kp_uidxs — the reference PoseOptLayer "
+                    "stores them as buffers in its state dict"
+                )
+            popt_sd["kp_map"] = torch.tensor(np.asarray(kp_map)).long()
+            popt_sd["kp_uidxs"] = torch.tensor(np.asarray(kp_uidxs)).long()
         ckpt["poseopt_layer_state_dict"] = popt_sd
         # a fresh Adam over the layer's parameter list, exactly as
         # create_popt builds it (pose_opt.py:43-46)

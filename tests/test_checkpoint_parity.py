@@ -56,6 +56,9 @@ def _build_reference_raycaster(cfg: RaycastConfig, seed: int = 3):
             input_ch_views=cfg.embed_view_cfg.out_dim,
             skips=[2] if 2 in cfg.nerf_cfg.skips else [4],
             use_viewdirs=True,
+            use_framecode=cfg.opt_framecode,
+            framecode_ch=cfg.framecode_ch,
+            n_framecodes=cfg.n_framecodes,
         )
 
     mk_cut_kwargs = lambda dist_inputs: {
@@ -291,6 +294,179 @@ def test_exported_tar_loads_in_reference_and_matches(tmp_path):
     np.testing.assert_allclose(
         np.asarray(ours["rgb_map"]), ref_rgb, rtol=5e-4, atol=5e-4
     )
+
+
+def test_exported_framecode_tar_loads_in_reference_and_matches(tmp_path):
+    """Export-path completeness (VERDICT r3 item 8), framecode variant: an
+    opt_framecode model exported to .tar strict-loads in the reference
+    (per-frame Optcodes table included, nerf.py:87-88 `framecodes.codes`)
+    and renders identically through both stacks with PER-RAY camera
+    indices selecting different learned codes."""
+    import jax
+
+    from core.trainer import render
+    from core.utils.run_nerf_helpers import load_ckpt_from_path
+    from posegen_tpu.render.raycast import PoseCtx, init_raycaster
+    from posegen_tpu.train.checkpoints import export_torch_checkpoint
+    from posegen_tpu.utils.fixtures import make_pose_ctx, make_rays
+
+    cfg = RaycastConfig(
+        netdepth=4, netwidth=64, N_samples=16, N_importance=8,
+        multires=7, multires_views=4,
+        opt_framecode=True, n_framecodes=5, framecode_ch=16,
+    )
+    variables = init_raycaster(jax.random.PRNGKey(9), cfg)
+    # spread the codes out so a wrong/missing row is visible in pixels
+    rng = np.random.default_rng(3)
+    for net in ("coarse", "fine"):
+        variables[net]["framecodes"] = jnp.asarray(
+            rng.standard_normal(variables[net]["framecodes"].shape) * 3.0,
+            jnp.float32,
+        )
+
+    tar = str(tmp_path / "000011.tar")
+    export_torch_checkpoint(tar, variables, cfg, global_step=11)
+
+    caster, preproc = _build_reference_raycaster(cfg, seed=13)
+    gs, caster, _, _ = load_ckpt_from_path(caster, None, tar)
+    assert gs == 11
+    np.testing.assert_allclose(
+        caster.network.framecodes.codes.weight.detach().numpy(),
+        np.asarray(variables["coarse"]["framecodes"]), rtol=1e-6,
+    )
+
+    base = make_pose_ctx(seed=0)
+    val_o, val_d = make_rays(96, seed=7)
+    cam_idxs = (np.arange(96) % cfg.n_framecodes).astype(np.int64)
+
+    def tile(a, n):
+        a = np.asarray(a)
+        return torch.tensor(np.tile(a, (n,) + (1,) * (a.ndim - 1)))
+
+    caster.eval()
+    with torch.no_grad():
+        ref_out = render(
+            8, 8, 10.0, chunk=4096,
+            rays=(torch.tensor(np.asarray(val_o)), torch.tensor(np.asarray(val_d))),
+            kp_batch=tile(base.kps, 96), skts=tile(base.skts, 96),
+            bones=tile(base.bones, 96), cyls=tile(base.cyls, 96),
+            cams=torch.tensor(cam_idxs),
+            ray_caster=nn.DataParallel(caster), use_viewdirs=True,
+            near=cfg.near, far=cfg.far,
+            N_samples=cfg.N_samples, N_importance=cfg.N_importance,
+            perturb=0.0, raw_noise_std=0.0, preproc_kwargs=preproc,
+        )
+    ref_rgb = ref_out["rgb_map"].numpy()
+
+    ctx = PoseCtx(
+        kps=base.kps, skts=base.skts, bones=base.bones, cyls=base.cyls,
+        cam_idxs=jnp.asarray(cam_idxs[:, None].astype(np.int32)),
+    )
+    ours = render_rays(
+        cfg, variables, val_o, val_d, ctx, perturb=0.0, raw_noise_std=0.0,
+        use_fused=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["rgb_map"]), ref_rgb, rtol=5e-4, atol=5e-4
+    )
+
+    # the per-ray codes genuinely differ (a mean-code bug would equalize)
+    ctx0 = PoseCtx(
+        kps=base.kps, skts=base.skts, bones=base.bones, cyls=base.cyls,
+        cam_idxs=jnp.zeros((96, 1), jnp.int32),
+    )
+    flat = render_rays(
+        cfg, variables, val_o, val_d, ctx0, perturb=0.0, raw_noise_std=0.0,
+        use_fused=False,
+    )
+    assert float(np.abs(np.asarray(flat["rgb_map"]) - ref_rgb).max()) > 1e-3
+
+
+def test_exported_multiview_pose_tar_loads_in_reference(tmp_path):
+    """Export-path completeness (VERDICT r3 item 8), multiview pose-opt
+    variant: a multiview checkpoint (per-view pelvis/root bone + shared
+    non-root table + kp_map/kp_uidxs buffers) strict-loads through the
+    reference's own load_poseopt_from_state_dict (pose_opt.py:212-238) and
+    the restored layer's FK matches ours frame-for-frame."""
+    import jax
+
+    from core.pose_opt import load_poseopt_from_state_dict
+    from posegen_tpu.pose.opt import (
+        PoseOptConfig,
+        init_pose_params,
+        pose_apply,
+    )
+    from posegen_tpu.render.raycast import init_raycaster
+    from posegen_tpu.skeleton.skeleton import SMPL_REST_POSE
+    from posegen_tpu.train.checkpoints import export_torch_checkpoint
+
+    rng = np.random.default_rng(5)
+    n, _u = 8, 2
+    kp_map = np.asarray([0, 1, 0, 1, 0, 1, 0, 1])
+    kp_uidxs = np.asarray([0, 1])
+    bones = (rng.standard_normal((n, 24, 3)) * 0.2).astype(np.float32)
+    for i in range(n):
+        bones[i, 1:] = bones[kp_uidxs[kp_map[i]], 1:]
+    kp3d = np.tile(np.asarray(SMPL_REST_POSE)[None], (n, 1, 1)).astype(np.float32)
+    kp3d += rng.standard_normal(kp3d.shape).astype(np.float32) * 0.05
+
+    pcfg = PoseOptConfig(use_rot6d=True)
+    mv_params, _ = init_pose_params(
+        pcfg, bones, kp3d, kp_map=kp_map, kp_uidxs=kp_uidxs
+    )
+
+    cfg = CFG
+    variables = init_raycaster(jax.random.PRNGKey(4), cfg)
+    tar = str(tmp_path / "000013.tar")
+
+    # refusing to emit an unloadable checkpoint: multiview without the maps
+    with pytest.raises(ValueError, match="kp_map"):
+        export_torch_checkpoint(
+            tar, variables, cfg, global_step=13,
+            pose_params=mv_params, rest_pose=np.asarray(SMPL_REST_POSE),
+        )
+
+    export_torch_checkpoint(
+        tar, variables, cfg, global_step=13,
+        pose_params=mv_params, rest_pose=np.asarray(SMPL_REST_POSE),
+        kp_map=kp_map, kp_uidxs=kp_uidxs,
+    )
+
+    popt = load_poseopt_from_state_dict(torch.load(tar))  # strict load inside
+    np.testing.assert_array_equal(popt.kp_map.numpy(), kp_map)
+    np.testing.assert_array_equal(popt.kp_uidxs.numpy(), kp_uidxs)
+    assert popt.use_rot6d
+    np.testing.assert_allclose(
+        popt.bones.detach().numpy(), np.asarray(mv_params["bones"]), rtol=1e-6
+    )
+
+    idx = np.asarray([3, 0, 7, 2])
+    with torch.no_grad():
+        kps_ref, bones_ref, skts_ref, _, _ = popt(idx)
+    kps_j, bones_j, skts_j, _ = pose_apply(
+        mv_params, jnp.asarray(idx), jnp.asarray(SMPL_REST_POSE),
+        kp_map=jnp.asarray(kp_map),
+    )
+    np.testing.assert_allclose(
+        np.asarray(kps_j), kps_ref.numpy(), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(bones_j), bones_ref.numpy(), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(skts_j), skts_ref.numpy(), atol=2e-5
+    )
+
+    # and the reverse migration: our importer surfaces the multiview layout
+    from posegen_tpu.train.checkpoints import import_torch_checkpoint
+
+    _, extras = import_torch_checkpoint(tar)
+    np.testing.assert_allclose(
+        np.asarray(extras["pose_params"]["root_bones"]),
+        np.asarray(mv_params["root_bones"]), rtol=1e-6,
+    )
+    np.testing.assert_array_equal(np.asarray(extras["kp_map"]), kp_map)
+    np.testing.assert_array_equal(np.asarray(extras["kp_uidxs"]), kp_uidxs)
 
 
 def test_export_import_roundtrip_with_pose(tmp_path):
