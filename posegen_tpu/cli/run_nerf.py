@@ -299,6 +299,26 @@ def train(argv: Optional[Sequence[str]] = None) -> str:
             if writer:
                 for k, v in s.items():
                     writer.add_scalar(f"Train/{k}", v, i + 1)
+            # schedule trajectories (tau anneal, BARF alpha, LR decay) — the
+            # long-horizon behaviors the reference exercises at 150k-500k
+            # steps (cutoff_embedder.py:181-190, trainer.py:175-192)
+            sched = {
+                "lrate": tcfg.lrate * tcfg.lrate_decay_rate
+                ** ((i + 1) / (tcfg.lrate_decay * tcfg.decay_unit))
+            }
+            ek = state.embeds.get("embed_kp") or {}
+            for name in ("tau", "alpha"):
+                if name in ek:
+                    sched[name] = float(np.asarray(ek[name]).reshape(-1)[0])
+            if writer:
+                for k, v in sched.items():
+                    writer.add_scalar(f"Sched/{k}", v, i + 1)
+            with open(os.path.join(log_dir, "sched.txt"), "a") as f:
+                f.write(
+                    f"{i + 1}\t"
+                    + "\t".join(f"{k}={v:.6g}" for k, v in sorted(sched.items()))
+                    + "\n"
+                )
 
         if args.i_weights > 0 and (i + 1) % args.i_weights == 0:
             path = save_checkpoint(log_dir, state, step=i + 1)
