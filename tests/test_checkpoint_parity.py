@@ -11,6 +11,7 @@ same held-out rays through BOTH stacks, and asserts the two renders agree at
 pixel level and in PSNR-vs-GT to < 0.05 dB.
 """
 
+import os
 import sys
 
 import numpy as np
@@ -37,10 +38,17 @@ CFG = RaycastConfig(
 )
 
 
-def _build_reference_raycaster(cfg: RaycastConfig, seed: int = 3):
+def _build_reference_raycaster(
+    cfg: RaycastConfig, seed: int = 3, cutoff_dist: float = 0.175
+):
     """A reference RayCaster with the reference's OWN torch init (no weight
     copying from our side) plus the preproc kwargs of the flagship config
-    (reldist kp / vecnorm view+bone encoders, relu density)."""
+    (reldist kp / vecnorm view+bone encoders, relu density).
+
+    cutoff_dist: constructor value of the per-joint gate radii (overridden
+    by the checkpoint on load in the import tests; the training A/B passes
+    0.5 = the reference default cutoff_mm 500 x ext_scale 0.001 so both
+    stacks see the same scene volume)."""
     from core.cutoff_embedder import get_embedder as ref_get_embedder
     from core.encoders import RelDistEncoder, VecNormEncoder, WorldToLocalEncoder
     from core.networks.nerf import NeRF as RefNeRF
@@ -63,7 +71,7 @@ def _build_reference_raycaster(cfg: RaycastConfig, seed: int = 3):
 
     mk_cut_kwargs = lambda dist_inputs: {
         "cutoff": True, "cutoff_dim": 24,
-        "cutoff_dist": torch.ones(24) * 0.175,
+        "cutoff_dist": torch.ones(24) * cutoff_dist,
         "cutoff_inputs": True, "opt_cutoff": False, "cut_to_dist": False,
         "dist_inputs": dist_inputs, "shift_inputs": False,
         "freq_schedule": False, "init_alpha": 0.0, "normalize": False,
@@ -293,6 +301,205 @@ def test_exported_tar_loads_in_reference_and_matches(tmp_path):
     )
     np.testing.assert_allclose(
         np.asarray(ours["rgb_map"]), ref_rgb, rtol=5e-4, atol=5e-4
+    )
+
+
+@pytest.mark.slow
+def test_native_training_quality_parity_ab(tmp_path):
+    """Native-training quality parity (VERDICT r3 next-round item 2): train
+    the ACTUAL reference Trainer (core/trainer.py:232-519) and OUR trainer
+    on the SAME scene with matched hyperparameters and iteration budget —
+    identical batch-index stream, matched LR schedule / tau anneal / loss
+    weights — and assert the two reach the same held-out PSNR.
+
+    This is the direction users care about (import-parity alone proves only
+    that reference-trained weights render identically; this proves OUR
+    training loop trains as well as theirs). The scene is the synthetic
+    blob-person H5 (a genuinely learnable radiance field — NOT the random
+    ray pool of the import tests, on which neither stack can learn and any
+    comparison would be vacuous); both stacks see the identical
+    image/pixel-index stream and identical hyperparameters."""
+    import h5py
+    from types import SimpleNamespace
+
+    import jax
+    from core.trainer import Trainer, render
+
+    from posegen_tpu.data.synthetic import make_synthetic_h5
+    from posegen_tpu.render.raycast import PoseCtx, init_raycaster
+    from posegen_tpu.skeleton.cameras import get_rays_np
+    from posegen_tpu.train.trainer import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    # the demo-config architecture: small enough to converge in a few
+    # hundred CPU iterations (the CFG export arch stalls at this budget —
+    # the A/B needs a scene BOTH stacks visibly learn). raw_noise_std=1.0
+    # as in every shipped reference config: with relu density and no noise,
+    # an unlucky init leaves a net's sigma negative everywhere and
+    # permanently dead (exactly what happened to the reference fine net at
+    # seed 3 before this was matched).
+    cfg = RaycastConfig(
+        netdepth=2, netwidth=48, multires=4, multires_views=2,
+        N_samples=12, N_importance=4, raw_noise_std=1.0,
+    )
+    n_iters = int(os.environ.get("POSEGEN_AB_ITERS", "400"))
+    n_rand = 128
+    lrate = 5e-3  # the demo config's fast-convergence LR, same for both
+
+    h5 = make_synthetic_h5(str(tmp_path / "demo.h5"), n_images=8, H=64, W=64)
+    with h5py.File(h5, "r") as f:
+        imgs = np.asarray(f["imgs"], np.float32) / 255.0
+        smask = np.asarray(f["sampling_masks"])[..., 0] > 0
+        kp3d = np.asarray(f["kp3d"])
+        skts = np.asarray(f["skts"])
+        bones = np.asarray(f["bones"])
+        cyls = np.asarray(f["cyls"])
+        c2ws = np.asarray(f["c2ws"])
+        focals = np.asarray(f["focals"])
+        kp_idxs = np.asarray(f["kp_idxs"])
+
+    # precompute per-image rays + masked pixel pools; image 7 held out
+    rays, pix_pools = [], []
+    for i in range(8):
+        ro, rd = get_rays_np(64, 64, float(focals[i]), c2ws[i])
+        rays.append((np.asarray(ro).reshape(-1, 3).astype(np.float32),
+                     np.asarray(rd).reshape(-1, 3).astype(np.float32)))
+        pix_pools.append(np.where(smask[i].reshape(-1))[0])
+    targets = imgs.reshape(8, -1, 3)
+    val_i = 7
+    val_pix = pix_pools[val_i][:512]
+    val_o = rays[val_i][0][val_pix]
+    val_d = rays[val_i][1][val_pix]
+    val_gt = targets[val_i][val_pix]
+
+    def np_psnr(a, b):
+        return float(-10.0 * np.log10(np.mean((a - b) ** 2)))
+
+    def tile(a, n):
+        a = np.asarray(a)
+        return torch.tensor(np.tile(a, (n,) + (1,) * (a.ndim - 1)))
+
+    def batch_stream(seed):
+        """(image_idx, pixel_sel) stream — identical for both stacks."""
+        rng = np.random.default_rng(seed)
+        while True:
+            i = int(rng.integers(0, 7))  # train images only
+            sel = rng.choice(pix_pools[i], size=n_rand, replace=True)
+            yield i, sel
+
+    def pose_rows(i):
+        k = kp_idxs[i]
+        return kp3d[k : k + 1], skts[k : k + 1], bones[k : k + 1], cyls[k : k + 1]
+
+    # ---- reference stack, its own init + RNG ------------------------------
+    # cutoff_dist 0.5 = cutoff_mm 500 x ext_scale 0.001, matching OUR
+    # init_raycaster default — with the import-test value (0.175) the gate
+    # blinds the reference to most of the scene and it cannot learn
+    caster, preproc = _build_reference_raycaster(cfg, seed=3, cutoff_dist=0.5)
+    args = SimpleNamespace(
+        opt_pose_stop=None, opt_pose=False, opt_pose_cache=False,
+        opt_pose_step=1, chunk=4096, loss_fn="MSE", loss_beta=0.1,
+        reg_fn=None, use_background=False, coarse_weight=0.1,
+        lrate=lrate, lrate_decay=250, lrate_decay_rate=0.1, decay_unit=1000,
+        finetune=False, opt_framecode=False,
+        cutoff_step=1, cutoff_rate=10.0, freq_schedule_step=1,
+        multires=cfg.multires,
+    )
+    optimizer = torch.optim.Adam(caster.parameters(), lr=args.lrate)
+    render_kwargs_train = {
+        "ray_caster": nn.DataParallel(caster),
+        "use_viewdirs": True,
+        "near": cfg.near, "far": cfg.far,
+        "N_samples": cfg.N_samples, "N_importance": cfg.N_importance,
+        "perturb": 1.0, "raw_noise_std": 1.0,
+        "preproc_kwargs": preproc,
+    }
+    trainer = Trainer(
+        args, {"hwf": (64, 64, float(focals[0]))}, optimizer, None,
+        render_kwargs_train, None, popt_kwargs=None, device="cpu",
+    )
+
+    stream = batch_stream(11)
+    torch.manual_seed(0)
+    ref_losses = []
+    for it in range(1, n_iters + 1):
+        i, sel = next(stream)
+        kp, sk, bo, cy = pose_rows(i)
+        batch = {
+            "rays": torch.tensor(
+                np.stack([rays[i][0][sel], rays[i][1][sel]], 0)
+            ),
+            "target_s": torch.tensor(targets[i][sel]),
+            "kp3d": tile(kp, n_rand), "skts": tile(sk, n_rand),
+            "bones": tile(bo, n_rand), "cyls": tile(cy, n_rand),
+        }
+        loss_dict, _ = trainer.train_batch(batch, i=it, global_step=it)
+        ref_losses.append(loss_dict["total_loss"].item())
+        assert np.isfinite(ref_losses[-1])
+
+    kp, sk, bo, cy = pose_rows(val_i)
+    caster.eval()
+    with torch.no_grad():
+        ref_out = render(
+            64, 64, float(focals[0]), chunk=4096,
+            rays=(torch.tensor(val_o), torch.tensor(val_d)),
+            kp_batch=tile(kp, len(val_o)), skts=tile(sk, len(val_o)),
+            bones=tile(bo, len(val_o)), cyls=tile(cy, len(val_o)),
+            **{**render_kwargs_train, "perturb": 0.0, "raw_noise_std": 0.0},
+        )
+    psnr_ref = np_psnr(ref_out["rgb_map"].numpy(), val_gt)
+
+    # ---- our stack, same hyperparameters + batch stream -------------------
+    tcfg = TrainConfig(
+        lrate=lrate, lrate_decay=250, lrate_decay_rate=0.1, decay_unit=1000,
+        loss_fn="MSE", coarse_weight=0.1,
+        cutoff_step=1, cutoff_rate=10.0,
+    )
+    variables = init_raycaster(jax.random.PRNGKey(21), cfg)
+    state = create_train_state(variables, tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg), donate_argnums=(0,))
+
+    stream = batch_stream(11)  # the SAME image/pixel stream
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for it in range(1, n_iters + 1):
+        i, sel = next(stream)
+        kp, sk, bo, cy = pose_rows(i)
+        batch = {
+            "rays_o": jnp.asarray(rays[i][0][sel]),
+            "rays_d": jnp.asarray(rays[i][1][sel]),
+            "target_s": jnp.asarray(targets[i][sel]),
+            "kp3d": jnp.asarray(kp), "skts": jnp.asarray(sk),
+            "bones": jnp.asarray(bo), "cyls": jnp.asarray(cy),
+        }
+        state, stats = step(state, batch, jax.random.fold_in(key, it))
+        our_losses.append(float(stats["total_loss"]))
+        assert np.isfinite(our_losses[-1])
+
+    kp, sk, bo, cy = pose_rows(val_i)
+    ctx = PoseCtx(
+        kps=jnp.asarray(kp), skts=jnp.asarray(sk),
+        bones=jnp.asarray(bo), cyls=jnp.asarray(cy),
+    )
+    ours = render_rays(
+        cfg, {**state.params, **state.embeds}, jnp.asarray(val_o),
+        jnp.asarray(val_d), ctx, perturb=0.0, raw_noise_std=0.0,
+        use_fused=False,
+    )
+    psnr_ours = np_psnr(np.asarray(ours["rgb_map"]), val_gt)
+
+    print(f"A/B val PSNR: reference {psnr_ref:.2f} dB, ours {psnr_ours:.2f} dB")
+    # both stacks actually learned the scene (guards against a vacuous pass)
+    assert psnr_ref > 14.0 and np.mean(ref_losses[-20:]) < 0.3 * np.mean(
+        ref_losses[:20]
+    ), f"reference stack failed to learn ({psnr_ref:.2f} dB)"
+    # matched-budget parity: our trainer must reach the reference's quality
+    # (small +/- for init/RNG realization differences)
+    assert psnr_ours > psnr_ref - 0.75, (
+        f"our trainer underperforms: {psnr_ours:.2f} vs ref {psnr_ref:.2f}"
     )
 
 

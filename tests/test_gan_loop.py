@@ -213,6 +213,51 @@ def test_gan_checkpoint_resume_exact(rng, tmp_path):
     assert len(a.fake_pool.items) == len(b_tr.fake_pool.items)
 
 
+def test_spin_feedback_reward_direction(rng):
+    """The feedback reward steers the generator AWAY from SPIN's predictions
+    — the hard-pose-mining direction (VERDICT r3 item 1; reference
+    run_gan.py:2041-2100: gen loss includes 1 - mpjpe(SPIN, gen_joints), so
+    minimizing it GROWS the estimator error of generated poses)."""
+    from posegen_tpu.gen.discriminators import init_pos3d_discriminator
+    from posegen_tpu.gen.gan import SPIN_J14, make_generator_step
+    from posegen_tpu.gen.generators import (
+        init_pose_generator,
+        pose_generator_apply,
+    )
+
+    cfg = TINY_GEN
+    g_params, g_state = init_pose_generator(jax.random.PRNGKey(0), cfg)
+    d_params = init_pos3d_discriminator(jax.random.PRNGKey(1))
+    real = jnp.asarray(rng.standard_normal((16, 24, 3)) * 0.2, jnp.float32)
+    key = jax.random.PRNGKey(2)  # FIXED noise: movement comes from params
+
+    # spin_pred = the generator's CURRENT joints -> initial error ~ 0
+    out0, _ = pose_generator_apply(g_params, g_state, key, real, cfg)
+    joints0 = fk_joints(out0["pose_ba"])
+    sel = jnp.arange(8, dtype=jnp.int32)
+    spin_pred = joints0[sel][:, jnp.asarray(SPIN_J14)]
+
+    # spin_coef heavy so the mining term dominates the adversarial one
+    opt, step = make_generator_step(fk_joints, cfg, spin_coef=5.0)
+    opt_state = opt.init(g_params)
+    errs = []
+    for _ in range(15):
+        g_params, g_state, opt_state, out, stats = step(
+            g_params, g_state, opt_state, d_params, key, real,
+            spin_pred, sel, jnp.asarray(1.0),
+        )
+        # stats carry spin_loss = 1 - err
+        errs.append(1.0 - float(stats["spin_loss"]))
+
+    assert errs[0] < 0.05, f"initial error should be ~0, got {errs[0]}"
+    assert errs[-1] > errs[0] + 0.05, (
+        f"feedback failed to push poses away from SPIN: {errs[0]:.4f} -> "
+        f"{errs[-1]:.4f}"
+    )
+    # monotone-ish growth: the last third is harder than the first third
+    assert np.mean(errs[-5:]) > np.mean(errs[:5])
+
+
 def test_latest_gan_checkpoint_numeric_order(tmp_path):
     """Resume must pick the numerically-latest epoch: lexical sort would
     rank gan_999.npz above gan_1000.npz."""
