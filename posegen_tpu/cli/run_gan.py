@@ -65,6 +65,10 @@ def gan_parser() -> argparse.ArgumentParser:
                         ":91; square only here)")
     p.add_argument("--white_bkgd", action="store_true",
                    help="feedback renders on white (reference :97)")
+    p.add_argument("--chunk", type=int, default=32768,
+                   help="rays per render dispatch for the feedback renderer "
+                        "(large chunks amortize tunneled-host dispatch; the "
+                        "renderer clamps non-fused configs itself)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--train_spin_epochs", type=int, default=0)
     p.add_argument("--i_gan_ckpt", type=int, default=1,
@@ -110,7 +114,8 @@ def main(argv: Optional[Sequence[str]] = None):
             args.render_hw = int(args.render_res[0])
         _, cfg, variables = load_trained(args.nerf_args, args.ckptpath)
         renderer = NeRFRenderer(
-            cfg, variables, hw=args.render_hw, white_bkgd=args.white_bkgd
+            cfg, variables, hw=args.render_hw, white_bkgd=args.white_bkgd,
+            chunk=args.chunk,
         )
 
         from posegen_tpu.gen.hmr import import_torch_hmr, init_hmr

@@ -83,7 +83,8 @@ def main(argv=None):
     summary = {"args": vars(args)}
 
     _, cfg, variables = load_trained(args.nerf_args, args.ckptpath)
-    renderer = NeRFRenderer(cfg, variables, hw=args.render_hw, white_bkgd=False)
+    renderer = NeRFRenderer(cfg, variables, hw=args.render_hw,
+                            white_bkgd=False, chunk=32768)
     c2w = nerf_extrinsic_to_c2w(FEEDBACK_EXTRINSIC)
     J14 = jnp.asarray(SPIN_J14)
 
