@@ -46,8 +46,8 @@ def main(argv=None):
     p.add_argument("--out", default="/tmp/mining")
     p.add_argument("--n_pretrain", type=int, default=256)
     p.add_argument("--n_eval", type=int, default=64)
-    p.add_argument("--pretrain_epochs", type=int, default=30)
-    p.add_argument("--finetune_epochs", type=int, default=5)
+    p.add_argument("--pretrain_epochs", type=int, default=200)
+    p.add_argument("--finetune_epochs", type=int, default=30)
     p.add_argument("--gan_epochs", type=int, default=12)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--pool_n", type=int, default=2048)
@@ -57,6 +57,14 @@ def main(argv=None):
     p.add_argument("--probe_n", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--render_hw", type=int, default=512)
+    p.add_argument("--feedback_every", type=int, default=5,
+                   help="reference cadence 5 (run_gan.py:2041); lower = "
+                        "stronger mining signal per iteration")
+    p.add_argument("--spin_coef", type=float, default=0.1,
+                   help="reference 0.1 (run_gan.py:2099)")
+    p.add_argument("--ft_n", type=int, default=288,
+                   help="fine-tune set size (mined subsampled, control "
+                        "rendered, both equal)")
     args = p.parse_args(argv)
 
     import jax
@@ -75,7 +83,6 @@ def main(argv=None):
         fk_joints,
         prepare_spin_input,
     )
-    from posegen_tpu.gen.spin_driver import train_spin
     from posegen_tpu.skeleton.cameras import nerf_extrinsic_to_c2w
     from posegen_tpu.skeleton.kinematics import smpl_l2ws_from_rots
 
@@ -111,25 +118,75 @@ def main(argv=None):
         """Mean root-centred 14-joint error of SPIN on rendered poses —
         the exact quantity the feedback reward maximizes (gen/gan.py:180-188)."""
         x = prepare_spin_input(jnp.asarray(imgs))
+        return mpjpe_prepared(params, state, x, bones)
+
+    def mpjpe_per_sample(params, state, x, bones) -> np.ndarray:
         rotmat, _, _, _ = hmr_apply(params, state, x)
         pred = smpl_l2ws_from_rots(rotmat, scale=0.4)[..., :3, 3][:, J14]
         gt = fk_joints(jnp.asarray(bones))[:, J14]
         pred = pred - pred[:, :1]
         gt = gt - gt[:, :1]
-        return float(jnp.mean(jnp.linalg.norm(pred - gt, axis=-1)))
+        return np.asarray(jnp.mean(jnp.linalg.norm(pred - gt, axis=-1), axis=-1))
 
-    def eval_on_dir(params, state, out_dir: str, bones: np.ndarray) -> float:
+    def mpjpe_prepared(params, state, x, bones) -> float:
+        return float(np.mean(mpjpe_per_sample(params, state, x, bones)))
+
+    def load_split(out_dir: str, bones: np.ndarray):
+        """Read a rendered split ONCE -> (prepared (N,224,224,3) f32 on host,
+        FK'd 24-joint GT). PNG decode + crop/resize/normalize happen here
+        a single time; all training/eval then runs from memory (the
+        dataset-driver path re-decodes per epoch — fine for the product
+        loop, hopeless for a 200-epoch pretrain on a 1-core host)."""
         import imageio.v2 as imageio
 
         img_dir = os.path.join(out_dir, "image")
-        errs = []
-        bs = 32
-        for s in range(0, len(bones), bs):
+        xs = []
+        for s in range(0, len(bones), 32):
             imgs = np.stack([
                 imageio.imread(os.path.join(img_dir, f"{i:05d}.png")) / 255.0
-                for i in range(s, min(s + bs, len(bones)))
+                for i in range(s, min(s + 32, len(bones)))
             ]).astype(np.float32)
-            errs.append(spin_mpjpe(params, state, imgs, bones[s : s + bs]))
+            xs.append(np.asarray(prepare_spin_input(jnp.asarray(imgs))))
+        gt = np.asarray(fk_joints(jnp.asarray(bones)))
+        return np.concatenate(xs), gt
+
+    def train_spin_inmem(params, state, x, gt, epochs, lr, seed,
+                         eval_xy=None, tag=""):
+        """BN-frozen SPIN training over in-memory prepared crops (the same
+        make_spin_finetune_step the product driver uses, minus the per-epoch
+        PNG decode)."""
+        from posegen_tpu.gen.spin_train import make_spin_finetune_step
+
+        opt, step = make_spin_finetune_step(lr=lr, hinge=None)
+        opt_state = opt.init(params)
+        rng_l = np.random.default_rng(seed)
+        key = jax.random.PRNGKey(seed)
+        for epoch in range(epochs):
+            perm = rng_l.permutation(len(x))
+            losses = []
+            for s in range(0, len(perm) - 32 + 1, 32):
+                b = perm[s : s + 32]
+                key, k = jax.random.split(key)
+                params, opt_state, st = step(
+                    params, state, opt_state, jnp.asarray(x[b]),
+                    jnp.asarray(gt[b]), k,
+                )
+                losses.append(float(st["spin_loss"]))
+            if epoch % 20 == 0 or epoch == epochs - 1:
+                msg = f"[{tag}] epoch {epoch}: loss {np.mean(losses):.5f}"
+                if eval_xy is not None:
+                    msg += (f" eval MPJPE "
+                            f"{mpjpe_prepared(params, state, *eval_xy):.4f}")
+                print(msg, flush=True)
+        return params
+
+    def eval_on_dir(params, state, out_dir: str, bones: np.ndarray) -> float:
+        x, _ = load_split(out_dir, bones)
+        errs = [
+            mpjpe_prepared(params, state, jnp.asarray(x[s : s + 32]),
+                           bones[s : s + 32])
+            for s in range(0, len(bones), 32)
+        ]
         return float(np.mean(errs))
 
     # ---- Phase 1: pretrain + eval splits -----------------------------------
@@ -148,8 +205,11 @@ def main(argv=None):
     # ---- Phase 2: pretrain the HMR -----------------------------------------
     t0 = time.time()
     spin_params, spin_state = init_hmr(jax.random.PRNGKey(args.seed + 2))
-    mpjpe_init = eval_on_dir(spin_params, spin_state, eval_dir, eval_bones)
-    print(f"random-init SPIN eval MPJPE: {mpjpe_init:.4f}")
+    x_pre, gt_pre = load_split(pre_dir, pre_bones)
+    x_eval, _ = load_split(eval_dir, eval_bones)
+    x_eval = jnp.asarray(x_eval)
+    mpjpe_init = mpjpe_prepared(spin_params, spin_state, x_eval, eval_bones)
+    print(f"random-init SPIN eval MPJPE: {mpjpe_init:.4f}", flush=True)
 
     pretrained_npz = os.path.join(args.out, "spin_pretrained.npz")
     if os.path.exists(pretrained_npz):
@@ -161,19 +221,18 @@ def main(argv=None):
         )
         spin_params, spin_state = tree["params"], tree["state"]
     else:
-        spin_params, _hist = train_spin(
-            spin_params, spin_state, render_dir=pre_dir,
-            epochs=args.pretrain_epochs, lr=1e-4, hinge=None,
-            batch_size=min(32, args.n_pretrain),
-            seed=args.seed,
+        spin_params = train_spin_inmem(
+            spin_params, spin_state, x_pre, gt_pre,
+            epochs=args.pretrain_epochs, lr=3e-4, seed=args.seed,
+            eval_xy=(x_eval, eval_bones), tag="pretrain",
         )
         from posegen_tpu.train.checkpoints import _flatten
 
         np.savez(pretrained_npz,
                  **_flatten({"params": spin_params, "state": spin_state}))
-    mpjpe_pre = eval_on_dir(spin_params, spin_state, eval_dir, eval_bones)
+    mpjpe_pre = mpjpe_prepared(spin_params, spin_state, x_eval, eval_bones)
     print(f"pretrained SPIN eval MPJPE: {mpjpe_pre:.4f} "
-          f"(phase 2: {time.time() - t0:.0f} s)")
+          f"(phase 2: {time.time() - t0:.0f} s)", flush=True)
     summary["spin_eval_mpjpe_random_init"] = mpjpe_init
     summary["spin_eval_mpjpe_pretrained"] = mpjpe_pre
 
@@ -197,14 +256,16 @@ def main(argv=None):
 
     steps_per_epoch = args.pool_n // args.batch_size
     curves = {}
+    on_trainer = None
     for tag, fb in (("feedback_on", True), ("feedback_off", False)):
         t0 = time.time()
         sink = os.path.join(args.out, "mined") if fb else None
         loop_cfg = GanLoopConfig(
             n_epochs=args.gan_epochs, df=2,
-            feedback_every=5,
+            feedback_every=args.feedback_every,
             feedback_start_epoch=(-1 if fb else 10**9),
             rpi=args.rpi, render_hw=args.render_hw,
+            spin_coef=args.spin_coef,
             output_dir=sink,
         )
         trainer = GanTrainer(
@@ -222,53 +283,122 @@ def main(argv=None):
                 if trainer.iter_num % args.probe_every == 0:
                     curve.append((trainer.iter_num, probe(trainer)))
                     print(f"[{tag}] iter {trainer.iter_num}: "
-                          f"probe MPJPE {curve[-1][1]:.4f}")
+                          f"probe MPJPE {curve[-1][1]:.4f}", flush=True)
                 stats = trainer.train_step(pool[perm[s : s + args.batch_size]])
-            print(f"[{tag}] epoch {epoch}: {stats}")
+            print(f"[{tag}] epoch {epoch}: {stats}", flush=True)
         curve.append((trainer.iter_num, probe(trainer)))
         curves[tag] = curve
         print(f"[{tag}] done in {time.time() - t0:.0f} s; "
-              f"final probe MPJPE {curve[-1][1]:.4f}")
+              f"final probe MPJPE {curve[-1][1]:.4f}", flush=True)
+        if fb:
+            on_trainer = trainer
     summary["probe_curves"] = curves
 
-    # ---- equal-size random-pose control set --------------------------------
+    # ---- equal-size sets: mined subsample vs random control ----------------
     from posegen_tpu.gen.datasets import RenderedPoseDataset
 
     mined_dir = os.path.join(args.out, "mined")
     mined_ds = RenderedPoseDataset(mined_dir)
-    mined_bones = mined_ds.bones
-    n_mined = len(mined_ds)
-    assert n_mined > 0, "feedback-on run produced no mined renders"
+    n_mined_total = len(mined_ds)
+    assert n_mined_total > 0, "feedback-on run produced no mined renders"
+    n_ft = min(args.ft_n, n_mined_total)
+    # subsample the mined sink uniformly (spread over the whole run, not
+    # just the early iterations)
+    mined_sel = np.linspace(0, n_mined_total - 1, n_ft).astype(int)
+    mined_bones = mined_ds.bones[mined_sel]
     control_dir = os.path.join(args.out, "control")
-    control_bones = load_pose_pool(None, seed=args.seed + 400, n=n_mined)
-    if not os.path.exists(os.path.join(control_dir, "poses_axis_angles0.npy")):
+    control_bones = load_pose_pool(None, seed=args.seed + 400, n=n_ft)
+    if len([f for f in os.listdir(os.path.join(control_dir, "image"))]
+           if os.path.exists(os.path.join(control_dir, "image")) else []) < n_ft:
         render_set(control_bones, control_dir)
-    summary["n_mined"] = n_mined
+    summary["n_mined"] = n_mined_total
+    summary["n_ft"] = n_ft
+
+    def load_mined_subset():
+        import imageio.v2 as imageio
+
+        img_dir = os.path.join(mined_dir, "image")
+        xs = []
+        for s in range(0, n_ft, 32):
+            imgs = np.stack([
+                imageio.imread(
+                    os.path.join(img_dir, f"{mined_sel[i]:05d}.png")
+                ) / 255.0
+                for i in range(s, min(s + 32, n_ft))
+            ]).astype(np.float32)
+            xs.append(np.asarray(prepare_spin_input(jnp.asarray(imgs))))
+        return np.concatenate(xs), np.asarray(fk_joints(jnp.asarray(mined_bones)))
+
+    # ---- hard held-out eval split: poses from the final feedback-on
+    # generator at held-out noise (the failure modes mining targets) --------
+    hard_dir = os.path.join(args.out, "eval_hard")
+    out_h, _ = pose_generator_apply(
+        on_trainer.g_params, on_trainer.g_state,
+        jax.random.PRNGKey(args.seed + 888),
+        jnp.asarray(load_pose_pool(None, seed=args.seed + 999, n=args.n_eval)),
+        on_trainer.gen_cfg,
+    )
+    hard_bones = np.asarray(out_h["pose_ba"])
+    render_set(hard_bones, hard_dir)
+    x_hard, _ = load_split(hard_dir, hard_bones)
+    x_hard = jnp.asarray(x_hard)
+
+    # ---- naturally-hard eval split: worst-quartile RANDOM poses by
+    # pretrained error (non-circular — nothing here came from the
+    # generator; tests whether mined fine-tuning fixes the estimator's
+    # own failure modes in the wild) ----------------------------------------
+    nat_dir = os.path.join(args.out, "eval_nat")
+    nat_pool = load_pose_pool(None, seed=args.seed + 1234, n=4 * args.n_eval)
+    if not os.path.exists(os.path.join(nat_dir, "poses_axis_angles0.npy")):
+        render_set(nat_pool, nat_dir)
+    x_nat_all, _ = load_split(nat_dir, nat_pool)
+    errs_nat = np.concatenate([
+        mpjpe_per_sample(spin_params, spin_state,
+                         jnp.asarray(x_nat_all[s : s + 32]),
+                         nat_pool[s : s + 32])
+        for s in range(0, len(nat_pool), 32)
+    ])
+    worst = np.argsort(errs_nat)[-args.n_eval :]
+    x_hard_nat = jnp.asarray(x_nat_all[worst])
+    hard_nat_bones = nat_pool[worst]
 
     # hardness of each training set for the PRETRAINED estimator
-    summary["mined_set_mpjpe_pretrained"] = eval_on_dir(
-        spin_params, spin_state, mined_dir, mined_bones[:n_mined]
+    x_mined, gt_mined = load_mined_subset()
+    x_ctrl, gt_ctrl = load_split(control_dir, control_bones)
+    summary["mined_set_mpjpe_pretrained"] = mpjpe_prepared(
+        spin_params, spin_state, jnp.asarray(x_mined), mined_bones
     )
-    summary["control_set_mpjpe_pretrained"] = eval_on_dir(
-        spin_params, spin_state, control_dir, control_bones
+    summary["control_set_mpjpe_pretrained"] = mpjpe_prepared(
+        spin_params, spin_state, jnp.asarray(x_ctrl), control_bones
     )
     print(f"set hardness (pretrained SPIN): mined "
           f"{summary['mined_set_mpjpe_pretrained']:.4f} vs random "
-          f"{summary['control_set_mpjpe_pretrained']:.4f}")
+          f"{summary['control_set_mpjpe_pretrained']:.4f}", flush=True)
 
-    # ---- Phase 4: fine-tune on mined vs control, eval held-out -------------
+    # ---- Phase 4: fine-tune on mined vs control; eval easy + hard splits ---
+    def eval_all(params):
+        return {
+            "easy": mpjpe_prepared(params, spin_state, x_eval, eval_bones),
+            "hard_gen": mpjpe_prepared(params, spin_state, x_hard, hard_bones),
+            "hard_nat": mpjpe_prepared(
+                params, spin_state, x_hard_nat, hard_nat_bones
+            ),
+        }
+
+    summary["pretrained_eval"] = eval_all(spin_params)
+    print(f"pretrained eval: {summary['pretrained_eval']}", flush=True)
     results = {}
-    for tag, d in (("mined", mined_dir), ("control", control_dir)):
+    for tag, (x_ft, gt_ft) in (("mined", (x_mined, gt_mined)),
+                               ("control", (x_ctrl, gt_ctrl))):
         t0 = time.time()
-        ft_params, _ = train_spin(
-            dict(spin_params), spin_state, render_dir=d,
-            epochs=args.finetune_epochs, lr=5e-5, hinge=None,
-            batch_size=min(32, n_mined),  # drop-last batching needs bs <= n
-            seed=args.seed + 5,
+        ft_params = train_spin_inmem(
+            dict(spin_params), spin_state, x_ft, gt_ft,
+            epochs=args.finetune_epochs, lr=5e-5, seed=args.seed + 5,
+            eval_xy=(x_eval, eval_bones), tag=f"ft-{tag}",
         )
-        results[tag] = eval_on_dir(ft_params, spin_state, eval_dir, eval_bones)
-        print(f"fine-tuned on {tag}: held-out MPJPE {results[tag]:.4f} "
-              f"({time.time() - t0:.0f} s)")
+        results[tag] = eval_all(ft_params)
+        print(f"fine-tuned on {tag}: held-out MPJPE {results[tag]} "
+              f"({time.time() - t0:.0f} s)", flush=True)
     summary["finetune_eval_mpjpe"] = results
 
     with open(os.path.join(args.out, "summary.json"), "w") as f:
