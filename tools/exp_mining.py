@@ -65,12 +65,27 @@ def main(argv=None):
     p.add_argument("--ft_n", type=int, default=288,
                    help="fine-tune set size (mined subsampled, control "
                         "rendered, both equal)")
+    p.add_argument("--pose_std", type=float, default=0.3,
+                   help="std of every random pose draw; keep at/below the "
+                        "NeRF's training-pose std (0.15 for the demo "
+                        "scene) or renders of out-of-range poses degrade "
+                        "and poison the (image, pose) supervision")
+    p.add_argument("--feedback_start_epoch", type=int, default=-1,
+                   help="feedback active when epoch > this (reference 2: "
+                        "the generator first settles near the pose pool, "
+                        "so mined poses render cleanly)")
+    p.add_argument("--pretrain_gen_n", type=int, default=0,
+                   help="extra pretraining renders drawn from the INITIAL "
+                        "(t=0) generator distribution — calibrates the "
+                        "estimator on generator-made poses so the A/B "
+                        "starts from low error and the feedback term has "
+                        "headroom to push it up (avoids the ceiling effect "
+                        "where every generated pose is saturated-hard)")
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    from posegen_tpu.cli.run_gan import load_pose_pool
     from posegen_tpu.cli.run_render import load_trained
     from posegen_tpu.gen.gan import SPIN_J14
     from posegen_tpu.gen.generators import GenConfig, pose_generator_apply
@@ -88,6 +103,12 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     summary = {"args": vars(args)}
+
+    def draw(seed: int, n: int) -> np.ndarray:
+        rng_d = np.random.default_rng(seed)
+        return (rng_d.standard_normal((n, 24, 3)) * args.pose_std).astype(
+            np.float32
+        )
 
     _, cfg, variables = load_trained(args.nerf_args, args.ckptpath)
     renderer = NeRFRenderer(cfg, variables, hw=args.render_hw,
@@ -161,15 +182,20 @@ def main(argv=None):
         opt_state = opt.init(params)
         rng_l = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
+        # device-resident dataset: per-step host->device traffic over the
+        # tunneled link (19 MB/batch) dominated step time; an on-device
+        # gather is free
+        x_dev = jnp.asarray(x)
+        gt_dev = jnp.asarray(gt)
         for epoch in range(epochs):
             perm = rng_l.permutation(len(x))
             losses = []
             for s in range(0, len(perm) - 32 + 1, 32):
-                b = perm[s : s + 32]
+                b = jnp.asarray(perm[s : s + 32])
                 key, k = jax.random.split(key)
                 params, opt_state, st = step(
-                    params, state, opt_state, jnp.asarray(x[b]),
-                    jnp.asarray(gt[b]), k,
+                    params, state, opt_state, jnp.take(x_dev, b, axis=0),
+                    jnp.take(gt_dev, b, axis=0), k,
                 )
                 losses.append(float(st["spin_loss"]))
             if epoch % 20 == 0 or epoch == epochs - 1:
@@ -191,8 +217,7 @@ def main(argv=None):
 
     # ---- Phase 1: pretrain + eval splits -----------------------------------
     t0 = time.time()
-    pool_pre = load_pose_pool(None, seed=args.seed + 100,
-                              n=args.n_pretrain + args.n_eval)
+    pool_pre = draw(args.seed + 100, args.n_pretrain + args.n_eval)
     pre_bones = pool_pre[: args.n_pretrain]
     eval_bones = pool_pre[args.n_pretrain :]
     pre_dir = os.path.join(args.out, "pretrain")
@@ -202,10 +227,32 @@ def main(argv=None):
         render_set(eval_bones, eval_dir)
     print(f"phase 1 (splits rendered): {time.time() - t0:.0f} s")
 
+    # optional generator-distribution pretraining additions (t=0 generator,
+    # the SAME init the A/B's GanTrainer will start from: PRNGKey(seed))
+    if args.pretrain_gen_n > 0:
+        from posegen_tpu.gen.generators import init_pose_generator
+
+        gen_dir = os.path.join(args.out, "pretrain_gen")
+        g0_params, g0_state = init_pose_generator(
+            jax.random.PRNGKey(args.seed), GenConfig()
+        )
+        gen_in = draw(args.seed + 4242, args.pretrain_gen_n)
+        out_g0, _ = pose_generator_apply(
+            g0_params, g0_state, jax.random.PRNGKey(args.seed + 4242),
+            jnp.asarray(gen_in), GenConfig(),
+        )
+        gen_pre_bones = np.asarray(out_g0["pose_ba"])
+        if not os.path.exists(os.path.join(gen_dir, "poses_axis_angles0.npy")):
+            render_set(gen_pre_bones, gen_dir)
+
     # ---- Phase 2: pretrain the HMR -----------------------------------------
     t0 = time.time()
     spin_params, spin_state = init_hmr(jax.random.PRNGKey(args.seed + 2))
     x_pre, gt_pre = load_split(pre_dir, pre_bones)
+    if args.pretrain_gen_n > 0:
+        x_g, gt_g = load_split(gen_dir, gen_pre_bones)
+        x_pre = np.concatenate([x_pre, x_g])
+        gt_pre = np.concatenate([gt_pre, gt_g])
     x_eval, _ = load_split(eval_dir, eval_bones)
     x_eval = jnp.asarray(x_eval)
     mpjpe_init = mpjpe_prepared(spin_params, spin_state, x_eval, eval_bones)
@@ -237,8 +284,8 @@ def main(argv=None):
     summary["spin_eval_mpjpe_pretrained"] = mpjpe_pre
 
     # ---- Phase 3: GAN A/B, feedback ON vs OFF ------------------------------
-    pool = load_pose_pool(None, seed=args.seed, n=args.pool_n)
-    probe_real = load_pose_pool(None, seed=args.seed + 300, n=args.probe_n)
+    pool = draw(args.seed, args.pool_n)
+    probe_real = draw(args.seed + 300, args.probe_n)
     probe_key = jax.random.PRNGKey(args.seed + 777)
 
     def probe(trainer) -> float:
@@ -263,7 +310,7 @@ def main(argv=None):
         loop_cfg = GanLoopConfig(
             n_epochs=args.gan_epochs, df=2,
             feedback_every=args.feedback_every,
-            feedback_start_epoch=(-1 if fb else 10**9),
+            feedback_start_epoch=(args.feedback_start_epoch if fb else 10**9),
             rpi=args.rpi, render_hw=args.render_hw,
             spin_coef=args.spin_coef,
             output_dir=sink,
@@ -307,7 +354,7 @@ def main(argv=None):
     mined_sel = np.linspace(0, n_mined_total - 1, n_ft).astype(int)
     mined_bones = mined_ds.bones[mined_sel]
     control_dir = os.path.join(args.out, "control")
-    control_bones = load_pose_pool(None, seed=args.seed + 400, n=n_ft)
+    control_bones = draw(args.seed + 400, n_ft)
     if len([f for f in os.listdir(os.path.join(control_dir, "image"))]
            if os.path.exists(os.path.join(control_dir, "image")) else []) < n_ft:
         render_set(control_bones, control_dir)
@@ -348,7 +395,7 @@ def main(argv=None):
     # generator; tests whether mined fine-tuning fixes the estimator's
     # own failure modes in the wild) ----------------------------------------
     nat_dir = os.path.join(args.out, "eval_nat")
-    nat_pool = load_pose_pool(None, seed=args.seed + 1234, n=4 * args.n_eval)
+    nat_pool = draw(args.seed + 1234, 4 * args.n_eval)
     if not os.path.exists(os.path.join(nat_dir, "poses_axis_angles0.npy")):
         render_set(nat_pool, nat_dir)
     x_nat_all, _ = load_split(nat_dir, nat_pool)
