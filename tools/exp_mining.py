@@ -382,7 +382,7 @@ def main(argv=None):
     out_h, _ = pose_generator_apply(
         on_trainer.g_params, on_trainer.g_state,
         jax.random.PRNGKey(args.seed + 888),
-        jnp.asarray(load_pose_pool(None, seed=args.seed + 999, n=args.n_eval)),
+        jnp.asarray(draw(args.seed + 999, args.n_eval)),
         on_trainer.gen_cfg,
     )
     hard_bones = np.asarray(out_h["pose_ba"])
