@@ -162,6 +162,8 @@ def main(argv: Optional[Sequence[str]] = None):
             trainer.load_checkpoint(latest)
             print(f"resumed from {latest} (epoch {trainer.epoch})")
 
+    import time as _time
+
     rng = np.random.default_rng(args.seed)
     for epoch in range(args.epochs):
         perm = rng.permutation(len(pool))
@@ -171,8 +173,14 @@ def main(argv: Optional[Sequence[str]] = None):
             pool[perm[i : i + args.batch_size]]
             for i in range(0, len(perm) - args.batch_size + 1, args.batch_size)
         ] or [pool]
+        t0 = _time.time()
         stats = trainer.train_epoch(batches)
-        print(f"epoch {epoch}: {stats}")
+        dt = _time.time() - t0
+        print(
+            f"epoch {epoch}: {stats} "
+            f"({dt:.1f} s, {len(batches) / dt:.2f} it/s)",
+            flush=True,
+        )
         if args.i_gan_ckpt and (epoch + 1) % args.i_gan_ckpt == 0:
             path = trainer.save_checkpoint(
                 os.path.join(ckpt_dir, f"gan_{epoch:03d}.npz")
