@@ -50,6 +50,30 @@ def test_reference_configs_parse():
     assert args.single_net and args.N_importance == 48
 
 
+def test_sched_trajectory_log(tmp_path):
+    """Training writes sched.txt with the tau/LR trajectories (the
+    long-horizon schedule evidence the 150k soak relies on); values follow
+    the reference anneal/decay formulas."""
+    from posegen_tpu.cli.run_nerf import train
+
+    log_dir = train([
+        "--config", "configs/synthetic/demo.txt",
+        "--basedir", str(tmp_path / "logs"),
+        "--data_root", str(tmp_path / "data"),
+        "--n_iters", "4", "--i_weights", "0", "--i_testset", "0",
+        "--i_print", "2", "--N_rand", "32", "--n_devices", "1",
+    ])
+    lines = open(os.path.join(log_dir, "sched.txt")).read().splitlines()
+    assert len(lines) == 2
+    row = dict(kv.split("=") for kv in lines[-1].split("\t")[1:])
+    assert lines[-1].startswith("4\t")
+    # demo config: lrate 5e-3, decay 250 (x1000 units); tau init 20, 10x
+    # per cutoff_step*250000... the anneal has moved off exactly 20
+    # %.6g formatting granularity bounds the match at ~1e-8
+    assert abs(float(row["lrate"]) - 5e-3 * 0.1 ** (4 / 250000)) < 1e-7
+    assert 20.0 < float(row["tau"]) < 20.01
+
+
 @pytest.mark.slow
 def test_train_and_render_cli(tmp_path):
     """The full CLI slice: train 60 iters on synthetic, then run_render val
