@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Dict, Iterator, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -54,14 +54,23 @@ def pose_batches(
 class RenderedPoseDataset:
     """(image, pose) pairs from the GAN's dataset sink
     (reference pose_dataset, run_gan.py:1634-1656): images at
-    {dir}/image/%05d.png, poses at {dir}/poses_axis_angles*.npy."""
+    {dir}/image/%05d.png, poses at {dir}/poses_axis_angles*.npy.
+
+    cache=True (default) keeps prepared (crop+resize+normalize) items in
+    memory after first access: multi-epoch fine-tuning otherwise re-decodes
+    every PNG every epoch, which dominates wall time on a 1-core host
+    (~600 KB/item at the default res, so a 1k-image sink costs ~0.6 GB —
+    pass cache=False for giant sinks)."""
 
     def __init__(self, output_dir: str, crop: Tuple[int, int] = (100, 412),
-                 res: int = 224, pose_scale: float = 0.4):
+                 res: int = 224, pose_scale: float = 0.4, cache: bool = True):
         self.img_dir = os.path.join(output_dir, "image")
         self.crop = crop
         self.res = res
         self.pose_scale = pose_scale
+        self._cache: Optional[Dict[int, Dict[str, np.ndarray]]] = (
+            {} if cache else None
+        )
         pose_files = sorted(
             glob.glob(os.path.join(output_dir, "poses_axis_angles*.npy")),
             key=lambda p: int("".join(c for c in os.path.basename(p) if c.isdigit()) or 0),
@@ -90,6 +99,8 @@ class RenderedPoseDataset:
         return self.n
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
         import cv2
         import imageio.v2 as imageio
         import jax.numpy as jnp
@@ -102,7 +113,11 @@ class RenderedPoseDataset:
         img = cv2.resize(img, (self.res, self.res), interpolation=cv2.INTER_LINEAR)
         joints = np.asarray(fk_joints(jnp.asarray(self.bones[i : i + 1]),
                                       self.pose_scale))[0]
-        return {"image": normalize_for_spin(img), "pose": joints.astype(np.float32)}
+        item = {"image": normalize_for_spin(img),
+                "pose": joints.astype(np.float32)}
+        if self._cache is not None:
+            self._cache[i] = item
+        return item
 
     def batches(self, batch_size: int = 32, seed: int = 0):
         rng = np.random.default_rng(seed)
