@@ -48,50 +48,87 @@ def get_transform(center, scale, res, rot: float = 0.0) -> np.ndarray:
 
 
 def transform(pt, center, scale, res, invert: bool = False, rot: float = 0.0):
-    """Map a 2-D point through the crop transform (reference :38-45)."""
+    """Map a 2-D point through the crop transform (reference :38-45).
+
+    Truncation (`astype(int)`, not round-half-up) is the reference's exact
+    corner arithmetic; SPIN's crop boxes are defined by it, so the eval
+    pipeline must truncate identically (pinned by
+    tests/test_misc_parity.py::test_imutils_*_golden against the executed
+    reference module)."""
     t = get_transform(center, scale, res, rot)
     if invert:
         t = np.linalg.inv(t)
     pt_h = np.array([pt[0] - 1.0, pt[1] - 1.0, 1.0])
     out = t @ pt_h
-    return (out[:2] + 0.5).astype(int) + 1
+    return out[:2].astype(int) + 1
 
 
 def crop(
-    img: np.ndarray, center, scale, res: Tuple[int, int], rot: float = 0.0
+    img: np.ndarray,
+    center,
+    scale,
+    res: Tuple[int, int],
+    rot: float = 0.0,
+    resize_fn=None,
 ) -> np.ndarray:
-    """Crop + resize around (center, scale) (reference :47-95)."""
+    """Crop + resize around (center, scale) (reference :47-95).
+
+    Corner / pad / canvas-placement arithmetic is kept verbatim-equivalent
+    to the reference (golden-pinned against the executed module):
+    - the bottom-right corner maps ``[res[0]+1, res[1]+1]`` in the
+      reference's own (row, col) argument order — axes swap for non-square
+      crops, but that IS the executed behavior;
+    - the rotation pad uses the box HEIGHT (``br[1]-ul[1]``), reference :58;
+    - the paste canvas is a float64 zeros array (reference :62), so the
+      output is float in the input's value range.
+
+    resize_fn(img, (rows, cols)) overrides the final resample. The default
+    is cv2 INTER_LINEAR: the reference's `skimage.transform.resize`
+    (bilinear + gaussian anti-alias prefilter) is not installed in this
+    environment, so resampling is the one documented numeric deviation —
+    the parity test injects a shared resize_fn on both sides to pin
+    everything else exactly.
+    """
     ul = np.array(transform([1, 1], center, scale, res, invert=True)) - 1
     br = np.array(
-        transform([res[1] + 1, res[0] + 1], center, scale, res, invert=True)
+        transform([res[0] + 1, res[1] + 1], center, scale, res, invert=True)
     ) - 1
-    pad = int(np.linalg.norm(br - ul) / 2 - (br[0] - ul[0]) / 2) if rot != 0 else 0
-    ul -= pad
-    br += pad
+    # reference :58 computes the rotation pad from the box height
+    pad = int(np.linalg.norm(br - ul) / 2 - float(br[1] - ul[1]) / 2)
+    if rot != 0:
+        ul -= pad
+        br += pad
 
     new_shape = [br[1] - ul[1], br[0] - ul[0]]
     if img.ndim > 2:
         new_shape += [img.shape[2]]
-    new_img = np.zeros(new_shape, dtype=img.dtype)
+    new_img = np.zeros(new_shape)  # float64 canvas, reference :62
 
     new_x = max(0, -ul[0]), min(br[0], img.shape[1]) - ul[0]
     new_y = max(0, -ul[1]), min(br[1], img.shape[0]) - ul[1]
     old_x = max(0, ul[0]), min(img.shape[1], br[0])
     old_y = max(0, ul[1]), min(img.shape[0], br[1])
     if new_x[1] <= new_x[0] or new_y[1] <= new_y[0]:
-        return np.zeros((res[0], res[1], *new_shape[2:]), dtype=img.dtype)
+        # fully-outside box: the canvas stays zeros either way; returning
+        # early protects the resize from a zero-area input (the reference
+        # would crash in skimage here)
+        return np.zeros((res[0], res[1], *new_shape[2:]))
     new_img[new_y[0] : new_y[1], new_x[0] : new_x[1]] = img[
         old_y[0] : old_y[1], old_x[0] : old_x[1]
     ]
 
+    if rot != 0:
+        # reference :88-90: scipy rotate with its default reshape=True,
+        # then strip the pad
+        import scipy.ndimage
+
+        new_img = scipy.ndimage.rotate(new_img, rot)
+        new_img = new_img[pad:-pad, pad:-pad]
+
+    if resize_fn is not None:
+        return resize_fn(new_img, (res[0], res[1]))
     import cv2
 
-    if rot != 0:
-        M = cv2.getRotationMatrix2D(
-            (new_img.shape[1] / 2, new_img.shape[0] / 2), rot, 1.0
-        )
-        new_img = cv2.warpAffine(new_img, M, (new_img.shape[1], new_img.shape[0]))
-        new_img = new_img[pad:-pad or None, pad:-pad or None]
     return cv2.resize(new_img, (res[1], res[0]), interpolation=cv2.INTER_LINEAR)
 
 

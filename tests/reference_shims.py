@@ -160,6 +160,29 @@ def install() -> None:
         tg.rotation_matrix_to_angle_axis = rotation_matrix_to_angle_axis
         sys.modules["torchgeometry"] = tg
 
+    if "skimage" not in sys.modules:
+        # core/utils/imutils.py's final resample. skimage isn't installed;
+        # the stub delegates to the SAME cv2 bilinear our data.imutils.crop
+        # defaults to, so the imutils golden tests compare every piece of
+        # crop arithmetic EXCEPT the resampler (the one documented numeric
+        # deviation — see posegen_tpu/data/imutils.py::crop).
+        ski = types.ModuleType("skimage")
+        ski_t = types.ModuleType("skimage.transform")
+
+        def resize(image, output_shape, **kwargs):
+            import cv2
+
+            return cv2.resize(
+                np.asarray(image),
+                (int(output_shape[1]), int(output_shape[0])),
+                interpolation=cv2.INTER_LINEAR,
+            )
+
+        ski_t.resize = resize
+        ski.transform = ski_t
+        sys.modules["skimage"] = ski
+        sys.modules["skimage.transform"] = ski_t
+
     # the vendored smplx package root must precede /root/reference, else
     # `import smplx` resolves to the bare /root/reference/smplx namespace dir
     sys.path.insert(0, "/root/reference")

@@ -167,3 +167,86 @@ def test_acc2bce_matches_reference_off_reduction():
     ref = ref_acc2bce(torch.tensor(acc), torch.tensor(fg), reduction="off")
     ours = L.acc2bce(jnp.asarray(acc), jnp.asarray(fg))
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def _ref_imutils():
+    import sys
+
+    sys.path.insert(0, "tests")
+    import reference_shims
+
+    reference_shims.install()
+    import core.utils.imutils as ref_imutils
+
+    return ref_imutils
+
+
+def test_imutils_transform_golden():
+    """Corner arithmetic vs the EXECUTED reference transform
+    (core/utils/imutils.py:38-45): truncation, not round-half-up — points
+    landing on x.5+ grid offsets are where the two differ by a pixel."""
+    ref = _ref_imutils()
+    from posegen_tpu.data.imutils import transform
+
+    rng = np.random.default_rng(0)
+    for _ in range(64):
+        pt = rng.uniform(-30, 600, size=2)
+        center = rng.uniform(50, 500, size=2)
+        scale = float(rng.uniform(0.4, 3.0))
+        res = (224, 224)
+        rot = float(rng.choice([0.0, 0.0, 15.0, -30.0]))
+        invert = bool(rng.choice([False, True]))
+        ours = transform(pt, center, scale, res, invert=invert, rot=rot)
+        theirs = ref.transform(pt, center, scale, res, invert=int(invert), rot=rot)
+        np.testing.assert_array_equal(np.asarray(ours), np.asarray(theirs))
+
+
+def test_imutils_crop_golden_square():
+    """Full-pixel crop parity vs the executed reference (square res, rot=0),
+    partial out-of-bounds boxes included. The shim routes the reference's
+    skimage resize through the same cv2 bilinear our crop uses, so this
+    pins every other piece: corners, pad, canvas dtype, placement."""
+    ref = _ref_imutils()
+    from posegen_tpu.data.imutils import crop
+
+    rng = np.random.default_rng(1)
+    img = (rng.uniform(0, 255, size=(480, 640, 3))).astype(np.uint8)
+    for center, scale in [
+        ((320.0, 240.0), 1.2),
+        ((50.0, 60.0), 0.9),      # box spills past the top-left edge
+        ((620.0, 470.0), 1.5),    # spills bottom-right
+        ((320.5, 239.25), 0.77),  # fractional centers hit the truncation
+    ]:
+        ours = crop(img, center, scale, (224, 224))
+        theirs = ref.crop(img, center, scale, [224, 224])
+        assert ours.dtype == theirs.dtype == np.float64
+        np.testing.assert_allclose(ours, theirs, atol=1e-9)
+
+
+def test_imutils_crop_golden_nonsquare_and_rotated():
+    """Non-square res exercises the reference's own (row, col) corner-order
+    and height-based pad quirks verbatim; rot!=0 exercises the scipy
+    reshape+strip path (reference :88-90). The reference calls the removed
+    scipy.ndimage.interpolation alias, so the rotated comparison patches it
+    to the live scipy.ndimage on the reference side only."""
+    ref = _ref_imutils()
+    import scipy.ndimage
+
+    from posegen_tpu.data.imutils import crop
+
+    rng = np.random.default_rng(2)
+    img = (rng.uniform(0, 255, size=(480, 640, 3))).astype(np.uint8)
+
+    ours = crop(img, (300.0, 250.0), 1.1, (256, 192))
+    theirs = ref.crop(img, (300.0, 250.0), 1.1, [256, 192])
+    np.testing.assert_allclose(ours, theirs, atol=1e-9)
+
+    if not hasattr(scipy.ndimage, "interpolation"):
+        scipy.ndimage.interpolation = scipy.ndimage  # reference :88 alias
+    try:
+        ours_r = crop(img, (320.0, 240.0), 1.3, (224, 224), rot=20.0)
+        theirs_r = ref.crop(img, (320.0, 240.0), 1.3, [224, 224], rot=20.0)
+    finally:
+        if scipy.ndimage.interpolation is scipy.ndimage:
+            del scipy.ndimage.interpolation
+    np.testing.assert_allclose(ours_r, theirs_r, atol=1e-9)
