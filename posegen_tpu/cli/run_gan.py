@@ -37,7 +37,10 @@ def gan_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("posegen_tpu.run_gan")
     p.add_argument("--nerf_args", type=str, default=None, help="trained args.txt")
     p.add_argument("--ckptpath", type=str, default=None, help="NeRF ckpt")
-    p.add_argument("--spin_ckpt", type=str, default=None, help="SPIN .pth (torch)")
+    p.add_argument("--spin_ckpt", type=str, default=None,
+                   help="SPIN checkpoint: torch .pth (reference format) or "
+                        "native .npz ({params,state} flat tree, the "
+                        "tools/exp_mining.py spin_pretrained.npz format)")
     p.add_argument("--amass_poses", type=str, default=None)
     p.add_argument("--outputdir", type=str, default="render_output")
     p.add_argument("--runname", type=str, default="gan")
@@ -73,6 +76,10 @@ def gan_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_spin_epochs", type=int, default=0)
     p.add_argument("--i_gan_ckpt", type=int, default=1,
                    help="save a resumable GAN checkpoint every N epochs (0 off)")
+    p.add_argument("--probe_n", type=int, default=0,
+                   help="poses per end-of-epoch hardness probe (0 off): "
+                        "fixed inputs/noise -> generate, render, SPIN MPJPE; "
+                        "appended to probe.jsonl in the run dir")
     p.add_argument("--no_resume", action="store_true",
                    help="ignore existing gan_ckpts and start fresh")
     return p
@@ -121,7 +128,19 @@ def main(argv: Optional[Sequence[str]] = None):
         from posegen_tpu.gen.hmr import import_torch_hmr, init_hmr
 
         spin_params, spin_state = init_hmr(jax.random.PRNGKey(args.seed + 2))
-        if args.spin_ckpt:
+        if args.spin_ckpt and args.spin_ckpt.endswith(".npz"):
+            # native checkpoint (tools/exp_mining.py pretrain format) — the
+            # capstone run starts from the pretrained estimator without a
+            # torch round-trip
+            from posegen_tpu.train.checkpoints import _unflatten_into
+
+            tree = _unflatten_into(
+                {"params": spin_params, "state": spin_state},
+                dict(np.load(args.spin_ckpt)),
+            )
+            spin_params, spin_state = tree["params"], tree["state"]
+            print(f"loaded native SPIN checkpoint {args.spin_ckpt}")
+        elif args.spin_ckpt:
             import torch
 
             ckpt = torch.load(args.spin_ckpt, map_location="cpu", weights_only=False)
@@ -162,7 +181,34 @@ def main(argv: Optional[Sequence[str]] = None):
             trainer.load_checkpoint(latest)
             print(f"resumed from {latest} (epoch {trainer.epoch})")
 
+    import json as _json
     import time as _time
+
+    run_dir = os.path.join(args.outputdir, args.runname)
+    probe_real = probe_key = None
+    if args.probe_n > 0 and renderer is not None and spin_params is not None:
+        # fixed probe inputs: held-out pool rows + a fixed noise key, so the
+        # per-epoch hardness numbers are comparable across the whole run
+        prng = np.random.default_rng(args.seed + 300)
+        probe_real = pool[prng.integers(0, len(pool), (args.probe_n,))]
+        probe_key = jax.random.PRNGKey(args.seed + 777)
+
+    def _probe_and_log(epoch: int, stats, dt: float, n_iters: int) -> None:
+        os.makedirs(run_dir, exist_ok=True)
+        rec = {"epoch": epoch, "iters": n_iters, "wall_s": round(dt, 1),
+               **{k: round(float(v), 6) for k, v in stats.items()}}
+        if probe_real is not None:
+            from posegen_tpu.gen.loop import probe_hardness
+
+            t0 = _time.time()
+            rec["probe_mpjpe"] = round(
+                probe_hardness(trainer, probe_real, probe_key), 6
+            )
+            rec["probe_s"] = round(_time.time() - t0, 1)
+            print(f"  probe: {rec['probe_mpjpe']:.4f} MPJPE "
+                  f"({rec['probe_s']:.1f} s)", flush=True)
+        with open(os.path.join(run_dir, "epochs.jsonl"), "a") as f:
+            f.write(_json.dumps(rec) + "\n")
 
     rng = np.random.default_rng(args.seed)
     for epoch in range(args.epochs):
@@ -181,11 +227,13 @@ def main(argv: Optional[Sequence[str]] = None):
             f"({dt:.1f} s, {len(batches) / dt:.2f} it/s)",
             flush=True,
         )
+        _probe_and_log(epoch, stats, dt, len(batches))
         if args.i_gan_ckpt and (epoch + 1) % args.i_gan_ckpt == 0:
             path = trainer.save_checkpoint(
                 os.path.join(ckpt_dir, f"gan_{epoch:03d}.npz")
             )
             print(f"saved {path}")
+    trainer.flush_sink()
 
     if args.train_spin_epochs > 0 and spin_params is not None:
         from posegen_tpu.gen.spin_driver import train_spin

@@ -31,7 +31,6 @@ from posegen_tpu.gen.gan import (
 from posegen_tpu.gen.generators import GenConfig, init_pose_generator, pose_generator_apply
 from posegen_tpu.gen.discriminators import init_pos3d_discriminator
 from posegen_tpu.gen.hmr import hmr_apply
-from posegen_tpu.render.image import render_image
 from posegen_tpu.render.raycast import PoseCtx, RaycastConfig
 from posegen_tpu.skeleton.cameras import nerf_extrinsic_to_c2w
 from posegen_tpu.skeleton.geometry import get_kp_bounding_cylinder
@@ -69,6 +68,14 @@ class GanLoopConfig:
     pose_scale: float = 0.4
     spin_coef: float = 0.1
     output_dir: Optional[str] = None  # write (image, pose) dataset when set
+    # Render feedback frames only inside the SPIN crop window: every
+    # downstream consumer (the in-loop SPIN forward AND the dataset
+    # fine-tune reader) crops to `crop` before use (reference
+    # run_gan.py:2069 image[100:412, 100:412]), so rays outside it are
+    # dead work — ~2.5x of the feedback render at the reference camera.
+    # The sink PNGs keep background-only margins outside the crop; set
+    # False for byte-faithful full-frame renders.
+    feedback_crop: bool = True
 
 
 def fk_joints(bones: jax.Array, scale: float = 0.4) -> jax.Array:
@@ -99,28 +106,41 @@ class NeRFRenderer:
             cfg, chunk, half_readback=True
         )
 
-    def render_poses(self, bones: np.ndarray, c2ws: np.ndarray) -> np.ndarray:
+    def render_poses(self, bones: np.ndarray, c2ws: np.ndarray,
+                     window=None) -> np.ndarray:
         """Render one image per pose -> (K, H, W, 3) float [0, 1]
-        (reference run_render, run_gan.py:2299-2337, NeRF kept resident)."""
-        l2ws = np.asarray(smpl_l2ws(jnp.asarray(bones), scale=self.pose_scale))
+        (reference run_render, run_gan.py:2299-2337, NeRF kept resident).
+
+        Pose prep (FK, rigid inverse, cylinders) stays on-device; only the
+        (K, 5) cylinder rows cross to the host for the 2D box math. All K
+        images go through render_images_pipelined, which enqueues every
+        chunk before any readback — the per-image drain of the old loop
+        cost ~0.7 s/frame of chip idle on the tunneled host."""
+        from posegen_tpu.render.image import render_images_pipelined
+
+        l2ws = smpl_l2ws(jnp.asarray(bones), scale=self.pose_scale)
         kps = l2ws[..., :3, 3]
-        skts = np.asarray(invert_rigid(jnp.asarray(l2ws)))
-        cyls = np.asarray(get_kp_bounding_cylinder(jnp.asarray(kps), ext_scale=0.001))
-        imgs = []
-        for k in range(bones.shape[0]):
-            ctx = PoseCtx(
-                kps=jnp.asarray(kps[k : k + 1]),
-                skts=jnp.asarray(skts[k : k + 1]),
-                bones=jnp.asarray(bones[k : k + 1]),
-                cyls=jnp.asarray(cyls[k : k + 1].astype(np.float32)),
+        skts = invert_rigid(l2ws)
+        cyls_dev = get_kp_bounding_cylinder(kps, ext_scale=0.001).astype(
+            jnp.float32
+        )
+        cyls = np.asarray(cyls_dev)
+        bones_dev = jnp.asarray(bones)
+        ctxs = [
+            PoseCtx(
+                kps=kps[k : k + 1],
+                skts=skts[k : k + 1],
+                bones=bones_dev[k : k + 1],
+                cyls=cyls_dev[k : k + 1],
             )
-            out = render_image(
-                self.cfg, self.params, self.hw, self.hw, self.focal,
-                c2ws[k], ctx, chunk=self.chunk, render_fn=self._render_fn,
-                half_readback=True, white_bkgd=self.white_bkgd,
-            )
-            imgs.append(out["rgb"])
-        return np.stack(imgs)
+            for k in range(bones.shape[0])
+        ]
+        return render_images_pipelined(
+            self.cfg, self.params, self.hw, self.hw, self.focal,
+            c2ws, ctxs, cyls, chunk=self.chunk,
+            white_bkgd=self.white_bkgd, render_fn=self._render_fn,
+            half_readback=True, window=window,
+        )
 
 
 def prepare_spin_input(imgs: np.ndarray, crop: Tuple[int, int] = (100, 412)) -> jax.Array:
@@ -130,6 +150,35 @@ def prepare_spin_input(imgs: np.ndarray, crop: Tuple[int, int] = (100, 412)) -> 
     x = jnp.asarray(imgs[:, lo:hi, lo:hi])
     x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "linear")
     return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def probe_hardness(trainer: "GanTrainer", probe_real: np.ndarray,
+                   probe_key: jax.Array) -> float:
+    """Mean root-centred 14-joint SPIN error on poses generated from FIXED
+    inputs + noise — the hardness of the generator's current output
+    distribution against the current estimator. This is the quantity the
+    feedback reward pushes up (gen/gan.py spin term; reference
+    run_gan.py:2087-2096's `1 - mpjpe`), measured at matched inputs so
+    epochs are comparable (the exp_mining probe, productized)."""
+    out, _ = pose_generator_apply(
+        trainer.g_params, trainer.g_state, probe_key,
+        jnp.asarray(probe_real), trainer.gen_cfg,
+    )
+    bones = np.asarray(out["pose_ba"])
+    c2w = nerf_extrinsic_to_c2w(FEEDBACK_EXTRINSIC)
+    imgs = trainer.renderer.render_poses(
+        bones, np.broadcast_to(c2w, (len(bones), 4, 4)),
+        window=trainer.cfg.crop if trainer.cfg.feedback_crop else None,
+    )
+    pred = trainer._spin_fwd(
+        trainer.spin_params, trainer.spin_state, jnp.asarray(imgs)
+    )
+    gt = fk_joints(jnp.asarray(bones), trainer.cfg.pose_scale)[
+        :, jnp.asarray(SPIN_J14)
+    ]
+    pred = pred - pred[:, :1]
+    gt = gt - gt[:, :1]
+    return float(jnp.mean(jnp.linalg.norm(pred - gt, axis=-1)))
 
 
 class GanTrainer:
@@ -192,6 +241,8 @@ class GanTrainer:
         self.epoch = 0
         self._render_count = 0
         self._last_bones: Optional[np.ndarray] = None
+        self._png_pool = None
+        self._png_futs: list = []
 
         def _spin_fwd(p, s, imgs):
             # crop/normalize + ResNet-50 SPIN + FK in ONE compiled program —
@@ -214,7 +265,10 @@ class GanTrainer:
         (K, 14, 3) — constants w.r.t. G (reference run_gan.py:2041-2091)."""
         c2w = nerf_extrinsic_to_c2w(FEEDBACK_EXTRINSIC)
         c2ws = np.broadcast_to(c2w, (len(sel), 4, 4))
-        imgs = self.renderer.render_poses(bones[sel], c2ws)
+        imgs = self.renderer.render_poses(
+            bones[sel], c2ws,
+            window=self.cfg.crop if self.cfg.feedback_crop else None,
+        )
 
         if self.cfg.output_dir:  # optional dataset sink
             self._save_renders(imgs, bones[sel])
@@ -226,22 +280,46 @@ class GanTrainer:
 
     def _save_renders(self, imgs: np.ndarray, bones: np.ndarray) -> None:
         """(image, pose) dataset export (reference run_gan.py:2049-2059,
-        2333-2337: render_output/{run}/image/%05d.png + poses npys)."""
-        import imageio.v2 as imageio
+        2333-2337: render_output/{run}/image/%05d.png + poses npys).
 
+        PNG encodes run on a small writer pool: zlib compression releases
+        the GIL, so on the 1-core host the ~0.1 s/frame encode otherwise
+        serializes against the next feedback render's dispatch. flush_sink()
+        joins the pool (called before checkpoints and by consumers that
+        read the sink back)."""
         img_dir = os.path.join(self.cfg.output_dir, "image")
         os.makedirs(img_dir, exist_ok=True)
-        for i, img in enumerate(imgs):
+        if self._png_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._png_pool = ThreadPoolExecutor(max_workers=2)
+
+        def _write(path: str, img: np.ndarray) -> None:
+            import imageio.v2 as imageio
+
+            # compress_level 1: ~4x faster zlib pass on the 1-core host; the
+            # sink is a training dataset, size is cheaper than host stalls
+            imageio.imwrite(path, img, compress_level=1)
+
+        u8 = (np.clip(imgs, 0, 1) * 255).astype(np.uint8)
+        for i, img in enumerate(u8):
             idx = self._render_count + i
-            imageio.imwrite(
-                os.path.join(img_dir, f"{idx:05d}.png"),
-                (np.clip(img, 0, 1) * 255).astype(np.uint8),
-            )
+            self._png_futs.append(self._png_pool.submit(
+                _write, os.path.join(img_dir, f"{idx:05d}.png"), img
+            ))
+        if len(self._png_futs) > 256:
+            self.flush_sink()
         np.save(
             os.path.join(self.cfg.output_dir, f"poses_axis_angles{self._render_count}.npy"),
             bones,
         )
         self._render_count += len(imgs)
+
+    def flush_sink(self) -> None:
+        """Wait for queued dataset writes; re-raise the first failure."""
+        futs, self._png_futs = self._png_futs, []
+        for f in futs:
+            f.result()
 
     def train_step(self, real_pose: np.ndarray) -> Dict[str, float]:
         """One GAN iteration (reference run_gan.py:1993-2120)."""
@@ -305,6 +383,8 @@ class GanTrainer:
 
     def save_checkpoint(self, path: str) -> str:
         import pickle
+
+        self.flush_sink()  # the checkpoint's render_count must match disk
 
         from posegen_tpu.train.checkpoints import _flatten
 

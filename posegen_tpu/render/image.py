@@ -14,6 +14,7 @@ render garbage that is discarded on scatter-back.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -47,13 +48,27 @@ def valid_rays_for_pose(
 
 
 def valid_box_for_pose(
-    H: int, W: int, focal, c2w: np.ndarray, cyl: np.ndarray, center=None
+    H: int, W: int, focal, c2w: np.ndarray, cyl: np.ndarray, center=None,
+    window=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(tl, br, valid_idx): the pose cylinder's 2D bbox and the flat pixel
     indices inside it — the single source of the box convention for both
-    the host-ray and device-raygen render paths."""
+    the host-ray and device-raygen render paths.
+
+    window: optional (lo, hi) pixel interval — the box is intersected with
+    the square [lo, hi) x [lo, hi). Used by the GAN feedback renderer: SPIN
+    consumes only the center crop (reference run_gan.py:2069 reads
+    image[100:412, 100:412] and throws the margins away), so rays outside
+    the crop are pure waste on that path."""
     w2c = nerf_c2w_to_extrinsic(np.asarray(c2w))
     tl, br, _ = cylinder_to_box_2d(np.asarray(cyl), [H, W, focal], w2c, center=center)
+    if window is not None:
+        lo, hi = int(window[0]), int(window[1])
+        tl = np.maximum(tl, lo)
+        br = np.minimum(br, hi)
+        # degenerate intersection (pose fully outside the crop): keep one
+        # pixel so downstream fixed-shape code stays alive
+        br = np.maximum(br, tl + 1)
     yy, xx = np.meshgrid(
         np.arange(tl[1], br[1]), np.arange(tl[0], br[0]), indexing="ij"
     )
@@ -301,6 +316,87 @@ def render_image(
         "bbox": (tl, br),
         "valid_idx": valid_idx,
     }
+
+
+def render_images_pipelined(
+    cfg: RaycastConfig,
+    params: Dict[str, Any],
+    H: int,
+    W: int,
+    focal,
+    c2ws: Sequence[np.ndarray],
+    ctxs: Sequence[PoseCtx],
+    cyls: np.ndarray,
+    chunk: int = 4096,
+    white_bkgd: bool = False,
+    render_fn=None,
+    half_readback: bool = False,
+    window=None,
+) -> np.ndarray:
+    """Render K (camera, pose) pairs with the device pipeline kept full.
+
+    `render_image` drains the device between images: it blocks on the
+    np.asarray readback of image k before dispatching image k+1, so on a
+    tunneled host the chip idles for the whole readback+host-composite
+    latency every frame. Here ALL chunks of ALL images are enqueued first
+    (jax dispatch is async; per-chunk uploads are a ~60-byte cam pack and
+    one scalar), then read back and composited in order — transfers and
+    host work overlap the remaining compute. This is the GAN feedback
+    renderer's hot path (reference run_gan.py:2041-2091 renders rpi=20
+    images per feedback event).
+
+    cyls: (K, 5) HOST cylinder rows (the 2D box math is numpy); ctx pose
+    fields may live on device. Only device-raygen render_fns are supported
+    (the default single-chip jit and the shard_map cam renderer both are).
+    Returns (K, H, W, 3) float32 composited frames.
+    """
+    if render_fn is None:
+        render_fn = _raygen_render_fn(cfg, chunk, half_readback)
+    if not getattr(render_fn, "takes_cam", False):
+        raise ValueError("render_images_pipelined needs a device-raygen "
+                         "(takes_cam) render_fn")
+
+    debug = bool(os.environ.get("POSEGEN_RENDER_DEBUG"))
+    t0 = time.time()
+    pending = []
+    n_total = 0
+    for k in range(len(c2ws)):
+        tl, br, valid_idx = valid_box_for_pose(
+            H, W, focal, c2ws[k], cyls[k], window=window
+        )
+        cam = make_cam(H, W, focal, c2ws[k], tl, br)
+        cam_dev = {kk: jnp.asarray(v) for kk, v in cam.items()}
+        n = int(cam["box"][3])
+        n_total += n
+        outs = [
+            render_fn(params, cam_dev, jnp.asarray(i, jnp.int32), ctxs[k])
+            for i in range(0, n + ((-n) % chunk), chunk)
+        ]
+        pending.append((valid_idx, n, outs))
+    t1 = time.time()
+
+    frames = np.zeros((len(c2ws), H * W, 3), np.float32)
+    if white_bkgd:
+        frames += 1.0
+    for k, (valid_idx, n, outs) in enumerate(pending):
+        rgb = np.concatenate(
+            [np.asarray(o["rgb_map"], np.float32) for o in outs]
+        )[:n]
+        if white_bkgd:
+            acc = np.concatenate(
+                [np.asarray(o["acc_map"], np.float32) for o in outs]
+            )[:n]
+            rgb = rgb + (1.0 - acc[..., None])
+        frames[k, valid_idx] = rgb
+    if debug:
+        t2 = time.time()
+        print(
+            f"[render_images_pipelined] K={len(c2ws)} rays={n_total} "
+            f"chunks={sum(len(o) for _, _, o in pending)} chunk={chunk} "
+            f"enqueue {t1 - t0:.2f}s readback+composite {t2 - t1:.2f}s",
+            flush=True,
+        )
+    return frames.reshape(len(c2ws), H, W, 3)
 
 
 def render_path(

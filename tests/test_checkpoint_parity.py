@@ -304,21 +304,28 @@ def test_exported_tar_loads_in_reference_and_matches(tmp_path):
     )
 
 
-@pytest.mark.slow
-def test_native_training_quality_parity_ab(tmp_path):
-    """Native-training quality parity (VERDICT r3 next-round item 2): train
-    the ACTUAL reference Trainer (core/trainer.py:232-519) and OUR trainer
-    on the SAME scene with matched hyperparameters and iteration budget —
-    identical batch-index stream, matched LR schedule / tau anneal / loss
-    weights — and assert the two reach the same held-out PSNR.
+def run_training_ab(
+    work_dir,
+    n_iters: int = 400,
+    ref_seed: int = 3,
+    our_seed: int = 21,
+    stream_seed: int = 11,
+    torch_seed: int = 0,
+    step_key_seed: int = 0,
+):
+    """Train the ACTUAL reference Trainer (core/trainer.py:232-519) and OUR
+    trainer on the SAME scene with matched hyperparameters and iteration
+    budget — identical batch-index stream, matched LR schedule / tau anneal
+    / loss weights — and return both held-out PSNRs.
 
-    This is the direction users care about (import-parity alone proves only
-    that reference-trained weights render identically; this proves OUR
-    training loop trains as well as theirs). The scene is the synthetic
-    blob-person H5 (a genuinely learnable radiance field — NOT the random
-    ray pool of the import tests, on which neither stack can learn and any
-    comparison would be vacuous); both stacks see the identical
-    image/pixel-index stream and identical hyperparameters."""
+    Shared by the parity test below (one seed, assertion-gated) and
+    tools/exp_ab.py (the multi-seed x multi-budget sweep, VERDICT r4 item 3).
+    Seeds: ref_seed/our_seed vary the two stacks' weight inits (the
+    realization difference under test), stream_seed the image/pixel stream
+    (always the SAME for both stacks within a run), torch_seed/step_key_seed
+    the in-training noise draws.
+
+    Returns dict(psnr_ref, psnr_ours, ref_losses, our_losses)."""
     import h5py
     from types import SimpleNamespace
 
@@ -345,11 +352,12 @@ def test_native_training_quality_parity_ab(tmp_path):
         netdepth=2, netwidth=48, multires=4, multires_views=2,
         N_samples=12, N_importance=4, raw_noise_std=1.0,
     )
-    n_iters = int(os.environ.get("POSEGEN_AB_ITERS", "400"))
     n_rand = 128
     lrate = 5e-3  # the demo config's fast-convergence LR, same for both
 
-    h5 = make_synthetic_h5(str(tmp_path / "demo.h5"), n_images=8, H=64, W=64)
+    h5 = make_synthetic_h5(
+        os.path.join(str(work_dir), "demo.h5"), n_images=8, H=64, W=64
+    )
     with h5py.File(h5, "r") as f:
         imgs = np.asarray(f["imgs"], np.float32) / 255.0
         smask = np.asarray(f["sampling_masks"])[..., 0] > 0
@@ -398,7 +406,7 @@ def test_native_training_quality_parity_ab(tmp_path):
     # cutoff_dist 0.5 = cutoff_mm 500 x ext_scale 0.001, matching OUR
     # init_raycaster default — with the import-test value (0.175) the gate
     # blinds the reference to most of the scene and it cannot learn
-    caster, preproc = _build_reference_raycaster(cfg, seed=3, cutoff_dist=0.5)
+    caster, preproc = _build_reference_raycaster(cfg, seed=ref_seed, cutoff_dist=0.5)
     args = SimpleNamespace(
         opt_pose_stop=None, opt_pose=False, opt_pose_cache=False,
         opt_pose_step=1, chunk=4096, loss_fn="MSE", loss_beta=0.1,
@@ -422,8 +430,8 @@ def test_native_training_quality_parity_ab(tmp_path):
         render_kwargs_train, None, popt_kwargs=None, device="cpu",
     )
 
-    stream = batch_stream(11)
-    torch.manual_seed(0)
+    stream = batch_stream(stream_seed)
+    torch.manual_seed(torch_seed)
     ref_losses = []
     for it in range(1, n_iters + 1):
         i, sel = next(stream)
@@ -458,12 +466,12 @@ def test_native_training_quality_parity_ab(tmp_path):
         loss_fn="MSE", coarse_weight=0.1,
         cutoff_step=1, cutoff_rate=10.0,
     )
-    variables = init_raycaster(jax.random.PRNGKey(21), cfg)
+    variables = init_raycaster(jax.random.PRNGKey(our_seed), cfg)
     state = create_train_state(variables, tcfg)
     step = jax.jit(make_train_step(cfg, tcfg), donate_argnums=(0,))
 
-    stream = batch_stream(11)  # the SAME image/pixel stream
-    key = jax.random.PRNGKey(0)
+    stream = batch_stream(stream_seed)  # the SAME image/pixel stream
+    key = jax.random.PRNGKey(step_key_seed)
     our_losses = []
     for it in range(1, n_iters + 1):
         i, sel = next(stream)
@@ -492,6 +500,23 @@ def test_native_training_quality_parity_ab(tmp_path):
     psnr_ours = np_psnr(np.asarray(ours["rgb_map"]), val_gt)
 
     print(f"A/B val PSNR: reference {psnr_ref:.2f} dB, ours {psnr_ours:.2f} dB")
+    return {
+        "psnr_ref": psnr_ref, "psnr_ours": psnr_ours,
+        "ref_losses": ref_losses, "our_losses": our_losses,
+    }
+
+
+@pytest.mark.slow
+def test_native_training_quality_parity_ab(tmp_path):
+    """Native-training quality parity, single-seed gate (the multi-seed x
+    multi-budget sweep lives in tools/exp_ab.py; its measured seed spread is
+    recorded in RESULTS.md and logs/ab/). Asserts our trainer reaches the
+    reference's held-out PSNR within the measured cross-seed spread."""
+    r = run_training_ab(
+        tmp_path, n_iters=int(os.environ.get("POSEGEN_AB_ITERS", "400"))
+    )
+    psnr_ref, psnr_ours = r["psnr_ref"], r["psnr_ours"]
+    ref_losses = r["ref_losses"]
     # both stacks actually learned the scene (guards against a vacuous pass)
     assert psnr_ref > 14.0 and np.mean(ref_losses[-20:]) < 0.3 * np.mean(
         ref_losses[:20]

@@ -262,16 +262,14 @@ def test_gan_feedback_renderer_multichip(rng):
     assert imgs.shape == (1, 24, 24, 3)
     assert np.isfinite(imgs).all()
 
-    # same render forced single-device
+    # same render forced single-device: _render_fn=None routes render_poses
+    # through the memoized single-chip device-raygen jit (the single-chip
+    # NeRFRenderer default)
     single = NeRFRenderer.__new__(NeRFRenderer)
     single.cfg, single.params = cfg, params
     single.hw, single.focal, single.pose_scale, single.chunk = 24, 30.0, r.pose_scale, 256
     single.white_bkgd = False
-    single._render_fn = jax.jit(
-        lambda p, o, d, c: render_rays(
-            cfg, p, o, d, c, perturb=0.0, raw_noise_std=0.0, eval_mean_code=True
-        )
-    )
+    single._render_fn = None
     imgs1 = single.render_poses(bones, c2w[None])
     np.testing.assert_allclose(imgs, imgs1, rtol=1e-3, atol=5e-4)
 
@@ -330,3 +328,34 @@ def test_render_image_device_raygen_matches_legacy(rng):
     np.testing.assert_allclose(new["rgb"], legacy["rgb"], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(new["acc"], legacy["acc"], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(new["disp"], legacy["disp"], rtol=1e-4, atol=1e-5)
+
+
+def test_feedback_crop_window_matches_full_inside(rng):
+    """window=(lo,hi) renders exactly the full render's pixels inside the
+    crop and leaves background outside — the GAN feedback path's 2.5x ray
+    saving must be invisible to every consumer (all of them crop first)."""
+    from posegen_tpu.gen.loop import NeRFRenderer
+
+    cfg = RC.RaycastConfig(
+        N_samples=6, N_importance=0, perturb=0.0, raw_noise_std=0.0
+    )
+    params = RC.init_raycaster(jax.random.PRNGKey(1), cfg)
+    params["coarse"]["alpha_linear"]["b"] = (
+        params["coarse"]["alpha_linear"]["b"] + 2.0
+    )
+    r = NeRFRenderer(cfg, params, hw=32, focal=40.0, chunk=256)
+    bones = rng.standard_normal((2, 24, 3)).astype(np.float32) * 0.2
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 3.0
+    c2ws = np.broadcast_to(c2w, (2, 4, 4))
+
+    full = r.render_poses(bones, c2ws)
+    lo, hi = 8, 26
+    cropped = r.render_poses(bones, c2ws, window=(lo, hi))
+    np.testing.assert_allclose(
+        cropped[:, lo:hi, lo:hi], full[:, lo:hi, lo:hi], atol=2e-3
+    )
+    # outside the window: untouched background (zeros here)
+    outside = cropped.copy()
+    outside[:, lo:hi, lo:hi] = 0.0
+    assert float(np.abs(outside).max()) == 0.0

@@ -1,0 +1,343 @@
+"""Pose-refinement proof + long-horizon pose-opt soak (VERDICT r4 items 2+4).
+
+BASELINE config 4's purpose — test-time pose refinement with gradients
+through sampler+compositor (reference core/pose_opt.py:14-83, run_nerf.py
+--testopt) — exists to FIX noisy estimated poses. This experiment proves it
+does, on a synthetic scene where ground truth is known:
+
+  prepare   build a 264-image 256^2 synthetic scene whose H5 carries
+            PERTURBED poses (bones + pelvis noise = the "SPIN estimate")
+            while the images remain ground-truth renders; GT saved alongside.
+  soak      run the verbatim h36m_prot2 workload (cli/run_nerf, pose-opt
+            every 50 iters, L1 + background + framecodes) on that scene for
+            --n_iters steps — the long-horizon item: pose error must
+            converge toward GT and STAY there.
+  evalpose  turn the run's *.pose.npz checkpoints into a pose-error-to-GT
+            trajectory (JSON under logs/poseopt/).
+  testopt   from the soak's trained NeRF, freshly perturb poses and run
+            --testopt (NeRF frozen, poses optimized): per-joint error and
+            val PSNR must recover vs the frozen-noisy control; sweeps the
+            anchor tolerance.
+
+All chip phases; prepare runs anywhere.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+DATA_DIR = os.path.join(ROOT, "data_poseopt")
+GT_PATH = os.path.join(DATA_DIR, "synthetic", "gt.npz")
+H5_PATH = os.path.join(DATA_DIR, "synthetic", "demo.h5")
+LOG_DIR = os.path.join(ROOT, "logs", "poseopt")
+
+
+def _fk(bones: np.ndarray, pelvis: np.ndarray) -> np.ndarray:
+    """Axis-angle bones (F,24,3) + pelvis (F,3) -> world joints (F,24,3)."""
+    import jax.numpy as jnp
+
+    from posegen_tpu.skeleton.kinematics import smpl_l2ws
+
+    l2ws = np.asarray(smpl_l2ws(jnp.asarray(bones), scale=0.4))
+    kps = l2ws[..., :3, 3]
+    return kps - kps[:, :1] + pelvis[:, None]
+
+
+def perturb(bones, kp3d, seed, bone_std, pelvis_std):
+    """The 'SPIN estimate': bones + N(0, bone_std) rad, pelvis + N(0, t)."""
+    import jax.numpy as jnp
+
+    from posegen_tpu.skeleton.geometry import get_kp_bounding_cylinder
+    from posegen_tpu.skeleton.kinematics import invert_rigid, smpl_l2ws
+
+    rng = np.random.default_rng(seed)
+    b_n = bones + rng.standard_normal(bones.shape).astype(np.float32) * bone_std
+    delta = rng.standard_normal((len(bones), 3)).astype(np.float32) * pelvis_std
+    l2ws = np.array(smpl_l2ws(jnp.asarray(b_n), scale=0.4))
+    # rigid pelvis shift: keep each noisy pose rooted near its GT pelvis
+    shift = (kp3d[:, 0] + delta) - l2ws[:, 0, :3, 3]
+    l2ws[..., :3, 3] += shift[:, None]
+    kp_n = l2ws[..., :3, 3]
+    skts_n = np.asarray(invert_rigid(jnp.asarray(l2ws)))
+    cyls_n = np.asarray(
+        get_kp_bounding_cylinder(jnp.asarray(kp_n), ext_scale=0.001)
+    ).astype(np.float32)
+    return b_n.astype(np.float32), kp_n.astype(np.float32), skts_n, cyls_n
+
+
+def cmd_prepare(args) -> None:
+    import h5py
+
+    from posegen_tpu.data.synthetic import make_synthetic_h5
+
+    os.makedirs(os.path.dirname(H5_PATH), exist_ok=True)
+    make_synthetic_h5(H5_PATH, n_images=264, H=256, W=256, focal=320.0,
+                      seed=args.seed)
+    with h5py.File(H5_PATH, "r+") as f:
+        gt_bones = np.asarray(f["bones"])
+        gt_kp3d = np.asarray(f["kp3d"])
+        b_n, kp_n, skts_n, cyls_n = perturb(
+            gt_bones, gt_kp3d, args.seed + 1, args.bone_std, args.pelvis_std
+        )
+        for k, v in (("bones", b_n), ("kp3d", kp_n), ("skts", skts_n),
+                     ("cyls", cyls_n)):
+            f[k][...] = v
+    np.savez(GT_PATH, gt_bones=gt_bones, gt_kp3d=gt_kp3d,
+             bone_std=args.bone_std, pelvis_std=args.pelvis_std,
+             seed=args.seed)
+    err0 = float(np.mean(np.linalg.norm(
+        _fk(b_n, kp_n[:, 0]) - _fk(gt_bones, gt_kp3d[:, 0]), axis=-1)))
+    print(f"prepared {H5_PATH}: initial MPJPE {err0:.4f} units "
+          f"({err0 / 0.001 * 0.4:.1f} mm-ish at ext_scale 0.001)")
+
+
+SOAK_ARGS = [
+    "--config", "configs/h36m/h36m_prot2.txt",
+    "--data_root", "./data_poseopt", "--dataset_type", "synthetic",
+    "--expname", "poseopt_soak", "--basedir", "./logs",
+    "--i_print", "500", "--i_pose_weights", "2000", "--i_weights", "20000",
+    "--i_testset", "10000", "--i_video", "0",
+]
+
+
+def cmd_soak(args) -> None:
+    from posegen_tpu.cli.run_nerf import train
+
+    train(SOAK_ARGS + ["--n_iters", str(args.n_iters)])
+
+
+def pose_err_vs_gt(pose_params, gt, kp_map=None) -> dict:
+    """MPJPE(FK(params), FK(gt)) + mean bone-angle error, over all frames."""
+    import jax.numpy as jnp
+
+    from posegen_tpu.pose.opt import pose_apply
+    from posegen_tpu.skeleton.skeleton import SMPL_REST_POSE
+
+    F = len(gt["gt_bones"])
+    idx = jnp.arange(F)
+    kps, bones, _, _ = pose_apply(
+        pose_params, idx, jnp.asarray(SMPL_REST_POSE),
+        kp_map=None if kp_map is None else jnp.asarray(kp_map),
+    )
+    kps = np.asarray(kps)
+    gt_kps = _fk(gt["gt_bones"], gt["gt_kp3d"][:, 0])
+    mpjpe = float(np.mean(np.linalg.norm(kps - gt_kps, axis=-1)))
+    # root-centred variant isolates articulation from pelvis placement
+    pa = kps - kps[:, :1]
+    gb = gt_kps - gt_kps[:, :1]
+    mpjpe_rc = float(np.mean(np.linalg.norm(pa - gb, axis=-1)))
+    return {"mpjpe": mpjpe, "mpjpe_rc": mpjpe_rc}
+
+
+def cmd_evalpose(args) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    gt = dict(np.load(GT_PATH))
+    from posegen_tpu.train.checkpoints import load_pose_params
+
+    rows = []
+    # step 0 = the dataset estimates themselves (the frozen-noisy control)
+    from posegen_tpu.pose.opt import PoseOptConfig, init_pose_params
+
+    import h5py
+
+    with h5py.File(H5_PATH, "r") as f:
+        p0, _ = init_pose_params(
+            PoseOptConfig(use_rot6d=True), np.asarray(f["bones"]),
+            np.asarray(f["kp3d"]),
+        )
+    rows.append({"step": 0, **pose_err_vs_gt(p0, gt)})
+    for p in sorted(glob.glob(os.path.join(args.log_dir, "*.pose.npz"))):
+        step = int(os.path.basename(p).split(".")[0])
+        rows.append({"step": step,
+                     **pose_err_vs_gt(load_pose_params(p), gt)})
+        print(rows[-1], flush=True)
+    os.makedirs(LOG_DIR, exist_ok=True)
+    out = os.path.join(LOG_DIR, "soak_pose_err.json")
+    with open(out, "w") as f:
+        json.dump({"gt_meta": {k: float(np.asarray(v).reshape(-1)[0])
+                               for k, v in gt.items()
+                               if k in ("bone_std", "pelvis_std")},
+                   "rows": rows}, f, indent=1)
+    print(f"wrote {out}")
+
+
+def _rd_with_params(render_data, pose_params):
+    """render_data with its pose fields replaced by the CURRENT pose params
+    (FK'd exactly as the train step does) — evaluate_testset otherwise
+    renders the dataset's stored estimates, and testopt's whole point is
+    rendering with the refined poses (reference --testopt render path)."""
+    import jax.numpy as jnp
+
+    from posegen_tpu.pose.opt import pose_apply
+    from posegen_tpu.skeleton.geometry import get_kp_bounding_cylinder
+    from posegen_tpu.skeleton.skeleton import SMPL_REST_POSE
+
+    idx = jnp.asarray(np.asarray(render_data["kp_idxs"], np.int64))
+    kps, bones, skts, _ = pose_apply(
+        pose_params, idx, jnp.asarray(SMPL_REST_POSE)
+    )
+    rd = dict(render_data)
+    rd["kp3d"] = np.asarray(kps)
+    rd["bones"] = np.asarray(bones)
+    rd["skts"] = np.asarray(skts)
+    rd["cyls"] = np.asarray(
+        get_kp_bounding_cylinder(kps, ext_scale=0.001)
+    ).astype(np.float32)
+    return rd
+
+
+def cmd_testopt(args) -> None:
+    """Fresh perturbation -> --testopt refinement from the trained NeRF."""
+    import h5py
+    import jax
+    import jax.numpy as jnp
+
+    from posegen_tpu.cli.config import (
+        args_to_raycast_config,
+        args_to_train_config,
+        nerf_config_parser,
+        parse_with_config,
+    )
+    from posegen_tpu.cli.run_nerf import evaluate_testset
+    from posegen_tpu.data.catalog import args_to_data_config, load_data
+    from posegen_tpu.pose.opt import PoseOptConfig, init_pose_params
+    from posegen_tpu.train.checkpoints import latest_checkpoint, load_checkpoint
+    from posegen_tpu.train.trainer import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+    from posegen_tpu.skeleton.skeleton import SMPL_REST_POSE
+
+    gt = dict(np.load(GT_PATH))
+    ckpt = args.ckpt or latest_checkpoint(args.log_dir)
+    print(f"testopt from {ckpt}")
+
+    cli = parse_with_config(
+        nerf_config_parser(),
+        SOAK_ARGS + ["--testopt", "--n_iters", str(args.n_iters)],
+    )
+    dcfg = args_to_data_config(cli)
+    results = {"ckpt": ckpt, "n_iters": args.n_iters,
+               "bone_std": args.bone_std, "pelvis_std": args.pelvis_std,
+               "sweeps": []}
+
+    # fresh noise, different seed from the soak's dataset perturbation
+    with h5py.File(H5_PATH, "r") as f:
+        pass  # (soak H5 untouched; testopt perturbs in-memory params only)
+    b_n, kp_n, _, _ = perturb(
+        gt["gt_bones"], gt["gt_kp3d"], args.seed + 7,
+        args.bone_std, args.pelvis_std,
+    )
+
+    for tol in args.tols:
+        loader, render_data, attrs = load_data(dcfg)
+        cfg = args_to_raycast_config(cli, n_framecodes=attrs["n_framecodes"])
+        tcfg = args_to_train_config(cli)
+        assert tcfg.testopt
+        pcfg = PoseOptConfig(use_rot6d=True, opt_pose_tol=tol)
+        pose_params, anchors = init_pose_params(pcfg, b_n, kp_n)
+
+        from posegen_tpu.render.raycast import init_raycaster
+
+        variables = init_raycaster(jax.random.PRNGKey(0), cfg)
+        state = create_train_state(variables, tcfg, pose_params, anchors)
+        state = load_checkpoint(ckpt, state)
+        # the ckpt carries the SOAK's pose state; restart from the fresh noise
+        fresh = create_train_state(
+            {**state.params, **state.embeds}, tcfg, pose_params, anchors
+        )
+        state = state._replace(
+            pose_params=fresh.pose_params, pose_anchors=fresh.pose_anchors,
+            pose_opt_state=fresh.pose_opt_state, opt_state=fresh.opt_state,
+            step=fresh.step,
+        )
+
+        err_before = pose_err_vs_gt(state.pose_params, gt)
+        m_before, _ = evaluate_testset(
+            cfg, state, _rd_with_params(render_data, state.pose_params),
+            cli.chunk, render_factor=2,
+        )
+        step_fn = jax.jit(
+            make_train_step(cfg, tcfg, pcfg,
+                            rest_pose=jnp.asarray(SMPL_REST_POSE),
+                            n_frames=attrs["n_kps"]),
+            donate_argnums=(0,),
+        )
+        it = iter(loader)
+        key = jax.random.PRNGKey(1)
+        traj = []
+        for i in range(args.n_iters):
+            batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+            state, stats = step_fn(state, batch, jax.random.fold_in(key, i))
+            if (i + 1) % max(args.n_iters // 8, 1) == 0:
+                e = pose_err_vs_gt(state.pose_params, gt)
+                traj.append({"iter": i + 1, **e})
+                print(f"tol {tol} iter {i+1}: {e} "
+                      f"kp_loss {float(stats.get('kp_loss', 0)):.5f}",
+                      flush=True)
+        err_after = pose_err_vs_gt(state.pose_params, gt)
+        m_after, _ = evaluate_testset(
+            cfg, state, _rd_with_params(render_data, state.pose_params),
+            cli.chunk, render_factor=2,
+        )
+        loader.close()
+        sweep = {
+            "tol": tol,
+            "mpjpe_before": err_before["mpjpe"],
+            "mpjpe_after": err_after["mpjpe"],
+            "mpjpe_rc_before": err_before["mpjpe_rc"],
+            "mpjpe_rc_after": err_after["mpjpe_rc"],
+            "val_psnr_before": m_before["psnr"],
+            "val_psnr_after": m_after["psnr"],
+            "traj": traj,
+        }
+        results["sweeps"].append(sweep)
+        print(f"[testopt tol={tol}] MPJPE {err_before['mpjpe']:.4f} -> "
+              f"{err_after['mpjpe']:.4f}; val PSNR {m_before['psnr']:.2f} -> "
+              f"{m_after['psnr']:.2f}", flush=True)
+
+    os.makedirs(LOG_DIR, exist_ok=True)
+    out = os.path.join(LOG_DIR, "testopt_recovery.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out}")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser("exp_poseopt")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pr = sub.add_parser("prepare")
+    pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--bone_std", type=float, default=0.08)
+    pr.add_argument("--pelvis_std", type=float, default=0.02)
+    so = sub.add_parser("soak")
+    so.add_argument("--n_iters", type=int, default=100000)
+    ev = sub.add_parser("evalpose")
+    ev.add_argument("--log_dir", default="logs/poseopt_soak")
+    to = sub.add_parser("testopt")
+    to.add_argument("--log_dir", default="logs/poseopt_soak")
+    to.add_argument("--ckpt", default=None)
+    to.add_argument("--n_iters", type=int, default=1500)
+    to.add_argument("--seed", type=int, default=0)
+    to.add_argument("--bone_std", type=float, default=0.08)
+    to.add_argument("--pelvis_std", type=float, default=0.02)
+    to.add_argument("--tols", type=float, nargs="+", default=[0.01, 0.05, 0.0])
+    args = p.parse_args()
+    {"prepare": cmd_prepare, "soak": cmd_soak,
+     "evalpose": cmd_evalpose, "testopt": cmd_testopt}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()
