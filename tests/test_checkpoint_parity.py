@@ -521,9 +521,13 @@ def test_native_training_quality_parity_ab(tmp_path):
     assert psnr_ref > 14.0 and np.mean(ref_losses[-20:]) < 0.3 * np.mean(
         ref_losses[:20]
     ), f"reference stack failed to learn ({psnr_ref:.2f} dB)"
-    # matched-budget parity: our trainer must reach the reference's quality
-    # (small +/- for init/RNG realization differences)
-    assert psnr_ours > psnr_ref - 0.75, (
+    # matched-budget parity: our trainer must reach the reference's quality.
+    # Tolerance sits just beyond the MEASURED cross-seed spread (tools/
+    # exp_ab.py, 3 seeds x {400, 2000} iters, logs/ab/summary.json): at 400
+    # iters the gap is -0.15+/-0.17 dB (worst seed -0.32), at 2000 it is
+    # -0.01+/-0.84 with our stack winning seeds outright — i.e. no
+    # systematic deficit, so anything past ~2 sigma is a real regression.
+    assert psnr_ours > psnr_ref - 0.6, (
         f"our trainer underperforms: {psnr_ours:.2f} vs ref {psnr_ref:.2f}"
     )
 
