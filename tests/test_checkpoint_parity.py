@@ -506,6 +506,294 @@ def run_training_ab(
     }
 
 
+def run_training_ab_h36m(
+    work_dir,
+    n_iters: int = 300,
+    ref_seed: int = 3,
+    our_seed: int = 21,
+    stream_seed: int = 11,
+    torch_seed: int = 0,
+    step_key_seed: int = 0,
+):
+    """The h36m-config-family training A/B (VERDICT r4 item 3, second half):
+    L1 loss + background compositing + per-frame codes + pose optimization —
+    the loss path `run_training_ab` (MSE, no bg, no popt) does not touch.
+    The reference side runs the ACTUAL Trainer with create_popt's
+    PoseOptLayer (core/pose_opt.py:14-83,240-330) and a pose Adam stepped
+    every opt_pose_step iters; ours runs the same knobs through
+    TrainConfig/PoseOptConfig. Matched stream, matched h36m hyperparameters
+    (L1, coarse_weight 1, opt_pose_step 50, pose lr 5e-4, rot6d, tol 0.01,
+    coef 2.0, framecode_ch 16). Returns dict(psnr_ref, psnr_ours, ...)."""
+    import h5py
+    from types import SimpleNamespace
+
+    import jax
+    from core.trainer import Trainer, render
+    from core.pose_opt import create_popt
+    from core.utils.skeleton_utils import SMPLSkeleton
+
+    from posegen_tpu.data.synthetic import make_synthetic_h5
+    from posegen_tpu.pose.opt import PoseOptConfig, init_pose_params
+    from posegen_tpu.render.raycast import PoseCtx, init_raycaster
+    from posegen_tpu.skeleton.cameras import get_rays_np
+    from posegen_tpu.skeleton.skeleton import SMPL_REST_POSE
+    from posegen_tpu.train.trainer import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = RaycastConfig(
+        netdepth=2, netwidth=48, multires=4, multires_views=2,
+        N_samples=12, N_importance=4, raw_noise_std=1.0,
+        opt_framecode=True, n_framecodes=8, framecode_ch=16,
+    )
+    n_rand = 128
+    lrate = 5e-3
+    OPT_POSE_STEP = 50   # verbatim h36m cadence
+    POSE_LR = 5e-4
+
+    h5 = make_synthetic_h5(
+        os.path.join(str(work_dir), "demo_h36m.h5"), n_images=8, H=64, W=64
+    )
+    with h5py.File(h5, "r") as f:
+        imgs = np.asarray(f["imgs"], np.float32) / 255.0
+        smask = np.asarray(f["sampling_masks"])[..., 0] > 0
+        masks = np.asarray(f["masks"], np.float32)
+        kp3d = np.asarray(f["kp3d"])
+        skts = np.asarray(f["skts"])
+        bones = np.asarray(f["bones"])
+        cyls = np.asarray(f["cyls"])
+        c2ws = np.asarray(f["c2ws"])
+        focals = np.asarray(f["focals"])
+        kp_idxs = np.asarray(f["kp_idxs"])
+
+    # non-trivial background (the synthetic scene's own bkgd is black, which
+    # would make the use_background composite a numeric no-op): a smooth
+    # deterministic gradient, composited into the targets for BOTH stacks
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32) / 64.0
+    bg_img = np.stack([0.2 + 0.5 * yy, 0.3 + 0.4 * xx,
+                       0.5 - 0.3 * yy * xx], -1).astype(np.float32)
+    imgs = imgs * masks + (1.0 - masks) * bg_img
+
+    rays, fg_pools, ring_pools = [], [], []
+    for i in range(8):
+        ro, rd = get_rays_np(64, 64, float(focals[i]), c2ws[i])
+        rays.append((np.asarray(ro).reshape(-1, 3).astype(np.float32),
+                     np.asarray(rd).reshape(-1, 3).astype(np.float32)))
+        tight = masks[i, ..., 0].reshape(-1) > 0
+        dil = smask[i].reshape(-1)
+        fg_pools.append(np.where(tight)[0])
+        ring_pools.append(np.where(dil & ~tight)[0])
+    targets = imgs.reshape(8, -1, 3)
+    bg_flat = bg_img.reshape(-1, 3)
+    val_i = 7
+    val_pix = np.concatenate([fg_pools[val_i][:384], ring_pools[val_i][:128]])
+    val_o = rays[val_i][0][val_pix]
+    val_d = rays[val_i][1][val_pix]
+    val_gt = targets[val_i][val_pix]
+    val_bg = bg_flat[val_pix]
+
+    def np_psnr(a, b):
+        return float(-10.0 * np.log10(np.mean((a - b) ** 2)))
+
+    def tile(a, n):
+        a = np.asarray(a)
+        return torch.tensor(np.tile(a, (n,) + (1,) * (a.ndim - 1)))
+
+    def batch_stream(seed):
+        # fg-biased sampling (the reference's own fg_ratio device,
+        # run_nerf.py --fg_ratio / h36m fg_ratio=1.0): with bg compositing,
+        # uniformly-sampled dilated-mask pixels are mostly background and
+        # BOTH stacks find the acc=0 "render nothing" minimum — the person
+        # must dominate the loss for the scene to be learnable at this
+        # budget. 3:1 person:ring, identical stream for both stacks.
+        rng = np.random.default_rng(seed)
+        while True:
+            i = int(rng.integers(0, 7))
+            sel = np.concatenate([
+                rng.choice(fg_pools[i], size=(3 * n_rand) // 4, replace=True),
+                rng.choice(ring_pools[i], size=n_rand - (3 * n_rand) // 4,
+                           replace=True),
+            ])
+            yield i, sel
+
+    # ---- reference stack: Trainer + create_popt ---------------------------
+    caster, preproc = _build_reference_raycaster(cfg, seed=ref_seed, cutoff_dist=0.5)
+    args = SimpleNamespace(
+        opt_pose_stop=None, opt_pose=True, opt_pose_cache=False,
+        opt_pose_step=OPT_POSE_STEP, chunk=4096, loss_fn="L1", loss_beta=0.1,
+        reg_fn=None, use_background=True, coarse_weight=1.0,
+        lrate=lrate, lrate_decay=250, lrate_decay_rate=0.1, decay_unit=1000,
+        finetune=False, opt_framecode=True,
+        cutoff_step=250, cutoff_rate=10.0, freq_schedule_step=1,
+        multires=cfg.multires,
+        opt_rot6d=True, opt_pose_tol=0.01, opt_pose_coef=2.0,
+        opt_pose_lrate=POSE_LR, use_temp_loss=False, ext_scale=0.001,
+        init_poseopt=None, no_poseopt_reload=False, use_ckpt_anchor=False,
+    )
+    data_attrs = {
+        "skel_type": SMPLSkeleton,
+        "rest_pose": np.asarray(SMPL_REST_POSE, np.float32) * 0.4,
+        "betas": np.zeros((1, 10), np.float32),
+        "kp3d": kp3d.astype(np.float32),
+        "bones": bones.astype(np.float32),
+    }
+    torch.manual_seed(torch_seed)
+    pose_optimizer, popt_kwargs = create_popt(args, data_attrs, device="cpu")
+    optimizer = torch.optim.Adam(caster.parameters(), lr=args.lrate)
+    render_kwargs_train = {
+        "ray_caster": nn.DataParallel(caster),
+        "use_viewdirs": True,
+        "near": cfg.near, "far": cfg.far,
+        "N_samples": cfg.N_samples, "N_importance": cfg.N_importance,
+        "perturb": 1.0, "raw_noise_std": 1.0,
+        "preproc_kwargs": preproc,
+    }
+    trainer = Trainer(
+        args, {"hwf": (64, 64, float(focals[0]))}, optimizer, pose_optimizer,
+        render_kwargs_train, None, popt_kwargs=popt_kwargs, device="cpu",
+    )
+
+    # the reference's popt path reads grad norms AFTER zero_grad
+    # (trainer.py:470-475); its torch era kept zeroed tensors there, modern
+    # torch sets None and get_gradnorm divides by zero — restore the old
+    # zero_grad semantics for the executed code
+    def _optim_step_legacy():
+        trainer.optimizer.step()
+        trainer.optimizer.zero_grad(set_to_none=False)
+
+    trainer._optim_step = _optim_step_legacy
+
+    stream = batch_stream(stream_seed)
+    torch.manual_seed(torch_seed)
+    ref_losses = []
+    for it in range(1, n_iters + 1):
+        i, sel = next(stream)
+        batch = {
+            "rays": torch.tensor(
+                np.stack([rays[i][0][sel], rays[i][1][sel]], 0)
+            ),
+            "target_s": torch.tensor(targets[i][sel]),
+            "bgs": torch.tensor(bg_flat[sel]),
+            "cam_idxs": torch.tensor(np.full(n_rand, i, np.int64)),
+            "kp_idx": torch.tensor(np.full(n_rand, int(kp_idxs[i]))),
+            "cyls": tile(cyls[kp_idxs[i] : kp_idxs[i] + 1], n_rand),
+        }
+        loss_dict, _ = trainer.train_batch(batch, i=it, global_step=it)
+        ref_losses.append(loss_dict["total_loss"].item())
+        assert np.isfinite(ref_losses[-1])
+
+    # val render with the OPTIMIZED reference poses + real framecodes
+    popt_layer = popt_kwargs["popt_layer"]
+    with torch.no_grad():
+        kps_r, bones_r, skts_r, _, _ = popt_layer(np.asarray([int(kp_idxs[val_i])]))
+    caster.eval()
+    with torch.no_grad():
+        ref_out = render(
+            64, 64, float(focals[0]), chunk=4096,
+            rays=(torch.tensor(val_o), torch.tensor(val_d)),
+            kp_batch=kps_r.expand(len(val_o), -1, -1),
+            skts=skts_r.expand(len(val_o), -1, -1, -1),
+            bones=bones_r.expand(len(val_o), -1, -1),
+            cyls=tile(cyls[kp_idxs[val_i] : kp_idxs[val_i] + 1], len(val_o)),
+            cams=torch.tensor(np.full(len(val_o), val_i, np.int64)),
+            **{**render_kwargs_train, "perturb": 0.0, "raw_noise_std": 0.0},
+        )
+    ref_rgb = ref_out["rgb_map"].numpy()
+    ref_rgb = ref_rgb + (1.0 - ref_out["acc_map"].numpy())[..., None] * val_bg
+    psnr_ref = np_psnr(ref_rgb, val_gt)
+
+    # ---- our stack --------------------------------------------------------
+    tcfg = TrainConfig(
+        lrate=lrate, lrate_decay=250, lrate_decay_rate=0.1, decay_unit=1000,
+        loss_fn="L1", coarse_weight=1.0, use_background=True,
+        cutoff_step=250, cutoff_rate=10.0,
+        opt_pose=True, opt_pose_step=OPT_POSE_STEP, opt_pose_coef=2.0,
+        opt_pose_lrate=POSE_LR, opt_pose_decay_rate=1.0,
+    )
+    pcfg = PoseOptConfig(use_rot6d=True, opt_pose_tol=0.01)
+    pose_params, anchors = init_pose_params(pcfg, bones, kp3d)
+    variables = init_raycaster(jax.random.PRNGKey(our_seed), cfg)
+    state = create_train_state(variables, tcfg, pose_params, anchors)
+    rest_pose = jnp.asarray(np.asarray(SMPL_REST_POSE, np.float32) * 0.4)
+    step = jax.jit(
+        make_train_step(cfg, tcfg, pcfg, rest_pose=rest_pose,
+                        n_frames=len(bones)),
+        donate_argnums=(0,),
+    )
+
+    stream = batch_stream(stream_seed)
+    key = jax.random.PRNGKey(step_key_seed)
+    our_losses = []
+    for it in range(1, n_iters + 1):
+        i, sel = next(stream)
+        batch = {
+            "rays_o": jnp.asarray(rays[i][0][sel]),
+            "rays_d": jnp.asarray(rays[i][1][sel]),
+            "target_s": jnp.asarray(targets[i][sel]),
+            "bgs": jnp.asarray(bg_flat[sel]),
+            "cam_idxs": jnp.asarray(np.full((n_rand, 1), i, np.int32)),
+            "kp_idx": jnp.asarray([int(kp_idxs[i])], jnp.int32),
+            "kp3d": jnp.asarray(kp3d[kp_idxs[i] : kp_idxs[i] + 1]),
+            "cyls": jnp.asarray(cyls[kp_idxs[i] : kp_idxs[i] + 1]),
+        }
+        state, stats = step(state, batch, jax.random.fold_in(key, it))
+        our_losses.append(float(stats["total_loss"]))
+        assert np.isfinite(our_losses[-1])
+
+    from posegen_tpu.pose.opt import pose_apply
+
+    kps_o, bones_o, skts_o, _ = pose_apply(
+        state.pose_params, jnp.asarray([int(kp_idxs[val_i])]), rest_pose
+    )
+    from posegen_tpu.skeleton.geometry import get_kp_bounding_cylinder
+
+    cyl_o = get_kp_bounding_cylinder(kps_o, ext_scale=0.001).astype(jnp.float32)
+    ctx = PoseCtx(
+        kps=kps_o, skts=skts_o, bones=bones_o, cyls=cyl_o,
+        cam_idxs=jnp.full((1, 1), val_i, jnp.int32),
+    )
+    ours = render_rays(
+        cfg, {**state.params, **state.embeds}, jnp.asarray(val_o),
+        jnp.asarray(val_d), ctx, perturb=0.0, raw_noise_std=0.0,
+        use_fused=False,
+    )
+    our_rgb = np.asarray(ours["rgb_map"]) + (
+        1.0 - np.asarray(ours["acc_map"])
+    )[..., None] * val_bg
+    psnr_ours = np_psnr(our_rgb, val_gt)
+
+    print(f"h36m A/B val PSNR: reference {psnr_ref:.2f} dB, ours {psnr_ours:.2f} dB")
+    return {
+        "psnr_ref": psnr_ref, "psnr_ours": psnr_ours,
+        "ref_losses": ref_losses, "our_losses": our_losses,
+    }
+
+
+@pytest.mark.slow
+def test_native_training_quality_parity_ab_h36m(tmp_path):
+    """h36m-family loss-path parity gate (L1 + background + framecodes +
+    pose-opt). This combination is SLOW to learn on the blob scene — with
+    bg compositing both stacks start at the acc=0 "render nothing" minimum
+    (~8.9 dB on the fg-biased val pixels) and climb out over ~1k iters
+    (measured: ref/ours 8.94/11.65 at 300 iters, 11.86/11.75 at 1200) — so
+    the learnability floor is "visibly above the collapse floor", not the
+    MSE A/B's 14 dB."""
+    r = run_training_ab_h36m(
+        tmp_path, n_iters=int(os.environ.get("POSEGEN_AB_ITERS", "1200"))
+    )
+    psnr_ref, psnr_ours = r["psnr_ref"], r["psnr_ours"]
+    ref_losses = r["ref_losses"]
+    assert psnr_ref > 10.5 and np.mean(ref_losses[-20:]) < 0.8 * np.mean(
+        ref_losses[:20]
+    ), f"reference stack failed to learn ({psnr_ref:.2f} dB)"
+    assert psnr_ours > psnr_ref - 0.75, (
+        f"our trainer underperforms on the h36m path: "
+        f"{psnr_ours:.2f} vs ref {psnr_ref:.2f}"
+    )
+
+
 @pytest.mark.slow
 def test_native_training_quality_parity_ab(tmp_path):
     """Native-training quality parity, single-seed gate (the multi-seed x

@@ -30,6 +30,9 @@ def main() -> None:
     p = argparse.ArgumentParser("exp_ab")
     p.add_argument("--seeds", type=int, default=3)
     p.add_argument("--budgets", type=int, nargs="+", default=[400, 2000])
+    p.add_argument("--style", choices=["surreal", "h36m"], default="surreal",
+                   help="surreal = MSE/no-bg/no-popt; h36m = L1 + background "
+                        "+ framecodes + pose-opt (run_training_ab_h36m)")
     p.add_argument("--out", type=str, default="logs/ab")
     args = p.parse_args()
 
@@ -37,10 +40,14 @@ def main() -> None:
 
     jax.config.update("jax_platforms", "cpu")
 
-    from test_checkpoint_parity import run_training_ab
+    from test_checkpoint_parity import run_training_ab, run_training_ab_h36m
+
+    if args.style == "h36m":
+        run_training_ab = run_training_ab_h36m  # noqa: F811
 
     os.makedirs(args.out, exist_ok=True)
-    path = os.path.join(args.out, "summary.json")
+    name = "summary.json" if args.style == "surreal" else f"summary_{args.style}.json"
+    path = os.path.join(args.out, name)
     results = {"cells": []}
     if os.path.exists(path):  # resume a partial sweep
         results = json.load(open(path))
