@@ -226,7 +226,12 @@ def cmd_testopt(args) -> None:
 
     cli = parse_with_config(
         nerf_config_parser(),
-        SOAK_ARGS + ["--testopt", "--n_iters", str(args.n_iters)],
+        SOAK_ARGS + ["--testopt", "--n_iters", str(args.n_iters),
+                     # test-time optimization steps poses every iteration
+                     # (the reference's flipflop pose-turn runs with the
+                     # NeRF frozen and the pose optimizer at full cadence,
+                     # core/pose_opt.py:586-640)
+                     "--opt_pose_step", "1"],
     )
     dcfg = args_to_data_config(cli)
     results = {"ckpt": ckpt, "n_iters": args.n_iters,
