@@ -370,11 +370,23 @@ class GanTrainer:
         return stats
 
     def train_epoch(self, pose_batches) -> Dict[str, float]:
-        last: Dict[str, float] = {}
+        """Epoch stats are MEANS over the epoch's iterations (a last-iter
+        snapshot hides the spin term entirely: feedback fires on iters where
+        iter_num % feedback_every == 0, which the final iter usually isn't).
+        `spin_loss` is averaged over the feedback iterations only and
+        reported alongside their count."""
+        sums: Dict[str, float] = {}
+        counts: Dict[str, int] = {}
         for batch in pose_batches:
-            last = self.train_step(batch)
+            for k, v in self.train_step(batch).items():
+                if k == "spin_loss" and v == 0.0:
+                    continue  # inactive-feedback iters carry a structural 0
+                sums[k] = sums.get(k, 0.0) + v
+                counts[k] = counts.get(k, 0) + 1
         self.epoch += 1
-        return last
+        out = {k: sums[k] / counts[k] for k in sums}
+        out["n_feedback_iters"] = float(counts.get("spin_loss", 0))
+        return out
 
     # -- checkpoint / resume (the reference persists only SPIN checkpoints,
     # run_gan.py:1947 — its G/D state is lost on interruption; here the full
