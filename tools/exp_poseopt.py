@@ -103,7 +103,7 @@ def cmd_prepare(args) -> None:
 SOAK_ARGS = [
     "--config", "configs/h36m/h36m_prot2.txt",
     "--data_root", "./data_poseopt", "--dataset_type", "synthetic",
-    "--expname", "poseopt_soak", "--basedir", "./logs",
+    "--subject", "demo", "--expname", "poseopt_soak", "--basedir", "./logs",
     "--i_print", "500", "--i_pose_weights", "2000", "--i_weights", "20000",
     "--i_testset", "10000", "--i_video", "0",
 ]
@@ -124,8 +124,10 @@ def pose_err_vs_gt(pose_params, gt, kp_map=None) -> dict:
 
     F = len(gt["gt_bones"])
     idx = jnp.arange(F)
+    # the synthetic scene is built at skeleton scale 0.4 (the H5's
+    # rest_pose is SMPL_REST_POSE * 0.4) — FK must match it
     kps, bones, _, _ = pose_apply(
-        pose_params, idx, jnp.asarray(SMPL_REST_POSE),
+        pose_params, idx, jnp.asarray(SMPL_REST_POSE * 0.4),
         kp_map=None if kp_map is None else jnp.asarray(kp_map),
     )
     kps = np.asarray(kps)
@@ -185,7 +187,7 @@ def _rd_with_params(render_data, pose_params):
 
     idx = jnp.asarray(np.asarray(render_data["kp_idxs"], np.int64))
     kps, bones, skts, _ = pose_apply(
-        pose_params, idx, jnp.asarray(SMPL_REST_POSE)
+        pose_params, idx, jnp.asarray(SMPL_REST_POSE * 0.4)  # scene scale
     )
     rd = dict(render_data)
     rd["kp3d"] = np.asarray(kps)
@@ -276,7 +278,7 @@ def cmd_testopt(args) -> None:
         )
         step_fn = jax.jit(
             make_train_step(cfg, tcfg, pcfg,
-                            rest_pose=jnp.asarray(SMPL_REST_POSE),
+                            rest_pose=jnp.asarray(attrs["rest_pose"]),
                             n_frames=attrs["n_kps"]),
             donate_argnums=(0,),
         )
