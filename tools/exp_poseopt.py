@@ -102,6 +102,12 @@ def cmd_prepare(args) -> None:
 
 SOAK_ARGS = [
     "--config", "configs/h36m/h36m_prot2.txt",
+    # the h36m config sets datadir=./data/h36m/, which (faithfully to the
+    # reference's datadir semantics) would override data_root and silently
+    # swap in the default 8-image synthetic H5 — blank it out so data_root
+    # wins (this is also what round 4's soak should have done; its pose
+    # checkpoints show it trained the tiny default scene)
+    "--datadir", "",
     "--data_root", "./data_poseopt", "--dataset_type", "synthetic",
     "--subject", "demo", "--expname", "poseopt_soak", "--basedir", "./logs",
     "--i_print", "500", "--i_pose_weights", "2000", "--i_weights", "20000",
