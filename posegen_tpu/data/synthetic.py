@@ -79,9 +79,15 @@ def make_synthetic_h5(
         pix = world_to_cam(kp, ext, H, W, focal)
         img = np.zeros((H, W, 3), np.float32)
         m = np.zeros((H, W), np.float32)
+        # blob radius scales with resolution (2.5 px at the 64^2 default):
+        # at fixed pixels a 256^2 scene degenerates to tiny dots on black,
+        # and training collapses into the relu-dead "render nothing"
+        # minimum (round-5 soak finding; same failure family as the
+        # raw_noise_std=0 dead-net in RESULTS.md round 4)
+        sigma = 2.5 * H / 64.0
         for j in range(24):
             d2 = (yy - pix[j, 1]) ** 2 + (xx - pix[j, 0]) ** 2
-            blob = np.exp(-d2 / (2 * 2.5**2))
+            blob = np.exp(-d2 / (2 * sigma**2))
             img += blob[..., None] * colors[j]
             m = np.maximum(m, blob)
         imgs[i] = np.clip(img, 0, 255).astype(np.uint8)
