@@ -212,13 +212,14 @@ def cmd_testopt(args) -> None:
     import jax.numpy as jnp
 
     from posegen_tpu.cli.config import (
+        args_to_data_config,
         args_to_raycast_config,
         args_to_train_config,
         nerf_config_parser,
         parse_with_config,
     )
     from posegen_tpu.cli.run_nerf import evaluate_testset
-    from posegen_tpu.data.catalog import args_to_data_config, load_data
+    from posegen_tpu.data.catalog import load_data
     from posegen_tpu.pose.opt import PoseOptConfig, init_pose_params
     from posegen_tpu.train.checkpoints import latest_checkpoint, load_checkpoint
     from posegen_tpu.train.trainer import (
@@ -320,12 +321,13 @@ def cmd_testopt(args) -> None:
         print(f"[testopt tol={tol}] MPJPE {err_before['mpjpe']:.4f} -> "
               f"{err_after['mpjpe']:.4f}; val PSNR {m_before['psnr']:.2f} -> "
               f"{m_after['psnr']:.2f}", flush=True)
-
-    os.makedirs(LOG_DIR, exist_ok=True)
-    out = os.path.join(LOG_DIR, "testopt_recovery.json")
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
-    print(f"wrote {out}")
+        # write after EVERY sweep: each tol pays a full recompile, and a
+        # timed-out run must still land its finished sweeps
+        os.makedirs(LOG_DIR, exist_ok=True)
+        out = os.path.join(LOG_DIR, "testopt_recovery.json")
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {out}")
 
 
 def main() -> None:
