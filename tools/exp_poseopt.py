@@ -266,16 +266,19 @@ def cmd_testopt(args) -> None:
         from posegen_tpu.render.raycast import init_raycaster
 
         variables = init_raycaster(jax.random.PRNGKey(0), cfg)
-        state = create_train_state(variables, tcfg, pose_params, anchors)
-        state = load_checkpoint(ckpt, state)
-        # the ckpt carries the SOAK's pose state; restart from the fresh noise
-        fresh = create_train_state(
-            {**state.params, **state.embeds}, tcfg, pose_params, anchors
+        # load with the SOAK's optimizer shapes (opt_pose_step=50 wraps the
+        # pose Adam in MultiSteps; the testopt state (step=1) has a
+        # different opt-state tree), then rebuild a FRESH testopt state
+        # from the loaded weights + the fresh noisy poses
+        cli_load = parse_with_config(
+            nerf_config_parser(), SOAK_ARGS + ["--n_iters", "1"]
         )
-        state = state._replace(
-            pose_params=fresh.pose_params, pose_anchors=fresh.pose_anchors,
-            pose_opt_state=fresh.pose_opt_state, opt_state=fresh.opt_state,
-            step=fresh.step,
+        state_l = create_train_state(
+            variables, args_to_train_config(cli_load), pose_params, anchors
+        )
+        state_l = load_checkpoint(ckpt, state_l)
+        state = create_train_state(
+            {**state_l.params, **state_l.embeds}, tcfg, pose_params, anchors
         )
 
         err_before = pose_err_vs_gt(state.pose_params, gt)
